@@ -1,0 +1,178 @@
+"""HTML extraction as vectorized pandas/Arrow UDFs.
+
+The reference's extraction layer is 36 per-field BeautifulSoup extractors
+dispatched by one orchestrator that parses each page exactly once
+(``boxing/extract/orchestrator.py:29-99``). The Spark-native version keeps
+the parse-once-extract-many amortization but vectorizes it: ONE pandas UDF
+per purpose, processing an Arrow batch of pages per call and returning a wide
+struct — never 36 separate Python UDFs (Catalyst can't fuse opaque UDFs).
+
+Determinism contract: ``html_to_text`` is pure Python (stdlib ``HTMLParser``,
+no locale/env/library-version dependence), so extracted text is byte-identical
+on every replay — the per-row invariant from BASELINE.json ``input_hint``.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SKIP_TAGS = {"script", "style", "noscript", "template"}
+_WS_RE = re.compile(r"\s+")
+
+
+class _TextExtractor(HTMLParser):
+    """Collect visible text, skipping script/style subtrees."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data.strip():
+            self.chunks.append(data)
+
+
+def _to_text_one(html: bytes | str | None) -> str | None:
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _TextExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # keep whatever was collected — determinism over completeness
+    return _WS_RE.sub(" ", " ".join(p.chunks)).strip()
+
+
+@F.pandas_udf(T.StringType())
+def html_to_text(html: pd.Series) -> pd.Series:
+    """binary/string HTML → visible text, whitespace-collapsed.
+
+    Reference analog: the blank-page validator's text extraction
+    (``boxing/validators/blank_page.py:12-80``) and every field extractor's
+    ``get_text()``. Byte-identical across replays by construction.
+    """
+    return html.map(_to_text_one)
+
+
+# ---------------------------------------------------------------------------
+# Wide-struct field extraction (parse once, emit many fields)
+# ---------------------------------------------------------------------------
+
+PAGE_FIELDS_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("division", T.StringType()),
+        T.StructField("opponent_name", T.StringType()),
+        T.StructField("opponent_id", T.StringType()),
+        T.StructField("bout_date", T.StringType()),
+        T.StructField("result", T.StringType()),
+        T.StructField("lang_attr", T.StringType()),
+        T.StructField("n_tables", T.IntegerType()),
+        T.StructField("text_len", T.IntegerType()),
+    ]
+)
+
+_TITLE_RE = re.compile(r"<title>\s*(?:BoxRec:\s*)?(.*?)\s*</title>", re.S)
+_H1_RE = re.compile(r"<h1[^>]*>(.*?)</h1>", re.S)
+_ROW_RE = re.compile(r"<tr>\s*<td>\s*([^<]*?)\s*</td>\s*<td>\s*([^<]*?)\s*</td>", re.S)
+_PERSON_RE = re.compile(r'<a class="personLink" href="/box-pro/(\d+)"[^>]*>(.*?)</a>', re.S)
+_RESULT_RE = re.compile(r'class="boutResult"[^>]*>\s*([A-Z]{1,2})\s*<', re.S)
+_DATE_RE = re.compile(r"<td>(\d{4}-\d{2}-\d{2})</td>")
+_LANGATTR_RE = re.compile(r'lang="([a-z]{2})"')
+_TABLE_RE = re.compile(r"<table\b")
+
+
+def _fields_one(html: bytes | str | None) -> dict:
+    out = dict.fromkeys([f.name for f in PAGE_FIELDS_SCHEMA.fields])
+    if html is None:
+        return out
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    # parse/scan once, extract many — same amortization as the reference's
+    # single BeautifulSoup parse shared by 36 extractors.
+    m = _TITLE_RE.search(html)
+    out["title"] = m.group(1) if m else None
+    m = _H1_RE.search(html)  # name: title-strip → h1 fallback chain
+    out["name"] = (m.group(1).strip() if m else None) or out["title"]
+    for label, value in _ROW_RE.findall(html):
+        low = label.strip().lower()
+        if low == "status" and out["status"] is None:
+            out["status"] = "active" if "active" in value.lower() else "inactive"
+        elif low == "division" and out["division"] is None:
+            out["division"] = value.strip()
+    m = _PERSON_RE.search(html)
+    if m:
+        out["opponent_id"], out["opponent_name"] = m.group(1), m.group(2).strip()
+    m = _RESULT_RE.search(html)
+    out["result"] = m.group(1) if m else None
+    m = _DATE_RE.search(html)
+    out["bout_date"] = m.group(1) if m else None
+    m = _LANGATTR_RE.search(html)
+    out["lang_attr"] = m.group(1) if m else None
+    out["n_tables"] = len(_TABLE_RE.findall(html))
+    out["text_len"] = len(_to_text_one(html) or "")
+    return out
+
+
+@F.pandas_udf(PAGE_FIELDS_SCHEMA)
+def extract_page_fields(html: pd.Series) -> pd.DataFrame:
+    """One Arrow batch of pages in → wide struct of extracted fields out.
+
+    Spark-native form of ``ExtractionOrchestrator.extract_all``
+    (``boxing/extract/orchestrator.py:67-99``): per-field failures yield NULL
+    for that field only, never fail the row.
+    """
+    rows = html.map(_fields_one)
+    return pd.DataFrame(list(rows))
+
+
+# ---------------------------------------------------------------------------
+# Validation predicates (P2-P6) — JVM-side where possible
+# ---------------------------------------------------------------------------
+
+ERROR_INDICATORS = ["404 Not Found", "Page Not Found", "Error 404", "Not Found"]
+LOGIN_INDICATORS = ["BoxRec: Login", "Please login", "Sign in to continue"]
+RATELIMIT_INDICATORS = ["too many requests", "rate limit", "slow down"]
+
+
+def validation_reason(html_text: Column, min_bytes: int = 1000) -> Column:
+    """First-failure-wins quarantine reason; NULL = page is valid.
+
+    Spark-native form of the short-circuit validator chain
+    (``boxing/run_validators.py:39-76``): a single chained CASE expression —
+    cheap predicates first — evaluated JVM-side, no Python.
+    """
+    def _contains_any(col: Column, needles: list[str], lower: bool = False) -> Column:
+        src = F.lower(col) if lower else col
+        cond = F.lit(False)
+        for n in needles:
+            cond = cond | src.contains(n.lower() if lower else n)
+        return cond
+
+    return (
+        F.when(F.length(html_text) < min_bytes, F.lit("too_small"))
+        .when(_contains_any(html_text, ERROR_INDICATORS), F.lit("error_page"))
+        .when(_contains_any(html_text, LOGIN_INDICATORS), F.lit("login_page"))
+        .when(_contains_any(html_text, RATELIMIT_INDICATORS, lower=True), F.lit("rate_limited"))
+        .otherwise(F.lit(None).cast("string"))
+    )

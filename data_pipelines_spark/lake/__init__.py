@@ -1,0 +1,6 @@
+from data_pipelines_spark.lake.table import (  # noqa: F401
+    ConcurrentCommitError,
+    LakeTable,
+    MergeStats,
+    SchemaEvolutionError,
+)

@@ -1,0 +1,139 @@
+"""Golden tests for the scalar function library (FIXTURES.md §5)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.extract.html import (
+    extract_page_fields,
+    html_to_text,
+    validation_reason,
+)
+from data_pipelines_spark.functions import (
+    bout_id,
+    content_hash,
+    height_to_cm,
+    id_from_url,
+    normalize_date,
+    normalize_id,
+    normalize_result,
+    slugify,
+)
+from data_pipelines_spark.operators.lww import (
+    lww_latest,
+    lww_latest_salted,
+    lww_latest_window,
+)
+
+
+def _vals(spark, col_fn, inputs, in_type="string"):
+    df = spark.createDataFrame([(x,) for x in inputs], f"v {in_type}")
+    return [r.o for r in df.select(col_fn(F.col("v")).alias("o")).collect()]
+
+
+def test_normalize_id_goldens(spark):
+    # reference: boxing/tests/load/test_boxer_id_normalization.py:11-48
+    got = _vals(spark, normalize_id, ["000080", "80", "000", "0", "abc", "", "12a"])
+    assert got == ["80", "80", "0", "0", "abc", "", "12a"]
+
+
+def test_slugify_goldens(spark):
+    got = _vals(spark, slugify, ["Mike Tyson", "  Foo--Bar!! ", "ALL CAPS", "a"])
+    assert got == ["mike-tyson", "foo-bar", "all-caps", "a"]
+
+
+def test_normalize_result_goldens(spark):
+    # reference: boxing/transform/bout_data.py:50-96
+    ins = ["win", "WON", "victory", "w", "loss", "Draw", "tie", "nc", "TD", "???", None]
+    got = _vals(spark, normalize_result, ins)
+    assert got == ["W", "W", "W", "W", "L", "D", "D", "NC", "TD", None, None]
+
+
+def test_normalize_date_goldens(spark):
+    got = _vals(
+        spark, normalize_date, ["2017-08-26", "Aug 17 2019", "26 August 2017", "bogus"]
+    )
+    assert got == ["2017-08-26", "2019-08-17", "2017-08-26", None]
+    # year-less date with base year (reference bout_data.py:9-47)
+    df = spark.createDataFrame([("Aug 17", 2020)], "v string, y int")
+    got = df.select(normalize_date(F.col("v"), F.col("y")).alias("o")).collect()
+    assert got[0].o == "2020-08-17"
+
+
+def test_bout_id(spark):
+    df = spark.createDataFrame([("000080", 3)], "bid string, i int")
+    assert df.select(bout_id(F.col("bid"), F.col("i")).alias("o")).collect()[0].o == "80_bout_3"
+
+
+def test_id_from_url(spark):
+    got = _vals(spark, id_from_url, ["https://boxrec.com/en/box-pro/628407", "no-match"])
+    assert got == ["628407", ""]
+
+
+def test_height_to_cm(spark):
+    got = _vals(spark, height_to_cm, ["180cm", "5' 10\"", "6'", "unknown"])
+    assert got == [180, 177, 182, None]
+
+
+def test_content_hash_matches_hashlib(spark):
+    import hashlib
+
+    got = _vals(spark, content_hash, ["hello world"])
+    assert got[0] == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_html_to_text_deterministic_and_clean(spark):
+    html = (
+        "<html><head><title>T</title><style>x{}</style></head>"
+        "<body><script>var a=1;</script><h1>Hello</h1> <p>world &amp; co</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,), (html,)], "h string")
+    out = [r.t for r in df.select(html_to_text(F.col("h")).alias("t")).collect()]
+    assert out[0] == out[1] == "T Hello world & co"
+
+
+def test_extract_page_fields_wide_struct(spark):
+    html = (
+        '<html><head><title>BoxRec: Page 7</title></head><body><h1>Page 7</h1>'
+        '<table class="profileTable"><tr><td>status</td><td>active</td></tr>'
+        "<tr><td>division</td><td>heavy</td></tr></table>"
+        '<table class="dataTable"><tr><td>2024-03-15</td>'
+        '<td><a class="personLink" href="/box-pro/123">Opp</a></td>'
+        '<td class="boutResult">W</td></tr></table></body></html>'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    r = df.select(extract_page_fields(F.col("h")).alias("f")).select("f.*").collect()[0]
+    assert r.name == "Page 7"
+    assert r.status == "active"
+    assert r.division == "heavy"
+    assert r.opponent_name == "Opp" and r.opponent_id == "123"
+    assert r.bout_date == "2024-03-15" and r.result == "W"
+    assert r.n_tables == 2
+
+
+def test_validation_reason_chain(spark):
+    # reference: boxing/run_validators.py:39-76 — first failure wins
+    pad = "x" * 1100
+    rows = [
+        ("small",),
+        (pad + "404 Not Found",),
+        (pad + "BoxRec: Login",),
+        (pad + "Too Many Requests",),
+        (pad,),
+    ]
+    df = spark.createDataFrame(rows, "h string")
+    got = [r.r for r in df.select(validation_reason(F.col("h")).alias("r")).collect()]
+    assert got == ["too_small", "error_page", "login_page", "rate_limited", None]
+
+
+def test_lww_variants_agree(spark):
+    rows = [
+        ("a", 2, 1, "x1"),
+        ("a", 2, 2, "x2"),  # tie on ts, offset wins
+        ("a", 1, 9, "x0"),
+        ("b", 5, 1, "y1"),
+        ("b", 5, 1, "y1"),  # exact duplicate delivery
+    ]
+    df = spark.createDataFrame(rows, "k string, ts int, off int, v string")
+    for fn in (lww_latest, lww_latest_window, lww_latest_salted):
+        got = {r.k: r.v for r in fn(df, "k", ("ts", "off")).collect()}
+        assert got == {"a": "x2", "b": "y1"}, fn.__name__

@@ -1,0 +1,152 @@
+"""LakeTable (M0): merge semantics, LWW, idempotence, evolution, time travel."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipelines_spark.lake import LakeTable, SchemaEvolutionError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def ts(day: int) -> dt.datetime:
+    return dt.datetime(2025, 1, day)
+
+
+@pytest.fixture()
+def table(spark, tmp_root):
+    return LakeTable.create(
+        spark, os.path.join(tmp_root, "t"), key="url", n_buckets=4, overwrite=True
+    )
+
+
+def _merge(spark, table, rows, batch_id, schema=SCHEMA):
+    return table.merge(spark.createDataFrame(rows, schema), batch_id=batch_id)
+
+
+def test_upsert_and_lww_within_batch(spark, table):
+    _merge(
+        spark,
+        table,
+        [
+            ("I", "a", ts(1), 1, b"<a1>", "en"),
+            ("U", "a", ts(2), 2, b"<a2>", "en"),
+            ("I", "b", ts(1), 3, b"<b1>", "de"),
+        ],
+        1,
+    )
+    got = {r.url: bytes(r.html) for r in table.read().collect()}
+    assert got == {"a": b"<a2>", "b": b"<b1>"}
+
+
+def test_stale_update_loses_across_batches(spark, table):
+    _merge(spark, table, [("I", "a", ts(5), 10, b"<new>", "en")], 1)
+    _merge(spark, table, [("U", "a", ts(2), 3, b"<stale>", "en")], 2)
+    got = table.read().collect()
+    assert len(got) == 1 and bytes(got[0].html) == b"<new>"
+
+
+def test_delete_tombstone_beats_older_update(spark, table):
+    _merge(spark, table, [("I", "b", ts(1), 1, b"<b1>", "de")], 1)
+    _merge(spark, table, [("D", "b", ts(3), 5, None, None)], 2)
+    assert table.read().count() == 0
+    # older update cannot resurrect
+    _merge(spark, table, [("U", "b", ts(2), 4, b"<b-old>", "de")], 3)
+    assert table.read().count() == 0
+    # newer insert does
+    _merge(spark, table, [("I", "b", ts(4), 7, b"<b2>", "de")], 4)
+    assert table.read().count() == 1
+
+
+def test_duplicate_batch_skipped(spark, table):
+    df_rows = [("I", "a", ts(1), 1, b"<a>", "en")]
+    s1 = _merge(spark, table, df_rows, 1)
+    assert not s1.skipped_duplicate_batch
+    s2 = _merge(spark, table, df_rows, 1)
+    assert s2.skipped_duplicate_batch
+    assert table.read().count() == 1
+    assert table.current_version() == s1.committed_version
+
+
+def test_schema_evolution_add_column_backfills_null(spark, table):
+    _merge(spark, table, [("I", "a", ts(1), 1, b"<a>", "en")], 1)
+    schema2 = T.StructType(
+        SCHEMA.fields + [T.StructField("meta", T.MapType(T.StringType(), T.StringType()))]
+    )
+    s = _merge(spark, table, [("I", "c", ts(2), 2, b"<c>", "en", {"k": "v"})], 2, schema2)
+    assert s.schema_evolved
+    rows = {r.url: r.meta for r in table.read().collect()}
+    assert rows["a"] is None and rows["c"] == {"k": "v"}
+
+
+def test_schema_widening_int_to_long(spark, table):
+    narrow = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("score", T.IntegerType()),
+        ]
+    )
+    wide = T.StructType(narrow.fields[:-1] + [T.StructField("score", T.LongType())])
+    _merge(spark, table, [("I", "a", ts(1), 1, 7)], 1, narrow)
+    _merge(spark, table, [("I", "b", ts(1), 2, 2**40)], 2, wide)
+    out = table.read()
+    assert dict(out.dtypes)["score"] == "bigint"
+    assert {r.score for r in out.collect()} == {7, 2**40}
+
+
+def test_incompatible_schema_rejected(spark, table):
+    _merge(spark, table, [("I", "a", ts(1), 1, b"<a>", "en")], 1)
+    bad = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("html", T.StringType()),  # binary -> string: refuse
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    with pytest.raises(SchemaEvolutionError):
+        _merge(spark, table, [("I", "x", ts(1), 9, "<x>", "en")], 2, bad)
+
+
+def test_time_travel(spark, table):
+    s1 = _merge(spark, table, [("I", "a", ts(1), 1, b"<a1>", "en")], 1)
+    _merge(spark, table, [("U", "a", ts(2), 2, b"<a2>", "en")], 2)
+    assert bytes(table.read(version=s1.committed_version).collect()[0].html) == b"<a1>"
+    assert bytes(table.read().collect()[0].html) == b"<a2>"
+
+
+def test_vacuum_tombstones(spark, table):
+    _merge(spark, table, [("I", "a", ts(1), 1, b"<a>", "en")], 1)
+    _merge(spark, table, [("D", "a", ts(2), 2, None, None)], 2)
+    assert table.read(include_tombstones=True).where(F.col("_deleted")).count() == 1
+    table.vacuum_tombstones(batch_id=3, older_than="2025-02-01")
+    assert table.read(include_tombstones=True).count() == 0
+
+
+def test_partition_pruning_only_touched_buckets_rewritten(spark, table):
+    _merge(
+        spark,
+        table,
+        [("I", f"url-{i}", ts(1), i, b"<x>", "en") for i in range(40)],
+        1,
+    )
+    s = _merge(spark, table, [("U", "url-0", ts(2), 100, b"<y>", "en")], 2)
+    assert s.buckets_touched == 1  # copy-on-write confined to url-0's bucket
+    assert table.read().count() == 40

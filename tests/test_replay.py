@@ -1,0 +1,138 @@
+"""Replay / equivalence suite (SURVEY.md §5.3, BASELINE.json correctness gate).
+
+The specification: final table state == full-stream LWW (deletes removed),
+regardless of batch slicing, duplicate deliveries, out-of-order arrival, or
+checkpoint resume — and extracted ``text`` is byte-identical per url.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.extract.html import html_to_text
+from data_pipelines_spark.gen.changegen import (
+    change_stream,
+    expected_final_state,
+    write_change_log,
+)
+from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+N_EVENTS = 1200
+N_KEYS = 200
+
+
+@pytest.fixture(scope="module")
+def changes(spark):
+    df = change_stream(spark, n_events=N_EVENTS, n_keys=N_KEYS, seed=42).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, changes):
+    o = expected_final_state(changes)
+    o = o.withColumn("text", html_to_text(F.col("html")))
+    o = o.withColumn(
+        "lang",
+        F.coalesce(
+            F.col("lang"),
+            F.regexp_extract(F.col("html").cast("string"), 'lang="([a-z]{2})"', 1),
+        ),
+    )
+    return {r.url: (r.warc_ts, r.offset, r.text, r.lang) for r in o.collect()}
+
+
+def _state(pipe):
+    return {
+        r.url: (r.warc_ts, r.offset, r.text, r.lang) for r in pipe.table.read().collect()
+    }
+
+
+def test_batch_replay_matches_oracle(spark, tmp_root, changes, oracle):
+    pipe = CdcPipeline(spark, PipelineConfig(os.path.join(tmp_root, "t"), n_buckets=8))
+    pipe.run_batches(changes, n_batches=5)
+    assert _state(pipe) == oracle
+
+
+def test_slicing_independence(spark, tmp_root, changes, oracle):
+    pipe = CdcPipeline(spark, PipelineConfig(os.path.join(tmp_root, "t2"), n_buckets=8))
+    pipe.run_batches(changes, n_batches=2)
+    assert _state(pipe) == oracle
+
+
+def test_streaming_and_checkpoint_resume(spark, tmp_root, changes, oracle):
+    log_dir = os.path.join(tmp_root, "log")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    write_change_log(changes, log_dir, n_segments=4)
+    schema = spark.read.parquet(log_dir).schema
+    pipe = CdcPipeline(spark, PipelineConfig(os.path.join(tmp_root, "t3"), n_buckets=8))
+    q = pipe.run_stream(log_dir, ckpt, schema, max_files_per_trigger=1)
+    q.awaitTermination()
+    assert _state(pipe) == oracle
+    # resume from the same checkpoint: no-op, state identical
+    q2 = pipe.run_stream(log_dir, ckpt, schema, max_files_per_trigger=1)
+    q2.awaitTermination()
+    assert _state(pipe) == oracle
+    # every committed batch has lineage with a sane offset span
+    lin = pipe.lineage()
+    assert lin.where(F.col("offset_min") > F.col("offset_max")).count() == 0
+
+
+def test_mid_stream_kill_and_resume(spark, tmp_root, changes, oracle):
+    """Process half the log, 'crash', resume from checkpoint → same state."""
+    log_dir = os.path.join(tmp_root, "log2")
+    ckpt = os.path.join(tmp_root, "ckpt2")
+    write_change_log(changes, log_dir, n_segments=4)
+    schema = spark.read.parquet(log_dir).schema
+    pipe = CdcPipeline(spark, PipelineConfig(os.path.join(tmp_root, "t4"), n_buckets=8))
+    # phase 1: only first half of segments visible (simulates a kill mid-log)
+    import shutil
+
+    part_dir = os.path.join(tmp_root, "log2_partial")
+    os.makedirs(part_dir)
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    for s in segs[:2]:
+        shutil.copy(os.path.join(log_dir, s), os.path.join(part_dir, s))
+    q = pipe.run_stream(part_dir, ckpt, schema, max_files_per_trigger=1)
+    q.awaitTermination()
+    assert len(_state(pipe)) > 0
+    # phase 2: rest of the log appears; resume from the same checkpoint
+    for s in segs[2:]:
+        shutil.copy(os.path.join(log_dir, s), os.path.join(part_dir, s))
+    q2 = pipe.run_stream(part_dir, ckpt, schema, max_files_per_trigger=1)
+    q2.awaitTermination()
+    assert _state(pipe) == oracle
+
+
+def test_duplicate_batch_redelivery_is_noop(spark, tmp_root, changes, oracle):
+    pipe = CdcPipeline(spark, PipelineConfig(os.path.join(tmp_root, "t5"), n_buckets=8))
+    pipe.run_batches(changes, n_batches=3)
+    # re-deliver every batch verbatim (simulates foreachBatch retry storm)
+    stats = pipe.run_batches(changes, n_batches=3)
+    assert all(s.skipped_duplicate_batch for s in stats)
+    assert _state(pipe) == oracle
+
+
+def test_schema_evolution_mid_stream(spark, tmp_root):
+    df = change_stream(spark, n_events=600, n_keys=100, seed=7, evolve_at=0.5).persist()
+    cut = 300
+    v1 = df.where(F.col("offset") < cut).drop("meta")  # old producer: no meta column
+    v2 = df.where(F.col("offset") >= cut)
+    pipe = CdcPipeline(spark, PipelineConfig(os.path.join(tmp_root, "t6"), n_buckets=8))
+    pipe.process_batch(v1, batch_id=0)
+    assert "meta" not in pipe.table.read().columns
+    s = pipe.process_batch(v2, batch_id=1)
+    assert s.schema_evolved
+    out = pipe.table.read()
+    assert "meta" in out.columns
+    # rows last written before the cut are backfilled with NULL meta
+    assert out.where(F.col("offset") < cut).where(F.col("meta").isNotNull()).count() == 0
+    # final state matches full-stream oracle with evolved schema
+    oracle = expected_final_state(df)
+    oracle = oracle.withColumn("text", html_to_text(F.col("html")))
+    want = {r.url: (r.offset, r.meta) for r in oracle.collect()}
+    got = {r.url: (r.offset, r.meta) for r in out.collect()}
+    assert got == want
+    df.unpersist()
