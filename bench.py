@@ -1,0 +1,118 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "cdc": {"events": N, "elapsed_sec": s, "events_per_sec": r}}
+
+The headline is the north-star metric: CDC change-events/sec end-to-end
+(generated change stream → decode pandas UDFs → LWW dedup → lake MERGE
+commit), plus wall time of the flagship analytical/dedup/similarity queries.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``scripts/scaling_bench.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_from_dir(sf_dir)
+    n_events = int(os.environ.get("BENCH_EVENTS", str(max(2000, int(2_000_000 * sf)))))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as em
+    from data_pipelines_spark.gen.changegen import change_stream
+    from data_pipelines_spark.session import get_spark
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    results: dict[str, float] = {}
+    t_total = time.time()
+
+    # ---- headline: CDC ingest throughput (tail -> merge commit) ----------
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    changes = change_stream(
+        spark, n_events=n_events, n_keys=max(64, n_events // 8), seed=42
+    ).persist()
+    changes.count()  # materialize generation outside the timed window
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            table_root=os.path.join(work, "t"),
+            n_buckets=max(16, int(cpus)),
+            decode=True,
+        ),
+    )
+    t0 = time.time()
+    pipe.run_batches(changes, n_batches=10)
+    cdc_elapsed = time.time() - t0
+    final_rows = pipe.table.read().count()
+    changes.unpersist()
+    results["cdc_ingest"] = round(cdc_elapsed, 3)
+
+    # ---- flagship queries -------------------------------------------------
+    qs = em.queries()
+    headline = [] if os.environ.get("BENCH_CDC_ONLY") else [
+        "q1_pricing_summary",
+        "w1_latest_per_key",
+        "j1_anti_join",
+        "a3_top10_users",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_topk_bruteforce",
+        "sim_topk_lsh",
+        "lang_id_documents",
+        "text_tokens_quality",
+        "f1_sha2_hash",
+    ]
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 3)
+    out = {
+        "metric": "cdc_ingest_plus_headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "cdc": {
+            "events": n_events,
+            "elapsed_sec": round(cdc_elapsed, 3),
+            "events_per_sec": round(n_events / cdc_elapsed, 1),
+            "final_rows": final_rows,
+            "cpus": int(cpus),
+        },
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything here is a JVM-side Column expression (higher-order array
+functions + regex) — no Python in the hot path, so these run inside
+whole-stage codegen over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small high-frequency stopword sets per language (public knowledge;
+# enough signal for an n-gram-free heuristic language ID)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "over"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "von", "zu"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "es", "en", "un", "una", "por"],
+    "fr": ["le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour", "du", "au"],
+    "it": ["il", "lo", "la", "gli", "che", "di", "è", "un", "una", "per", "con", "sono"],
+    "pt": ["o", "os", "as", "de", "que", "e", "é", "um", "uma", "para", "com", "não"],
+}
+
+
+def words(col: Column) -> Column:
+    """Lowercased word tokens (whitespace split of trimmed text)."""
+    return F.split(F.lower(F.trim(col)), "\\s+")
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    w = words(col)
+    sw = STOPWORDS[lang]
+    hits = F.size(F.filter(w, lambda t: t.isin(sw)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit ratio.
+
+    One pass over the token array per language, argmax via ``array_max`` of
+    (score, lang) structs (lexicographic struct ordering — ties resolve to
+    the lexicographically larger language code, deterministic). Returns NULL
+    when no language scores above zero.
+    """
+    w = words(col)
+    n = F.size(w)
+
+    def _member_of(sw: list[str]):
+        # NB: the closure keeps the lambda single-arg — a default-valued second
+        # parameter would make PySpark treat it as an (element, index) lambda.
+        return lambda t: t.isin(sw)
+
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(w, _member_of(sw))) / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when((n > 0) & (best["score"] > 0), best["lang"]).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
+# the GPT-2-style pattern family, simplified to Java-regex-safe classes.
+TOKEN_PATTERN = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-z0-9À-ɏ]"
+
+
+def token_count(col: Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' split or 'bpe' regex pre-tokenization."""
+    if mode == "whitespace":
+        t = F.trim(col)
+        return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, "\\s+")))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
+    raise ValueError(mode)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation characters / total characters."""
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, "[^.,;:!?'\"()\\[\\]-]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(col: Column) -> Column:
+    n = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    u = F.length(F.regexp_replace(col, "[^A-Z]", ""))
+    return F.when(n > 0, u / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    w = words(col)
+    total = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic (length, punctuation sanity,
+    stopword presence, case sanity, word-length sanity).
+
+    The training-data analog of the reference's page-quality gates
+    (``boxing/validators/*`` size/blank checks) expressed as a soft score.
+    """
+    length_ok = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct = punct_ratio(col)
+    punct_ok = F.when(punct <= 0.2, F.lit(1.0)).otherwise(1.0 - F.least((punct - 0.2) * 2, F.lit(1.0)))
+    sw_ok = F.least(stopword_ratio(col, lang) * F.lit(4.0), F.lit(1.0))
+    upper = uppercase_ratio(col)
+    case_ok = F.when(upper <= 0.3, F.lit(1.0)).otherwise(1.0 - F.least(upper - 0.3, F.lit(1.0)))
+    mwl = mean_word_length(col)
+    mwl_ok = F.when((mwl >= 2.5) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (length_ok + punct_ok + sw_ok + case_ok + mwl_ok) / F.lit(5.0)
+
+
+def char_shingles(col: Column, k: int = 8) -> Column:
+    """Character k-gram shingles (for fingerprinting), JVM-side."""
+    t = F.lower(F.trim(F.regexp_replace(col, "\\s+", " ")))
+    n = F.length(t) - F.lit(k - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.substring(t, i, F.lit(k)),
+    )
+
+
+def fingerprint(col: Column, k: int = 8, sketch_size: int = 16) -> Column:
+    """Bottom-k document fingerprint: the ``sketch_size`` smallest k-gram
+    hashes, sorted — a compact rolling-hash sketch whose overlap estimates
+    containment (winnowing-family; deterministic, order-insensitive).
+    """
+    hashes = F.array_distinct(
+        F.transform(char_shingles(col, k), lambda s: F.xxhash64(s))
+    )
+    return F.slice(F.array_sort(hashes), 1, sketch_size)
+
+
+def fingerprint_hex(col: Column, k: int = 8, sketch_size: int = 16) -> Column:
+    """Single hex digest of the bottom-k sketch (joinable fingerprint id)."""
+    return F.sha2(
+        F.concat_ws(",", F.transform(fingerprint(col, k, sketch_size), lambda h: h.cast("string"))).cast("binary"),
+        256,
+    )

@@ -75,6 +75,8 @@ class MergeStats:
     skipped_duplicate_batch: bool = False
     schema_evolved: bool = False
     per_bucket: dict[int, dict[str, int]] = field(default_factory=dict)
+    seq_min: object = None  # min/max of the last seq column in the batch
+    seq_max: object = None
 
 
 # numeric widenings we accept silently (Iceberg-compatible set)
@@ -370,9 +372,27 @@ class LakeTable:
         snap: dict,
         table_schema: T.StructType,
     ) -> MergeStats:
-        affected = [r[_BUCKET_COL] for r in deduped.select(_BUCKET_COL).distinct().collect()]
+        # ONE pre-merge job: affected buckets + row/delete counts + seq span
+        # (collect is bounded by n_buckets — driver-safe at any data scale)
+        tie = self.seq_cols[-1]
+        pre = (
+            deduped.groupBy(_BUCKET_COL)
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum((F.col("op") == "D").cast("long")).alias("deletes"),
+                F.min(tie).alias("lo"),
+                F.max(tie).alias("hi"),
+            )
+            .collect()
+        )
+        affected = [r[_BUCKET_COL] for r in pre]
         stats.buckets_touched = len(affected)
-        stats.rows_in = deduped.count()
+        stats.rows_in = sum(r["rows"] for r in pre)
+        n_deletes = sum(int(r["deletes"] or 0) for r in pre)
+        stats.rows_upserted = stats.rows_in - n_deletes
+        if pre:
+            stats.seq_min = min(r["lo"] for r in pre)
+            stats.seq_max = max(r["hi"] for r in pre)
         if not affected:
             return self._commit(snap, base_version, {}, stats, table_schema)
 
@@ -441,9 +461,11 @@ class LakeTable:
                     stats.bytes_written += flist[-1]["bytes"]
             new_files[b] = flist
 
-        # per-bucket row accounting (bounded by n_buckets — tiny collect)
+        # per-bucket row accounting by re-reading ONLY the files just written
+        # (footer row counts + one boolean column — never re-runs the join)
         acct = (
-            result.groupBy(_BUCKET_COL)
+            self.spark.read.parquet(commit_dir)
+            .groupBy(_BUCKET_COL)
             .agg(
                 F.count("*").alias("rows"),
                 F.sum(F.col(DELETED_COL).cast("long")).alias("dead"),
@@ -456,7 +478,6 @@ class LakeTable:
                 "tombstones": int(r["dead"] or 0),
             }
         stats.rows_deleted = sum(p["tombstones"] for p in stats.per_bucket.values())
-        stats.rows_upserted = stats.rows_in - deduped.where(F.col("op") == "D").count()
         return self._commit(snap, base_version, new_files, stats, table_schema, next_sid)
 
     def _op_schema(self, table_schema: T.StructType) -> T.StructType:

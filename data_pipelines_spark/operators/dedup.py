@@ -1,0 +1,395 @@
+"""Document deduplication family for web-scale training-data pipelines.
+
+Five strategies, each with a distinct cost/recall point. All hot paths are
+JVM-side built-ins (higher-order array functions, xxhash64) — the only
+pandas UDF is SimHash's 64-lane bit-majority, which is genuinely awkward as
+a column expression.
+
+Scale notes (the 100 TB story):
+
+- ``exact_*``: one shuffle on a 64-hex key (sha2 of the normalized text),
+  partial-aggregated map-side. Hash first, never shuffle document bodies
+  when only the hash is needed.
+- ``minhash_lsh_*``: signatures and band buckets are computed in a single
+  projection (no shuffle); the only shuffles are the band-bucket self-join
+  (keys are (band_idx, band_hash) — high cardinality, naturally balanced)
+  and the final candidate verification. Candidate pairs are verified with
+  exact shingle Jaccard before anything is dropped, so banding never causes
+  false merges. Classic MMDS construction.
+- ``simhash_*``: 64-bit signature; near-dup candidates block on 4×16-bit
+  chunks (any pair within Hamming distance 3 shares ≥1 exact chunk —
+  pigeonhole), then verified by true Hamming distance.
+- ``embedding_cosine_pairs``: LSH-free quadratic verify within blocks; for
+  the full ANN path see ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased text — the exact-dup canonical form."""
+    return F.lower(F.trim(F.regexp_replace(col, "\\s+", " ")))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups: content hash → count + member ids (count > 1).
+
+    The A4 'HAVING count(*) > 1' pattern (reference
+    ``boxing/database/validators/queries.py:86-107``) applied to content.
+    """
+    h = F.sha2(normalized_text(F.col(text_col)).cast("binary"), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct content (the min id — deterministic)."""
+    h = F.sha2(normalized_text(F.col(text_col)).cast("binary"), 256)
+    keep = (
+        df.select(F.col(id_col).alias("_id"), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("_id").alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, entirely JVM-side.
+
+    words = split(normalized text); shingle i = words[i..i+n); built with
+    ``transform(sequence(...))`` so no Python touches the tokens.
+    Documents shorter than n words yield the whole text as one shingle.
+    """
+    words = F.split(normalized_text(col), " ")
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature_expr(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """Pure-JVM MinHash signature (fold with a k-lane accumulator).
+
+    Semantically identical to the default pandas path but generates a very
+    large expression — Janino compile cost grows with ``num_hashes`` (minutes
+    at k=64 on first use), so it's kept as a reference implementation; the
+    production path is :func:`minhash_signature`.
+    """
+    seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, F.transform(seeds, lambda i: F.xxhash64(s, i)), lambda a, b: F.least(a, b)
+        ),
+    )
+
+
+def _affine_coeffs(num_hashes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # odd multipliers → bijections of Z/2^64 (classic one-hash k-permutation)
+    a = (rng.randint(1, 2**62, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature as an Arrow-vectorized pandas UDF.
+
+    One 64-bit base hash per shingle (blake2b — stable across platforms and
+    replays), then ``num_hashes`` affine permutations ``a_i*h + b_i mod 2^64``
+    minimized per lane with one numpy matmul-shaped reduction. Linear work,
+    no giant codegen, wraps-by-design in uint64.
+    """
+    import hashlib
+
+    import numpy as np
+
+    max_long = (1 << 63) - 1
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(sh: pd.Series) -> pd.Series:
+        a, b = _affine_coeffs(num_hashes, seed)
+
+        def one(toks):
+            if toks is None or len(toks) == 0:
+                return [max_long] * num_hashes
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+                    )
+                    for t in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            lanes = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+            return lanes.astype(np.int64).tolist()
+
+        return sh.map(one)
+
+    return sig_udf(shingles)
+
+
+def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_idx, band_hash) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Returns distinct (a, b) with a < b. Single projection computes shingles→
+    signature→bands; ``explode`` + self-equi-join on (band, bucket) finds
+    collisions. At 100 TB the join keys are ~uniform 64-bit hashes, so the
+    shuffle is balanced by construction; mega-buckets (boilerplate pages)
+    are the one skew risk — AQE skew-join splits them.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes, seed)
+    banded = (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"))
+        .select("id", "bb.band", "bb.bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def shingle_jaccard(df: DataFrame, left_text: str, right_text: str, n: int = 3) -> Column:
+    """Exact Jaccard over word-shingle sets — the verification predicate."""
+    ls, rs = word_shingles(F.col(left_text), n), word_shingles(F.col(right_text), n)
+    inter = F.size(F.array_intersect(ls, rs))
+    union = F.size(F.array_union(ls, rs))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates filtered by true Jaccard.
+
+    Output: (a, b, jaccard) with a < b and jaccard ≥ threshold. Because every
+    candidate is re-verified exactly, the result has no false positives; LSH
+    only bounds recall (tunable via bands/rows).
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, shingle_n, num_hashes, num_bands, seed
+    )
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    joined = (
+        cands.join(docs.withColumnRenamed("t", "ta"), cands.a == docs.id)
+        .drop("id")
+        .join(docs.withColumnRenamed("t", "tb"), cands.b == docs.id)
+        .drop("id")
+    )
+    jac = shingle_jaccard(joined, "ta", "tb", shingle_n).alias("jaccard")
+    return joined.select("a", "b", jac).where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "source",
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard within blocks (the SQL-oracle-able
+    baseline the LSH path approximates). Quadratic per block — use only when
+    a natural blocking key (domain, source, language) bounds block size.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = (inter / union).alias("jaccard")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), jac)
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_SCHEMA)
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash of a token array (vectorized, numpy bit-majority)."""
+    import numpy as np
+
+    def one(toks) -> int:
+        if toks is None or len(toks) == 0:
+            return 0
+        hs = np.array(
+            [int.from_bytes(__import__("hashlib").blake2b(t.encode(), digest_size=8).digest(), "big") for t in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        maj = (bits.sum(axis=0) * 2 > len(hs)).astype(np.uint64)
+        return int((maj << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+
+    return tokens.map(one)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Add a ``simhash`` column (64-bit signed long)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    return df.withColumn("simhash", _simhash64(toks))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit chunks, verify Hamming.
+
+    Pigeonhole: distance ≤ 3 over 64 bits ⇒ at least one of the four 16-bit
+    chunks is identical, so blocking on chunks finds every such pair.
+    """
+    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("id"), "simhash")
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            )
+            for c in range(4)
+        ]
+    )
+    blocked = sh.select("id", "simhash", F.explode(chunks).alias("ch")).select(
+        "id", "simhash", "ch.chunk", "ch.val"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), ham)
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine of two float arrays, JVM-side (zip_with + aggregate)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dups within blocks (labels / LSH buckets).
+
+    The blocked-quadratic baseline; at scale the block key comes from
+    ``similarity.random_hyperplane_bucket`` instead of a label column.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), cos)
+        .where(F.col("cosine") >= threshold)
+    )

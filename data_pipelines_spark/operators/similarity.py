@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_topk`` — exact cosine top-k against a query vector, one scan
+  + one top-k (``orderBy…limit`` → Spark's TakeOrderedAndProject: each
+  partition keeps k rows, the driver merges — no full sort, no full shuffle).
+- ``random_hyperplane_bucket`` / ``lsh_topk`` — the scale path: sign-LSH
+  buckets computed JVM-side from seed-deterministic hyperplanes; the query
+  probes its own bucket plus all buckets within ``multiprobe`` bit flips,
+  turning a full-corpus scan into a bucket-pruned one. Recall is tunable
+  (more planes → smaller buckets; more probes → higher recall).
+- ``ivf_topk`` — inverted-file variant: coarse centroids from a deterministic
+  sample, each vector assigned to its nearest centroid (one broadcast join),
+  queries probe the ``nprobe`` nearest centroids. The same structure as
+  FAISS-IVF, expressed as two DataFrame joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.dedup import cosine_similarity
+
+
+def _query_lit(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: returns (id, cosine) ordered desc, ties by id."""
+    v = F.col(vec_col).cast("array<double>")
+    cos = cosine_similarity(v, _query_lit(query_vec))
+    return (
+        df.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Seed-deterministic random hyperplanes (unit-free: sign test only)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def random_hyperplane_bucket(
+    vec: Column, planes: np.ndarray
+) -> Column:
+    """Sign-LSH bucket id: bit b = 1 iff vec · plane_b > 0. JVM-side."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def _probe_buckets(query_bucket: int, n_planes: int, multiprobe: int) -> list[int]:
+    """The query's bucket plus every bucket within ``multiprobe`` bit flips."""
+    out = {query_bucket}
+    frontier = {query_bucket}
+    for _ in range(multiprobe):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(n_planes)}
+        out |= frontier
+    return sorted(out)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-LSH bucket pruning.
+
+    The bucket predicate is a plain ``isin`` filter on a derived column, so
+    Catalyst keeps it JVM-side and the scan skips (1 - probed/2^planes) of
+    the corpus on average.
+    """
+    q = np.asarray(query_vec, dtype=float)
+    planes = _hyperplanes(len(q), n_planes, seed)
+    qb = int(sum((1 << b) for b, p in enumerate(planes) if float(np.dot(q, p)) > 0))
+    probes = _probe_buckets(qb, n_planes, multiprobe)
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = df.withColumn("_bkt", random_hyperplane_bucket(v, planes))
+    cand = bucketed.where(F.col("_bkt").isin(probes))
+    cos = cosine_similarity(v, _query_lit(q))
+    return (
+        cand.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 37,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Pick deterministic coarse centroids and assign every vector to its
+    nearest one (broadcast argmin — no shuffle of the corpus).
+
+    Centroids are the first ``n_centroids`` vectors by a hash-ordered sample
+    (deterministic, no RNG on data) — a pragmatic stand-in for k-means that
+    keeps the whole structure reproducible. Returns (assigned_df, centroids).
+    """
+    sample = (
+        df.select(F.col(id_col).alias("cid_src"), F.col(vec_col).cast("array<double>").alias("cv"))
+        .orderBy(F.pmod(F.xxhash64(F.col("cid_src")), F.lit(sample_mod)), F.col("cid_src"))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r.cv]) for i, r in enumerate(sample)]
+    v = F.col(vec_col).cast("array<double>")
+    # argmax over centroids via array_max of (cosine, -centroid_id) structs
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_similarity(v, _query_lit(cv)).alias("cos"),
+                F.lit(-ci).alias("neg_id"),
+            )
+            for ci, cv in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    assigned = df.withColumn("_centroid", (-best["neg_id"]).cast("int"))
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` centroids nearest the query, exact-rank inside."""
+    q = np.asarray(query_vec, dtype=float)
+
+    def cos_np(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(np.dot(a, b) / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    order = sorted(centroids, key=lambda c: (-cos_np(q, np.asarray(c[1])), c[0]))
+    probe_ids = [c[0] for c in order[:nprobe]]
+    v = F.col(vec_col).cast("array<double>")
+    cos = cosine_similarity(v, _query_lit(q))
+    return (
+        assigned.where(F.col("_centroid").isin(probe_ids))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -85,17 +85,14 @@ class CdcPipeline:
         """foreachBatch body: decode → pre-partition by key → merge → lineage."""
         if self.cfg.decode:
             batch = self.decode(batch)
-        # offset span before the merge consumes the frame (one cheap agg)
-        span = batch.agg(
-            F.min("offset").alias("lo"), F.max("offset").alias("hi")
-        ).collect()[0]
         width = self.cfg.merge_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions")
         )
         batch = batch.repartition(width, F.col(self.cfg.key))
         stats = self.table.merge(batch, batch_id=batch_id)
         if not stats.skipped_duplicate_batch:
-            self._write_lineage(stats, span["lo"], span["hi"])
+            # the merge's pre-aggregation already recorded the offset span
+            self._write_lineage(stats, stats.seq_min, stats.seq_max)
         return stats
 
     def _write_lineage(self, s: MergeStats, lo, hi) -> None:
