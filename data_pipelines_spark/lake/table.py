@@ -1,6 +1,6 @@
-"""Snapshot-based Parquet lake table with copy-on-write MERGE.
+"""Snapshot-based Parquet lake table with merge-on-read MERGE + compaction.
 
-The engine's stand-in for an Iceberg table (no Iceberg jar in this
+The engine's stand-in for an Iceberg v2 table (no Iceberg jar in this
 environment): Parquet data files hash-bucketed by key, JSON snapshot metadata,
 atomic commit by pointer swap, time travel by snapshot version, additive
 schema evolution with per-file schema ids, and an idempotent keyed MERGE with
@@ -11,24 +11,29 @@ staging write (``boxing/load/to_staging_mirror_db.py:125-186``).
 
 Scale design (targets a 1000-executor cluster over ~100 TB):
 
-- **Partition pruning**: MERGE rewrites only the hash buckets present in the
-  incoming batch (copy-on-write at bucket granularity). ``n_buckets`` is the
-  scale knob — 16 locally, thousands in production — so a batch touching k
-  buckets reads/writes k/n of the table, never all of it.
-- **One shuffle**: the merge is a single full-outer join on the key; both
-  sides are hash-partitioned by the same key, AQE handles skew/coalesce.
-  No driver-side row loops; the only ``collect()`` is over per-bucket stats
-  (bounded by ``n_buckets``).
+- **Merge-on-read writes, copy-on-write compaction.** A MERGE appends the
+  deduped batch as *delta* files to the affected buckets — O(batch) work,
+  no read of existing data, no join. Readers resolve base + deltas with one
+  LWW reduction. When a bucket accumulates ``compact_threshold`` delta
+  files, it is compacted (base+deltas → new base) in a follow-up commit.
+  Ingest cost is therefore independent of table size; read amplification is
+  bounded by the compaction threshold. (``strategy="cow"`` forces the
+  classic join-rewrite merge for comparison.)
+- **Partition pruning**: both deltas and compaction touch only the hash
+  buckets present in the batch. ``n_buckets`` is the scale knob — 16
+  locally, thousands in production.
+- **Bounded driver state**: the only ``collect()``s are per-bucket
+  aggregates (bounded by ``n_buckets``); no row-level driver loops.
 - **LWW across batches**: rows carry their event sequence (e.g.
   ``(warc_ts, offset)``); a stale update arriving after a newer row loses.
-  Deletes are kept as sequence-carrying tombstones (merge-on-read filter at
-  query time) so an out-of-order update can never resurrect a deleted key;
-  ``vacuum_tombstones`` garbage-collects them past the watermark.
+  Deletes are kept as sequence-carrying tombstones so an out-of-order
+  update can never resurrect a deleted key; ``vacuum_tombstones``
+  garbage-collects them past the watermark.
 - **Exactly-once**: every commit records its ``batch_id`` in the snapshot's
-  commit ledger; re-delivery of a batch (foreachBatch retry, stream replay)
-  is detected and skipped, making MERGE idempotent. Data files are written
-  before the metadata pointer moves (write-audit-publish), so a crash
-  mid-commit leaves the table on the previous consistent snapshot.
+  ledger; re-delivery of a batch (foreachBatch retry, stream replay) is
+  detected and skipped. Data files are written before the metadata pointer
+  moves (write-audit-publish), so a crash mid-commit leaves the table on
+  the previous consistent snapshot.
 
 Single-writer assumption (same as the reference's single-process pipeline):
 one streaming query owns the table; the pointer swap still detects and
@@ -63,7 +68,7 @@ class SchemaEvolutionError(ValueError):
 
 @dataclass
 class MergeStats:
-    batch_id: int
+    batch_id: int | str
     rows_in: int = 0
     rows_upserted: int = 0
     rows_deleted: int = 0
@@ -74,6 +79,7 @@ class MergeStats:
     committed_version: int | None = None
     skipped_duplicate_batch: bool = False
     schema_evolved: bool = False
+    compacted_buckets: int = 0
     per_bucket: dict[int, dict[str, int]] = field(default_factory=dict)
     seq_min: object = None  # min/max of the last seq column in the batch
     seq_max: object = None
@@ -107,8 +113,8 @@ class LakeTable:
           metadata/CURRENT                              # atomic pointer
 
     Snapshot JSON: schema registry (``schemas``: schema_id → StructType json),
-    per-bucket file lists (each file tagged with its writer schema_id), the
-    commit ledger (batch_id → version), and table stats.
+    per-bucket file lists (each file tagged with its writer schema_id and
+    kind base|delta), the commit ledger (batch_id → version), table stats.
     """
 
     def __init__(
@@ -118,12 +124,14 @@ class LakeTable:
         key: str = "url",
         seq_cols: tuple[str, ...] = ("warc_ts", "offset"),
         n_buckets: int = 16,
+        compact_threshold: int = 8,
     ):
         self.spark = spark
         self.root = root
         self.key = key
         self.seq_cols = tuple(seq_cols)
         self.n_buckets = n_buckets
+        self.compact_threshold = compact_threshold
         self._meta_dir = os.path.join(root, "metadata")
         self._data_dir = os.path.join(root, "data")
 
@@ -137,9 +145,13 @@ class LakeTable:
         key: str = "url",
         seq_cols: tuple[str, ...] = ("warc_ts", "offset"),
         n_buckets: int = 16,
+        compact_threshold: int = 8,
         overwrite: bool = False,
     ) -> "LakeTable":
-        t = cls(spark, root, key=key, seq_cols=seq_cols, n_buckets=n_buckets)
+        t = cls(
+            spark, root, key=key, seq_cols=seq_cols, n_buckets=n_buckets,
+            compact_threshold=compact_threshold,
+        )
         if os.path.exists(t._meta_dir):
             if not overwrite:
                 return cls.load(spark, root)
@@ -156,6 +168,7 @@ class LakeTable:
             "schemas": {},
             "files": {},
             "ledger": {},
+            "bucket_stats": {},
             "stats": {"total_rows": 0, "live_rows": 0, "tombstones": 0},
         }
         t._write_snapshot(snap)
@@ -214,7 +227,10 @@ class LakeTable:
     # ---------------------------------------------------------------- schema
 
     def schema(self, version: int | None = None) -> T.StructType | None:
-        snap = self._snapshot(version)
+        return self.schema_from_snap(self._snapshot(version))
+
+    @staticmethod
+    def schema_from_snap(snap: dict) -> T.StructType | None:
         sid = snap["current_schema_id"]
         if sid is None:
             return None
@@ -224,11 +240,11 @@ class LakeTable:
         """Merge the batch schema into the table schema (additive + widening).
 
         New columns append as nullable; ``_WIDENINGS`` promote in place;
-        anything else (drop is fine — absent columns simply stay) that
-        conflicts raises ``SchemaEvolutionError``. Mirrors the reference's
-        migration gate (``boxing/database/fetch_and_update_schema.py:89-94``,
-        ``schema_validator.py:25-72``): additive migrations pass, incompatible
-        ones are refused before any data moves.
+        anything else that conflicts raises ``SchemaEvolutionError``. Mirrors
+        the reference's migration gate
+        (``boxing/database/fetch_and_update_schema.py:89-94``,
+        ``validators/schema_validator.py:25-72``): additive migrations pass,
+        incompatible ones are refused before any data moves.
         """
         current = self.schema_from_snap(snap)
         if current is None:
@@ -256,13 +272,6 @@ class LakeTable:
                 )
         return T.StructType(new_fields), changed
 
-    @staticmethod
-    def schema_from_snap(snap: dict) -> T.StructType | None:
-        sid = snap["current_schema_id"]
-        if sid is None:
-            return None
-        return T.StructType.fromJson(snap["schemas"][str(sid)])
-
     def _align(self, df: DataFrame, target: T.StructType) -> DataFrame:
         """Project ``df`` onto ``target`` schema: cast matches, NULL-fill gaps."""
         cols = []
@@ -274,6 +283,16 @@ class LakeTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
+    def _phys_schema(self, logical: T.StructType, kind: str) -> T.StructType:
+        """On-disk schema per file kind: base rows carry ``_deleted``, delta
+        rows carry the CDC ``op`` they arrived with."""
+        extra = (
+            T.StructField(DELETED_COL, T.BooleanType(), False)
+            if kind == "base"
+            else T.StructField("op", T.StringType(), True)
+        )
+        return T.StructType(list(logical.fields) + [extra])
+
     # ------------------------------------------------------------------ reads
 
     def read(
@@ -284,53 +303,83 @@ class LakeTable:
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame.
 
-        Files are grouped by writer schema id, each group read with its exact
-        schema, aligned to the snapshot schema with casts/NULL-fill, unioned.
+        Files are grouped by (writer schema id, kind); each group is read
+        with its exact schema, aligned to the snapshot schema, unioned, and —
+        only when deltas are present — LWW-resolved to one winner per key.
         Tombstones (deleted keys retained for LWW) are filtered unless asked.
         """
         snap = self._snapshot(version)
         target = self.schema_from_snap(snap)
         if target is None:
             raise ValueError("table has no schema yet (no data committed)")
-        phys = self._physical_schema(target)
-        by_sid: dict[int, list[str]] = {}
+        groups: dict[tuple[int, str], list[str]] = {}
         for b, files in snap["files"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
             for fe in files:
-                by_sid.setdefault(fe["schema_id"], []).append(
+                kind = fe.get("kind", "base")
+                groups.setdefault((fe["schema_id"], kind), []).append(
                     os.path.join(self.root, fe["path"])
                 )
-        if not by_sid:
-            df = self.spark.createDataFrame([], phys)
+        out_schema = self._phys_schema(target, "base")
+        has_delta = any(kind == "delta" for (_, kind) in groups)
+        if not groups:
+            df = self.spark.createDataFrame([], out_schema)
         else:
             parts = []
-            for sid, paths in sorted(by_sid.items()):
-                file_schema = self._physical_schema(
-                    T.StructType.fromJson(snap["schemas"][str(sid)])
+            for (sid, kind), paths in sorted(groups.items()):
+                file_schema = self._phys_schema(
+                    T.StructType.fromJson(snap["schemas"][str(sid)]), kind
                 )
                 part = self.spark.read.schema(file_schema).parquet(*paths)
-                parts.append(self._align(part, phys))
+                have = {f.name for f in part.schema.fields}
+                cols = [
+                    (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in target.fields
+                ]
+                cols.append(
+                    F.col(DELETED_COL)
+                    if kind == "base"
+                    else (F.col("op") == F.lit("D")).alias(DELETED_COL)
+                )
+                parts.append(part.select(*cols))
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
+        if has_delta:
+            from data_pipelines_spark.operators.lww import lww_latest
+
+            df = lww_latest(df, self.key, self.seq_cols)
         if not include_tombstones:
             df = df.where(~F.col(DELETED_COL)).drop(DELETED_COL)
         return df
 
-    def _physical_schema(self, logical: T.StructType) -> T.StructType:
-        return T.StructType(list(logical.fields) + [T.StructField(DELETED_COL, T.BooleanType(), False)])
-
     # ------------------------------------------------------------------ merge
 
-    def merge(self, batch_df: DataFrame, batch_id: int) -> MergeStats:
+    def merge(
+        self,
+        batch_df: DataFrame,
+        batch_id: int | str,
+        strategy: str = "delta",
+        transform_after_dedup=None,
+    ) -> MergeStats:
         """Apply one CDC batch: keyed upsert + delete with LWW resolution.
 
         ``batch_df`` columns: ``op`` ('I'/'U'/'D') + key + seq cols + payload.
-        The batch is deduped to one winner per key (max sequence) first, so
-        intra-batch ordering is handled here; cross-batch ordering is handled
-        by comparing sequences against stored rows. Re-delivered ``batch_id``s
-        are skipped via the snapshot ledger (exactly-once).
+        The batch is deduped to one winner per key (max sequence) first;
+        cross-batch ordering is resolved at read/compaction time by comparing
+        stored sequences. Re-delivered ``batch_id``s are skipped via the
+        snapshot ledger (exactly-once).
+
+        ``strategy='delta'`` (default) appends delta files — O(batch) work —
+        and compacts buckets past ``compact_threshold``. ``strategy='cow'``
+        does the classic read-join-rewrite of every affected bucket.
+
+        ``transform_after_dedup`` (df → df) runs expensive derivations (e.g.
+        html→text decode UDFs) on the deduped winners only — losers and
+        duplicate deliveries never reach the UDF, and the dedup shuffle moves
+        the raw payload, not payload+derived columns. It may add columns
+        (schema evolution applies) but must not alter key/seq/op.
         """
         stats = MergeStats(batch_id=batch_id)
         base_version = self.current_version()
@@ -340,12 +389,6 @@ class LakeTable:
             stats.skipped_duplicate_batch = True
             stats.committed_version = snap["ledger"][str(batch_id)]
             return stats
-
-        payload_schema = T.StructType(
-            [f for f in batch_df.schema.fields if f.name != "op"]
-        )
-        table_schema, evolved = self._evolve_schema(snap, payload_schema)
-        stats.schema_evolved = evolved and snap["current_schema_id"] is not None
 
         seq = F.struct(*[F.col(c) for c in self.seq_cols])
         # one winner per key within the batch: max_by aggregates partially
@@ -357,90 +400,180 @@ class LakeTable:
             .agg(F.max_by(F.struct(*[c for c in batch_cols if c != self.key]), seq).alias("_w"))
             .select(self.key, "_w.*")
         )
-        deduped = deduped.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
-        deduped = deduped.persist()
+        if transform_after_dedup is not None:
+            deduped = transform_after_dedup(deduped)
+        payload_schema = T.StructType(
+            [f for f in deduped.schema.fields if f.name != "op"]
+        )
+        table_schema, evolved = self._evolve_schema(snap, payload_schema)
+        stats.schema_evolved = evolved and snap["current_schema_id"] is not None
+        deduped = deduped.withColumn(
+            _BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets)
+        ).persist()
         try:
-            return self._merge_deduped(deduped, stats, base_version, snap, table_schema)
+            # ONE pre-merge job: affected buckets + row/delete counts + span
+            # (collect bounded by n_buckets — driver-safe at any data scale)
+            tie = self.seq_cols[-1]
+            pre = (
+                deduped.groupBy(_BUCKET_COL)
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum((F.col("op") == "D").cast("long")).alias("deletes"),
+                    F.min(tie).alias("lo"),
+                    F.max(tie).alias("hi"),
+                )
+                .collect()
+            )
+            affected = [r[_BUCKET_COL] for r in pre]
+            stats.buckets_touched = len(affected)
+            stats.rows_in = sum(r["rows"] for r in pre)
+            n_deletes = sum(int(r["deletes"] or 0) for r in pre)
+            stats.rows_upserted = stats.rows_in - n_deletes
+            stats.rows_deleted = n_deletes
+            if pre:
+                stats.seq_min = min(r["lo"] for r in pre)
+                stats.seq_max = max(r["hi"] for r in pre)
+            for r in pre:  # delta accounting: rows appended per bucket
+                stats.per_bucket[int(r[_BUCKET_COL])] = {
+                    "rows": r["rows"],
+                    "tombstones": int(r["deletes"] or 0),
+                }
+            if not affected:
+                return self._commit(snap, base_version, {}, stats, table_schema, append=False)
+            if strategy == "delta":
+                return self._merge_delta(deduped, stats, base_version, snap, table_schema, affected)
+            return self._merge_cow(deduped, stats, base_version, snap, table_schema, affected)
         finally:
             deduped.unpersist()
 
-    def _merge_deduped(
-        self,
-        deduped: DataFrame,
-        stats: MergeStats,
-        base_version: int,
-        snap: dict,
-        table_schema: T.StructType,
-    ) -> MergeStats:
-        # ONE pre-merge job: affected buckets + row/delete counts + seq span
-        # (collect is bounded by n_buckets — driver-safe at any data scale)
-        tie = self.seq_cols[-1]
-        pre = (
-            deduped.groupBy(_BUCKET_COL)
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum((F.col("op") == "D").cast("long")).alias("deletes"),
-                F.min(tie).alias("lo"),
-                F.max(tie).alias("hi"),
-            )
-            .collect()
-        )
-        affected = [r[_BUCKET_COL] for r in pre]
-        stats.buckets_touched = len(affected)
-        stats.rows_in = sum(r["rows"] for r in pre)
-        n_deletes = sum(int(r["deletes"] or 0) for r in pre)
-        stats.rows_upserted = stats.rows_in - n_deletes
-        if pre:
-            stats.seq_min = min(r["lo"] for r in pre)
-            stats.seq_max = max(r["hi"] for r in pre)
-        if not affected:
-            return self._commit(snap, base_version, {}, stats, table_schema)
+    # -------------------------------------------------------- delta strategy
 
-        phys = self._physical_schema(table_schema)
+    def _merge_delta(self, deduped, stats, base_version, snap, table_schema, affected):
+        to_write = self._align(
+            deduped, T.StructType(
+                list(self._phys_schema(table_schema, "delta").fields)
+                + [T.StructField(_BUCKET_COL, T.IntegerType(), False)]
+            ),
+        )
+        commit_dir = self._new_commit_dir(base_version)
+        self._write_partitioned(to_write, commit_dir, len(affected))
+        new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="delta")
+        out = self._commit(snap, base_version, new_files, stats, table_schema, append=True)
+
+        # compaction policy: any bucket with too many delta files gets
+        # rewritten (base+deltas -> new base) in a follow-up commit.
+        new_snap = self._snapshot(out.committed_version)
+        over = [
+            int(b)
+            for b, files in new_snap["files"].items()
+            if sum(1 for fe in files if fe.get("kind", "base") == "delta")
+            >= self.compact_threshold
+        ]
+        if over:
+            c = self.compact(buckets=over, batch_id=f"{stats.batch_id}:compact")
+            stats.compacted_buckets = len(over)
+            stats.committed_version = c.committed_version
+        return stats
+
+    # ---------------------------------------------------------- cow strategy
+
+    def _merge_cow(self, deduped, stats, base_version, snap, table_schema, affected):
+        phys = self._phys_schema(table_schema, "base")
         have_data = snap["current_schema_id"] is not None and any(
             str(b) in snap["files"] and snap["files"][str(b)] for b in affected
         )
         if have_data:
             current = self.read(version=base_version, buckets=affected, include_tombstones=True)
-            current = self._align(current, phys)
+            current = self._align_keep(current, phys)
         else:
             current = self.spark.createDataFrame([], phys)
 
-        new_side = self._align(deduped.drop(_BUCKET_COL), self._op_schema(table_schema))
-
+        new_side = self._align(
+            deduped.drop(_BUCKET_COL),
+            T.StructType(list(table_schema.fields) + [T.StructField("op", T.StringType(), True)]),
+        )
         c, n = current.alias("c"), new_side.alias("n")
         joined = c.join(n, on=F.col(f"c.{self.key}") == F.col(f"n.{self.key}"), how="full_outer")
-
         c_seq = F.struct(*[F.col(f"c.{s}") for s in self.seq_cols])
         n_seq = F.struct(*[F.col(f"n.{s}") for s in self.seq_cols])
-        new_wins = F.col(f"c.{self.key}").isNull() | (n_seq >= c_seq)
-        take_new = F.col(f"n.{self.key}").isNotNull() & new_wins
-
-        out_cols = []
-        for f_ in table_schema.fields:
-            out_cols.append(
-                F.when(take_new, F.col(f"n.{f_.name}")).otherwise(F.col(f"c.{f_.name}")).alias(f_.name)
-            )
+        take_new = F.col(f"n.{self.key}").isNotNull() & (
+            F.col(f"c.{self.key}").isNull() | (n_seq >= c_seq)
+        )
+        out_cols = [
+            F.when(take_new, F.col(f"n.{f_.name}")).otherwise(F.col(f"c.{f_.name}")).alias(f_.name)
+            for f_ in table_schema.fields
+        ]
         out_cols.append(
             F.when(take_new, F.col("n.op") == F.lit("D"))
             .otherwise(F.coalesce(F.col(f"c.{DELETED_COL}"), F.lit(False)))
             .alias(DELETED_COL)
         )
-        result = joined.select(*out_cols)
-        result = result.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
+        result = joined.select(*out_cols).withColumn(
+            _BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets)
+        )
+        commit_dir = self._new_commit_dir(base_version)
+        self._write_partitioned(result, commit_dir, len(affected))
+        new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="base")
+        self._acct_written(commit_dir, stats, kind="base")
+        return self._commit(snap, base_version, new_files, stats, table_schema, append=False)
 
-        # write-audit-publish: data files land under a commit-scoped dir first
-        commit_dir_rel = os.path.join("data", f"v{base_version + 1}-{uuid.uuid4().hex[:8]}")
-        commit_dir = os.path.join(self.root, commit_dir_rel)
+    def _align_keep(self, df: DataFrame, phys: T.StructType) -> DataFrame:
+        """Align a read() output (already has _deleted) to a physical schema."""
+        return self._align(df, phys)
+
+    # ------------------------------------------------------------ compaction
+
+    def compact(self, buckets: list[int] | None = None, batch_id: int | str = "compact") -> MergeStats:
+        """Rewrite base+delta files of ``buckets`` into fresh base files.
+
+        Resolution is the same LWW the readers apply, so compaction never
+        changes query results — it trades read amplification for one
+        bucket-pruned rewrite. Tombstones are preserved (see
+        ``vacuum_tombstones`` for reclaiming them past the watermark).
+        """
+        stats = MergeStats(batch_id=batch_id)
+        base_version = self.current_version()
+        snap = self._snapshot(base_version)
+        if str(batch_id) in snap["ledger"]:
+            stats.skipped_duplicate_batch = True
+            stats.committed_version = snap["ledger"][str(batch_id)]
+            return stats
+        table_schema = self.schema_from_snap(snap)
+        if table_schema is None:
+            return stats
+        if buckets is None:
+            buckets = [int(b) for b in snap["files"]]
+        stats.buckets_touched = len(buckets)
+        resolved = self.read(version=base_version, buckets=buckets, include_tombstones=True)
+        resolved = resolved.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
+        commit_dir = self._new_commit_dir(base_version)
+        self._write_partitioned(resolved, commit_dir, len(buckets))
+        new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="base")
+        for b in buckets:
+            new_files.setdefault(str(b), [])
+        self._acct_written(commit_dir, stats, kind="base")
+        for b in buckets:
+            stats.per_bucket.setdefault(b, {"rows": 0, "tombstones": 0})
+        return self._commit(snap, base_version, new_files, stats, table_schema, append=False)
+
+    # -------------------------------------------------------- write plumbing
+
+    def _new_commit_dir(self, base_version: int) -> str:
+        return os.path.join(
+            self.root, "data", f"v{base_version + 1}-{uuid.uuid4().hex[:8]}"
+        )
+
+    def _write_partitioned(self, df: DataFrame, commit_dir: str, n_buckets_hint: int) -> None:
         (
-            result.repartition(max(1, min(len(affected), 64)), F.col(_BUCKET_COL))
+            df.repartition(max(1, min(n_buckets_hint, 64)), F.col(_BUCKET_COL))
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(commit_dir)
         )
 
+    def _list_written(self, commit_dir, snap, table_schema, stats, kind) -> dict[str, list[dict]]:
+        sid = self._next_schema_id(snap, table_schema)
         new_files: dict[str, list[dict]] = {}
-        next_sid = self._next_schema_id(snap, table_schema)
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith(f"{_BUCKET_COL}="):
                 continue
@@ -450,26 +583,30 @@ class LakeTable:
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
                     fp = os.path.join(bdir, fn)
-                    flist.append(
-                        {
-                            "path": os.path.relpath(fp, self.root),
-                            "schema_id": next_sid,
-                            "bytes": os.path.getsize(fp),
-                        }
-                    )
+                    fe = {
+                        "path": os.path.relpath(fp, self.root),
+                        "schema_id": sid,
+                        "kind": kind,
+                        "bytes": os.path.getsize(fp),
+                    }
+                    flist.append(fe)
                     stats.files_written += 1
-                    stats.bytes_written += flist[-1]["bytes"]
+                    stats.bytes_written += fe["bytes"]
             new_files[b] = flist
+        return new_files
 
-        # per-bucket row accounting by re-reading ONLY the files just written
-        # (footer row counts + one boolean column — never re-runs the join)
+    def _acct_written(self, commit_dir: str, stats: MergeStats, kind: str) -> None:
+        """Per-bucket row accounting by reading ONLY the files just written
+        (footer row counts + one small column — never re-runs the merge)."""
+        if not any(e.startswith(f"{_BUCKET_COL}=") for e in os.listdir(commit_dir)):
+            return  # nothing written (e.g. vacuum emptied the table)
+        dead = (
+            F.col(DELETED_COL).cast("long") if kind == "base" else (F.col("op") == "D").cast("long")
+        )
         acct = (
             self.spark.read.parquet(commit_dir)
             .groupBy(_BUCKET_COL)
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum(F.col(DELETED_COL).cast("long")).alias("dead"),
-            )
+            .agg(F.count("*").alias("rows"), F.sum(dead).alias("dead"))
             .collect()
         )
         for r in acct:
@@ -477,11 +614,6 @@ class LakeTable:
                 "rows": r["rows"],
                 "tombstones": int(r["dead"] or 0),
             }
-        stats.rows_deleted = sum(p["tombstones"] for p in stats.per_bucket.values())
-        return self._commit(snap, base_version, new_files, stats, table_schema, next_sid)
-
-    def _op_schema(self, table_schema: T.StructType) -> T.StructType:
-        return T.StructType(list(table_schema.fields) + [T.StructField("op", T.StringType(), True)])
 
     def _next_schema_id(self, snap: dict, table_schema: T.StructType) -> int:
         for sid, sj in snap["schemas"].items():
@@ -493,28 +625,25 @@ class LakeTable:
         self,
         snap: dict,
         base_version: int,
-        new_files: dict[str, list[dict]],
+        file_updates: dict[str, list[dict]],
         stats: MergeStats,
         table_schema: T.StructType,
-        schema_id: int | None = None,
+        append: bool,
     ) -> MergeStats:
         new_snap = json.loads(json.dumps(snap))  # deep copy
         new_snap["version"] = base_version + 1
         new_snap["parent"] = base_version
-        if schema_id is None:
-            schema_id = self._next_schema_id(snap, table_schema)
+        schema_id = self._next_schema_id(snap, table_schema)
         new_snap["schemas"][str(schema_id)] = table_schema.jsonValue()
         new_snap["current_schema_id"] = schema_id
-        for b, files in new_files.items():
-            new_snap["files"][b] = files  # copy-on-write: replace bucket wholesale
-        total = sum(p["rows"] for p in stats.per_bucket.values()) if stats.per_bucket else None
-        if total is not None:
-            untouched = {
-                b: v
-                for b, v in new_snap.get("bucket_stats", {}).items()
-                if b not in {str(k) for k in stats.per_bucket}
-            }
-            bucket_stats = dict(untouched)
+        for b, files in file_updates.items():
+            if append:
+                new_snap["files"].setdefault(b, [])
+                new_snap["files"][b] = new_snap["files"][b] + files
+            else:
+                new_snap["files"][b] = files  # copy-on-write: replace bucket
+        if stats.per_bucket and not append:
+            bucket_stats = dict(new_snap.get("bucket_stats", {}))
             for b, p in stats.per_bucket.items():
                 bucket_stats[str(b)] = p
             new_snap["bucket_stats"] = bucket_stats
@@ -533,8 +662,8 @@ class LakeTable:
 
     # ------------------------------------------------------------- maintenance
 
-    def vacuum_tombstones(self, batch_id: int, older_than: str) -> MergeStats:
-        """Rewrite buckets dropping tombstones with seq ts < ``older_than``.
+    def vacuum_tombstones(self, batch_id: int | str, older_than: str) -> MergeStats:
+        """Full compaction that also drops tombstones with seq ts < bound.
 
         The watermark analog: once no event older than ``older_than`` can
         arrive, its tombstones can't lose an LWW comparison and are dead state.
@@ -549,45 +678,22 @@ class LakeTable:
         if table_schema is None:
             return stats
         ts_col = self.seq_cols[0]
-        df = self.read(version=base_version, include_tombstones=True)
-        kept = df.where(~F.col(DELETED_COL) | (F.col(ts_col) >= F.lit(older_than)))
-        kept = kept.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
-        affected = [int(b) for b in snap["files"].keys()]
-        stats.buckets_touched = len(affected)
-        commit_dir_rel = os.path.join("data", f"v{base_version + 1}-{uuid.uuid4().hex[:8]}")
-        commit_dir = os.path.join(self.root, commit_dir_rel)
-        (
-            kept.repartition(max(1, min(len(affected) or 1, 64)), F.col(_BUCKET_COL))
-            .write.partitionBy(_BUCKET_COL)
-            .mode("overwrite")
-            .parquet(commit_dir)
+        buckets = [int(b) for b in snap["files"]]
+        stats.buckets_touched = len(buckets)
+        kept = (
+            self.read(version=base_version, include_tombstones=True)
+            .where(~F.col(DELETED_COL) | (F.col(ts_col) >= F.lit(older_than)))
+            .withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
         )
-        new_files: dict[str, list[dict]] = {str(b): [] for b in affected}
-        sid = snap["current_schema_id"]
-        for entry in sorted(os.listdir(commit_dir)):
-            if not entry.startswith(f"{_BUCKET_COL}="):
-                continue
-            b = entry.split("=", 1)[1]
-            bdir = os.path.join(commit_dir, entry)
-            new_files[b] = [
-                {
-                    "path": os.path.relpath(os.path.join(bdir, fn), self.root),
-                    "schema_id": sid,
-                    "bytes": os.path.getsize(os.path.join(bdir, fn)),
-                }
-                for fn in sorted(os.listdir(bdir))
-                if fn.endswith(".parquet")
-            ]
-        acct = (
-            kept.groupBy(_BUCKET_COL)
-            .agg(F.count("*").alias("rows"), F.sum(F.col(DELETED_COL).cast("long")).alias("dead"))
-            .collect()
-        )
-        for r in acct:
-            stats.per_bucket[int(r[_BUCKET_COL])] = {"rows": r["rows"], "tombstones": int(r["dead"] or 0)}
-        for b in affected:
+        commit_dir = self._new_commit_dir(base_version)
+        self._write_partitioned(kept, commit_dir, max(len(buckets), 1))
+        new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="base")
+        for b in buckets:
+            new_files.setdefault(str(b), [])
+        self._acct_written(commit_dir, stats, kind="base")
+        for b in buckets:
             stats.per_bucket.setdefault(b, {"rows": 0, "tombstones": 0})
-        return self._commit(snap, base_version, new_files, stats, table_schema, sid)
+        return self._commit(snap, base_version, new_files, stats, table_schema, append=False)
 
     def ledger(self) -> dict[str, int]:
         return dict(self._snapshot()["ledger"])

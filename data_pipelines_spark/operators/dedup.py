@@ -188,31 +188,52 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     num_bands: int = 16,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
-    Returns distinct (a, b) with a < b. Single projection computes shingles→
-    signature→bands; ``explode`` + self-equi-join on (band, bucket) finds
-    collisions. At 100 TB the join keys are ~uniform 64-bit hashes, so the
-    shuffle is balanced by construction; mega-buckets (boilerplate pages)
-    are the one skew risk — AQE skew-join splits them.
+    Returns distinct (a, b) with a < b. One pass computes shingles→signature→
+    bands (signature UDF runs exactly once per doc — no self-join recompute);
+    collisions are found by grouping on (band, bucket) and expanding each
+    group's id list to pairs with JVM higher-order functions. Group sizes are
+    bounded by ``max_bucket``: a bucket larger than that is a boilerplate
+    cluster — its members are all near-identical, so only the id-sorted
+    adjacent chain is emitted instead of the quadratic pair set (keeps the
+    worst-case output linear; the transitive dedup group is preserved).
     """
+    from data_pipelines_spark.operators.partitioning import ensure_parallelism
+
     rows_per_band = num_hashes // num_bands
+    src = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
     sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes, seed)
     banded = (
-        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        src.select("id", sig.alias("sig"))
         .select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"))
         .select("id", "bb.band", "bb.bucket")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    groups = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+    )
+    chain_pairs = F.transform(
+        F.slice(ids, 1, F.size(ids) - 1),
+        lambda x, i: F.struct(x.alias("a"), F.element_at(ids, i + 2).alias("b")),
+    )
+    pairs = F.when(F.size(ids) <= max_bucket, all_pairs).otherwise(chain_pairs)
+    return (
+        groups.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -311,8 +332,10 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Add a ``simhash`` column (64-bit signed long)."""
+    from data_pipelines_spark.operators.partitioning import ensure_parallelism
+
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    return df.withColumn("simhash", _simhash64(toks))
+    return ensure_parallelism(df).withColumn("simhash", _simhash64(toks))
 
 
 def simhash_near_dup_pairs(
@@ -339,18 +362,32 @@ def simhash_near_dup_pairs(
     blocked = sh.select("id", "simhash", F.explode(chunks).alias("ch")).select(
         "id", "simhash", "ch.chunk", "ch.val"
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
+    # group-then-expand (no self-join): the UDF computes each simhash once,
+    # and pairs are generated from each block's member list JVM-side.
+    groups = (
+        blocked.groupBy("chunk", "val")
+        .agg(F.array_sort(F.collect_set(F.struct("id", "simhash"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("a"),
+                    y["id"].alias("b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                ),
+            ),
         )
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), ham)
-        .distinct()
+    )
+    return (
+        groups.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -1,0 +1,156 @@
+"""Data-quality validation suite — the Spark-native check-runner.
+
+Reference: ``boxing/database/validators/queries.py:26-72, 244-301`` — a suite
+of SQL checks, each expected to return **zero offending rows**; the deploy
+path gates on the suite passing (``boxing/run_pipeline.py:144-151``,
+``deploy/preview.py:214-224``).
+
+Here a check is ``(name, fn: DataFrame -> DataFrame)`` returning offenders;
+``run_suite`` evaluates every check with one count + bounded sample each and
+returns a report. Checks compose from JVM-side expressions only, so a suite
+over a 100 TB table is a handful of scans Catalyst can fuse/prune.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckResult:
+    name: str
+    passed: bool
+    offending_rows: int
+    sample: list[dict]
+
+
+Check = tuple[str, Callable[[DataFrame], DataFrame]]
+
+
+def run_suite(df: DataFrame, checks: Sequence[Check], sample_size: int = 5) -> list[CheckResult]:
+    """Run every check; a check passes iff it yields zero offenders.
+
+    Mirrors ``run_query``'s contract (expected_count=0, first-5 offenders
+    shown — ``queries.py:26-72``).
+    """
+    results = []
+    for name, fn in checks:
+        offenders = fn(df)
+        rows = offenders.limit(sample_size + 1).collect()
+        n = offenders.count() if len(rows) > sample_size else len(rows)
+        results.append(
+            CheckResult(
+                name=name,
+                passed=n == 0,
+                offending_rows=n,
+                sample=[r.asDict(recursive=True) for r in rows[:sample_size]],
+            )
+        )
+    return results
+
+
+def suite_passed(results: Sequence[CheckResult]) -> bool:
+    return all(r.passed for r in results)
+
+
+# ---------------------------------------------------------------------------
+# check factories (each returns a Check)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_keys(key_cols: Sequence[str]) -> Check:
+    """A4: GROUP BY key HAVING count(*) > 1 (``queries.py:86-107``)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(*key_cols)
+            .agg(F.count("*").alias("n_dups"))
+            .where(F.col("n_dups") > 1)
+        )
+
+    return (f"duplicate_{'_'.join(key_cols)}", fn)
+
+
+def not_null(col: str) -> Check:
+    """NULL-required-field check (``queries.py:123-140`` family)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.where(F.col(col).isNull())
+
+    return (f"null_{col}", fn)
+
+
+def in_range(col: str, lo, hi) -> Check:
+    """F13: numeric sanity range, e.g. height 120–250 (``queries.py:168-180``)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        c = F.col(col).cast("double")
+        return df.where(c.isNotNull() & ~c.between(lo, hi))
+
+    return (f"range_{col}", fn)
+
+
+def no_future_dates(col: str) -> Check:
+    """F13: timestamps may not exceed now (``queries.py:199-207``)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.where(F.col(col) > F.current_timestamp())
+
+    return (f"future_{col}", fn)
+
+
+def dimension_membership(dim_df: DataFrame, col: str, dim_cols: Sequence[str]) -> Check:
+    """J4: value must appear in any of the dimension's name columns
+    (``queries.py:183-196`` — proDivision vs divisions.name/slug/shortName).
+    The dimension is unioned + broadcast; offenders found by anti-join.
+    """
+    members = dim_df.select(F.col(dim_cols[0]).alias("_m"))
+    for c in dim_cols[1:]:
+        members = members.union(dim_df.select(F.col(c).alias("_m")))
+    members = members.distinct()
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.where(F.col(col).isNotNull()).join(
+            F.broadcast(members), on=df[col] == members["_m"], how="left_anti"
+        )
+
+    return (f"membership_{col}", fn)
+
+
+def array_scalar_consistency(arr_col: str, predicate: Callable[[Column], Column], scalar_col: str) -> Check:
+    """A6: count of array elements matching ``predicate`` must equal the
+    denormalized scalar (``queries.py:143-159`` — bouts W-count vs proWins).
+    Higher-order ``filter`` — no explode, no shuffle.
+    """
+
+    def fn(df: DataFrame) -> DataFrame:
+        actual = F.size(F.filter(F.col(arr_col), predicate))
+        return df.where(
+            F.col(scalar_col).isNotNull() & (actual != F.col(scalar_col))
+        ).withColumn("actual_count", actual)
+
+    return (f"consistency_{arr_col}_{scalar_col}", fn)
+
+
+def derived_total(total_col: str, part_cols: Sequence[str]) -> Check:
+    """A7: total must equal the sum of its parts when all parts present
+    (``to_staging_mirror_db.py:170`` — proTotalBouts = wins+losses+draws)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        s = sum((F.col(c) for c in part_cols[1:]), F.col(part_cols[0]))
+        all_present = F.lit(True)
+        for c in part_cols:
+            all_present = all_present & F.col(c).isNotNull()
+        return df.where(all_present & (F.col(total_col) != s))
+
+    return (f"derived_{total_col}", fn)
+
+
+def row_count_reconciliation(source: DataFrame, target: DataFrame) -> bool:
+    """K6: publish verification — source vs target row counts
+    (``deploy/preview.py:172-207``)."""
+    return source.count() == target.count()

@@ -82,43 +82,52 @@ class CdcPipeline:
     # ----------------------------------------------------------------- merge
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> MergeStats:
-        """foreachBatch body: decode → pre-partition by key → merge → lineage."""
-        if self.cfg.decode:
-            batch = self.decode(batch)
-        width = self.cfg.merge_partitions or int(
-            self.spark.conf.get("spark.sql.shuffle.partitions")
+        """foreachBatch body: LWW dedup → decode winners → merge → lineage.
+
+        Decode runs *after* the dedup (``transform_after_dedup``): the UDF
+        never sees duplicate deliveries or superseded versions, and the dedup
+        shuffle carries raw payload only. No extra repartition: the dedup's
+        own groupBy(key) shuffle already co-locates rows for the merge.
+        """
+        stats = self.table.merge(
+            batch,
+            batch_id=batch_id,
+            transform_after_dedup=self.decode if self.cfg.decode else None,
         )
-        batch = batch.repartition(width, F.col(self.cfg.key))
-        stats = self.table.merge(batch, batch_id=batch_id)
         if not stats.skipped_duplicate_batch:
             # the merge's pre-aggregation already recorded the offset span
             self._write_lineage(stats, stats.seq_min, stats.seq_max)
         return stats
 
     def _write_lineage(self, s: MergeStats, lo, hi) -> None:
-        rows = [
-            (
-                s.batch_id,
-                b,
-                p["rows"],
-                p["tombstones"],
-                lo,
-                hi,
-                s.rows_in,
-                s.rows_upserted,
-                s.rows_deleted,
-                s.bytes_written,
-                s.committed_version,
-                s.files_written,
-            )
-            for b, p in (s.per_bucket.items() or {-1: {"rows": 0, "tombstones": 0}}.items())
-        ] or [(s.batch_id, -1, 0, 0, lo, hi, 0, 0, 0, 0, s.committed_version, 0)]
-        (
-            self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(self._lineage_dir)
+        """Append one parquet file of per-bucket lineage rows.
+
+        Written driver-side with pyarrow — metrics must not cost a Spark job
+        per microbatch. The rows are tiny (bounded by n_buckets).
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        buckets = list(s.per_bucket.items()) or [(-1, {"rows": 0, "tombstones": 0})]
+        n = len(buckets)
+        tbl = pa.table(
+            {
+                "batch_id": pa.array([int(s.batch_id)] * n, pa.int64()),
+                "bucket": pa.array([b for b, _ in buckets], pa.int32()),
+                "rows": pa.array([p["rows"] for _, p in buckets], pa.int64()),
+                "tombstones": pa.array([p["tombstones"] for _, p in buckets], pa.int64()),
+                "offset_min": pa.array([lo] * n, pa.int64()),
+                "offset_max": pa.array([hi] * n, pa.int64()),
+                "rows_in": pa.array([s.rows_in] * n, pa.int64()),
+                "rows_upserted": pa.array([s.rows_upserted] * n, pa.int64()),
+                "rows_deleted": pa.array([s.rows_deleted] * n, pa.int64()),
+                "bytes_written": pa.array([s.bytes_written] * n, pa.int64()),
+                "commit_version": pa.array([s.committed_version] * n, pa.int64()),
+                "files_written": pa.array([s.files_written] * n, pa.int32()),
+            }
         )
+        os.makedirs(self._lineage_dir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(self._lineage_dir, f"batch-{s.batch_id}.parquet"))
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(self._lineage_dir)

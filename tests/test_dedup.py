@@ -1,0 +1,107 @@
+"""Dedup family: exactness of verified LSH pairs vs brute force, SimHash
+blocking completeness, exact-dedup determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    shingle_jaccard,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventy archived pages "
+    "describe boxing records weather markets and news in great detail every day"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, BASE + f" unique tail {i}", "blk"))
+    # exact duplicates of doc 0 (whitespace-normalized)
+    rows.append((100, BASE + " unique tail 0", "blk"))
+    rows.append((101, "  " + BASE + "  unique   tail 0 ", "blk"))
+    # near duplicate of doc 1 (one word changed)
+    rows.append((102, (BASE + " unique tail 1").replace("quick", "rapid"), "blk"))
+    # unrelated
+    rows.append((103, "completely different tiny text", "blk"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_collapses_normalized_duplicates(spark, docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and sorted(groups[0].ids) == [0, 100, 101]
+    kept = {r.doc_id for r in exact_dedup(docs).select("doc_id").collect()}
+    assert 0 in kept and 100 not in kept and 101 not in kept
+    assert len(kept) == docs.count() - 2
+
+
+def test_minhash_verified_pairs_match_bruteforce(spark, docs):
+    """Every verified LSH pair must equal brute-force all-pairs at the same
+    threshold (LSH bounds recall, verification removes false positives; at
+    0.9 with 16 bands × 4 rows the miss probability is ~1e-7)."""
+    brute = {
+        (r.a, r.b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9, shingle_n=3, block_col=None).collect()
+    }
+    lsh = {
+        (r.a, r.b): round(r.jaccard, 6)
+        for r in minhash_lsh_dedup_pairs(docs, threshold=0.9, shingle_n=3).collect()
+    }
+    assert lsh == brute
+    assert (0, 100) in lsh and (0, 101) in lsh and (100, 101) in lsh
+
+
+def test_minhash_no_false_positives_below_threshold(spark, docs):
+    pairs = minhash_lsh_dedup_pairs(docs, threshold=0.99).collect()
+    for p in pairs:
+        assert p.jaccard >= 0.99
+
+
+def test_simhash_finds_exact_and_near_dups(spark, docs):
+    pairs = {(r.a, r.b) for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert (0, 100) in pairs and (0, 101) in pairs  # identical → hamming 0
+
+
+def test_simhash_blocking_complete_within_guarantee(spark, docs):
+    """Pigeonhole guarantee: every pair within Hamming ≤ 3 of the 64-bit
+    signature shares ≥1 of the 4 16-bit chunks — chunk blocking must find
+    exactly the brute-force pair set at that radius."""
+    from data_pipelines_spark.operators.dedup import simhash
+
+    sh = simhash(docs).select(F.col("doc_id").alias("id"), "simhash")
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r.a, r.b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    blocked = {(r.a, r.b) for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert blocked == brute
+
+
+def test_shingle_jaccard_bounds(spark):
+    df = spark.createDataFrame(
+        [("a b c d e", "a b c d e"), ("a b c d e", "v w x y z")], "l string, r string"
+    )
+    vals = [r.j for r in df.select(shingle_jaccard(df, "l", "r", 2).alias("j")).collect()]
+    assert vals[0] == 1.0 and vals[1] == 0.0
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "t string")
+    got = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0].s
+    assert got == ["one two"]

@@ -1,0 +1,73 @@
+"""Similarity search: exact top-k correctness, ANN recall floors, and the
+multimodal feature path feeding the same operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.dedup import cosine_similarity
+from data_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return emb.where(F.col("vec_id") == 1).first().embedding
+
+
+def test_bruteforce_matches_numpy(spark, emb, query):
+    got = brute_force_topk(emb, query, k=5).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    q = np.asarray(query, dtype=float)
+
+    def cos(v):
+        v = np.asarray(v, dtype=float)
+        n = np.linalg.norm(v) * np.linalg.norm(q)
+        return float(v @ q / n) if n > 0 else 0.0
+
+    want = sorted(((cos(r.embedding), r.vec_id) for r in rows), key=lambda t: (-t[0], t[1]))[:5]
+    assert [r.vec_id for r in got] == [w[1] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g.cosine - w[0]) < 1e-9
+
+
+def test_lsh_recall_floor(spark, emb, query):
+    exact = {r.vec_id for r in brute_force_topk(emb, query, k=10).collect()}
+    approx = {r.vec_id for r in lsh_topk(emb, query, k=10, n_planes=6, multiprobe=2).collect()}
+    assert len(exact & approx) >= 5  # ≥50% recall at this probe depth
+
+
+def test_lsh_results_are_true_cosines(spark, emb, query):
+    """Approximation may drop candidates but must never report a wrong score."""
+    bf = {r.vec_id: r.cosine for r in brute_force_topk(emb, query, k=500).collect()}
+    for r in lsh_topk(emb, query, k=10, n_planes=6, multiprobe=1).collect():
+        assert abs(bf[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_ivf_recall_floor(spark, emb, query):
+    exact = {r.vec_id for r in brute_force_topk(emb, query, k=10).collect()}
+    assigned, cents = ivf_assign(emb, n_centroids=8)
+    approx = {r.vec_id for r in ivf_topk(assigned, cents, query, k=10, nprobe=4).collect()}
+    assert len(exact & approx) >= 5
+
+
+def test_media_features_feed_similarity(spark):
+    from data_pipelines_spark.extract.multimodal import extract_media_features, synth_media
+
+    feats = extract_media_features(synth_media(spark, n=128)).withColumnRenamed(
+        "feature", "embedding"
+    ).withColumnRenamed("media_id", "vec_id")
+    q = feats.where(F.col("vec_id") == 0).first().embedding
+    top = brute_force_topk(feats, q, k=3).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
