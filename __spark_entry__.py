@@ -24,15 +24,20 @@ from data_pipelines_spark.extract.textqa import (
     STOPWORDS,
     lang_id,
     punct_ratio,
+    quality_score,
     token_count,
 )
 from data_pipelines_spark.functions.normalize import (
+    bout_id,
+    height_to_cm,
     normalize_date,
     normalize_id,
     normalize_result,
+    normalize_url,
     slugify,
 )
 from data_pipelines_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
@@ -40,7 +45,12 @@ from data_pipelines_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from data_pipelines_spark.operators.lww import lww_latest
-from data_pipelines_spark.operators.similarity import brute_force_topk, lsh_topk
+from data_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+)
 from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
 
 
@@ -504,6 +514,142 @@ def doc_fingerprint(spark, sf):
     return d.select("doc_id", fingerprint_hex(F.col("text")).alias("fp"))
 
 
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs, exact within label blocks (≥ 0.3;
+    the synthetic embeddings are near-orthogonal, so the threshold sits at
+    the top ~1% of the intra-label cosine distribution)."""
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.3).select(
+        "a", "b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def sim_topk_ivf(spark, sf):
+    """IVF-probed ANN top-10 (rows-only: approximate by design; recall floor
+    asserted in tests/test_similarity.py)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    assigned, cents = ivf_assign(e, n_centroids=16)
+    return ivf_topk(assigned, cents, q, k=10, nprobe=4).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def f4_bout_id_gen(spark, sf):
+    """F4/W3 unique per-group id: `{key}_bout_{i}` with positional index."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    idx = F.row_number().over(w) - 1
+    return ev.select(
+        "event_id",
+        bout_id(F.col("user_id").cast("string"), idx).alias("bout_id"),
+    )
+
+
+def f10_height_conversion(spark, sf):
+    """F10 unit conversion: ft'in\" → cm, explicit NNNcm preferred."""
+    p = _t(spark, sf, "part")
+    raw = F.when(
+        (F.col("p_partkey") % 2) == 0,
+        F.concat(
+            ((F.col("p_size") % 3) + 4).cast("string"),
+            F.lit("'"),
+            (F.col("p_size") % 12).cast("string"),
+            F.lit('"'),
+        ),
+    ).otherwise(F.concat((F.col("p_size") + 150).cast("string"), F.lit("cm")))
+    return p.select(
+        "p_partkey", raw.alias("raw_height"), height_to_cm(raw).alias("height_cm")
+    )
+
+
+def f13_date_sanity(spark, sf):
+    """F13 sanity predicates: future-dated rows / out-of-range values."""
+    o = _t(spark, sf, "orders")
+    bad_future = F.col("o_orderdate") > F.lit("1998-06-01")
+    bad_range = ~F.col("o_totalprice").between(0, 400000)
+    return o.select(
+        "o_orderkey",
+        bad_future.alias("future_date"),
+        bad_range.alias("out_of_range"),
+    ).where(bad_future | bad_range)
+
+
+def f15_url_normalization(spark, sf):
+    """F15 URL canonicalization: append the query param iff absent."""
+    o = _t(spark, sf, "orders")
+    base = F.concat(
+        F.lit("https://boxrec.com/en/box-pro/"), F.col("o_orderkey").cast("string")
+    )
+    url = F.when((F.col("o_orderkey") % 2) == 0, base).otherwise(
+        F.concat(base, F.lit("?sport=box"))
+    )
+    return o.select(
+        "o_orderkey", url.alias("raw_url"), normalize_url(url).alias("norm_url")
+    )
+
+
+def f8_filename_codec(spark, sf):
+    """F8 url⇄filename codec: encode then parse back id + competition level."""
+    d = _t(spark, sf, "documents")
+    fname = F.concat(
+        F.lit("en_box-pro_"), F.col("doc_id").cast("string"), F.lit(".html")
+    )
+    parsed = F.regexp_extract(fname, r"_(\d+)\.html$", 1).cast("long")
+    level = F.when(fname.contains("_box-pro_"), "professional").otherwise("amateur")
+    return d.select(
+        "doc_id",
+        fname.alias("filename"),
+        parsed.alias("parsed_id"),
+        level.alias("level"),
+    )
+
+
+def a7_derived_totals(spark, sf):
+    """A7 NULL-guarded derived totals: total = wins+losses+draws iff all present."""
+    ev = _t(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("w_raw"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("l_raw"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("d_raw"),
+    )
+    wins = F.when(F.col("w_raw") > 0, F.col("w_raw"))
+    losses = F.when(F.col("l_raw") > 0, F.col("l_raw"))
+    draws = F.when(F.col("d_raw") > 0, F.col("d_raw"))
+    total = F.when(
+        wins.isNotNull() & losses.isNotNull() & draws.isNotNull(),
+        wins + losses + draws,
+    )
+    return agg.select(
+        "user_id",
+        wins.alias("wins"),
+        losses.alias("losses"),
+        draws.alias("draws"),
+        total.alias("total_bouts"),
+    )
+
+
+def p4_substring_flags(spark, sf):
+    """P4 substring-indicator predicates (error/login/rate-limit pages)."""
+    d = _t(spark, sf, "documents")
+    low = F.lower(F.col("text"))
+    flag = (
+        F.when(low.contains("error"), "error_page")
+        .when(low.contains("login"), "login_page")
+        .when(low.contains("rate limit"), "rate_limited")
+        .otherwise("ok")
+    )
+    return d.select("doc_id", flag.alias("page_flag"))
+
+
+def text_quality_score(spark, sf):
+    """Composite [0,1] document quality score (length/punct/stopword/case)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("quality"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": cdc_final_state,
@@ -541,10 +687,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "sim_topk_lsh": sim_topk_lsh,
+        "sim_topk_ivf": sim_topk_ivf,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "f4_bout_id_gen": f4_bout_id_gen,
+        "f8_filename_codec": f8_filename_codec,
+        "f10_height_conversion": f10_height_conversion,
+        "f13_date_sanity": f13_date_sanity,
+        "f15_url_normalization": f15_url_normalization,
+        "a7_derived_totals": a7_derived_totals,
+        "p4_substring_flags": p4_substring_flags,
+        "text_quality_score": text_quality_score,
         "lang_id_documents": lang_id_documents,
         "text_tokens_quality": text_tokens_quality,
         "doc_fingerprint": doc_fingerprint,
     }
+
+
+def _quality_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+), comp AS (
+  SELECT doc_id,
+         least(len(text) / 500.0, 1.0) AS length_ok,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::double
+                   / len(text)
+              ELSE 0 END AS punct,
+         CASE WHEN len(ws) > 0
+              THEN len(list_filter(ws, t -> list_contains([{sw}], t)))::double / len(ws)
+              ELSE 0 END AS sw_ratio,
+         CASE WHEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0
+              THEN len(regexp_replace(text, '[^A-Z]', '', 'g'))::double
+                   / len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              ELSE 0 END AS upper_ratio,
+         CASE WHEN len(ws) > 0
+              THEN list_reduce(list_transform(ws, w -> len(w)), (x, y) -> x + y)::double
+                   / len(ws)
+              ELSE 0 END AS mwl
+  FROM base
+)
+SELECT doc_id,
+       round((length_ok
+              + (CASE WHEN punct <= 0.2 THEN 1.0
+                      ELSE 1.0 - least((punct - 0.2) * 2, 1.0) END)
+              + least(sw_ratio * 4.0, 1.0)
+              + (CASE WHEN upper_ratio <= 0.3 THEN 1.0
+                      ELSE 1.0 - least(upper_ratio - 0.3, 1.0) END)
+              + (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END)
+             ) / 5.0, 4) AS quality
+FROM comp
+"""
 
 
 def _lang_id_oracle() -> str:
@@ -815,6 +1010,112 @@ def oracle_sql() -> dict[str, str]:
                      vec_id
             LIMIT 10
         """,
+        "dedup_embedding_cosine": """
+            WITH v AS (
+              SELECT vec_id, label, list_transform(embedding, x -> x::double) AS e
+              FROM embeddings
+            ), s AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     list_reduce(
+                       list_transform(generate_series(1, len(a.e)),
+                                      i -> a.e[i] * b.e[i]),
+                       (x, y) -> x + y) AS dot,
+                     sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                                      (x, y) -> x + y)) AS na,
+                     sqrt(list_reduce(list_transform(b.e, x -> x * x),
+                                      (x, y) -> x + y)) AS nb
+              FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+            )
+            SELECT a, b,
+                   round(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END, 4)
+                     AS cosine
+            FROM s
+            WHERE (CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END) >= 0.3
+        """,
+        "f4_bout_id_gen": """
+            WITH r AS (
+              SELECT event_id, user_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS idx
+              FROM events
+            )
+            SELECT event_id,
+                   concat(CAST(user_id AS VARCHAR), '_bout_', CAST(idx AS VARCHAR))
+                     AS bout_id
+            FROM r
+        """,
+        "f8_filename_codec": """
+            SELECT doc_id,
+                   concat('en_box-pro_', CAST(doc_id AS VARCHAR), '.html') AS filename,
+                   CAST(regexp_extract(
+                     concat('en_box-pro_', CAST(doc_id AS VARCHAR), '.html'),
+                     '_(\\d+)\\.html$', 1) AS BIGINT) AS parsed_id,
+                   'professional' AS level
+            FROM documents
+        """,
+        "f10_height_conversion": """
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 2 = 0
+                        THEN concat(CAST((p_size % 3) + 4 AS VARCHAR), '''',
+                                    CAST(p_size % 12 AS VARCHAR), '"')
+                        ELSE concat(CAST(p_size + 150 AS VARCHAR), 'cm') END
+                     AS raw_height,
+                   CASE WHEN p_partkey % 2 = 0
+                        THEN CAST(floor((((p_size % 3) + 4) * 12 + (p_size % 12))
+                                        * 2.54) AS INT)
+                        ELSE p_size + 150 END AS height_cm
+            FROM part
+        """,
+        "f13_date_sanity": """
+            SELECT o_orderkey,
+                   o_orderdate > TIMESTAMP '1998-06-01' AS future_date,
+                   NOT (o_totalprice BETWEEN 0 AND 400000) AS out_of_range
+            FROM orders
+            WHERE o_orderdate > TIMESTAMP '1998-06-01'
+               OR NOT (o_totalprice BETWEEN 0 AND 400000)
+        """,
+        "f15_url_normalization": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 2 = 0
+                          THEN concat('https://boxrec.com/en/box-pro/',
+                                      CAST(o_orderkey AS VARCHAR))
+                          ELSE concat('https://boxrec.com/en/box-pro/',
+                                      CAST(o_orderkey AS VARCHAR), '?sport=box') END
+                       AS raw_url
+              FROM orders
+            )
+            SELECT o_orderkey, raw_url,
+                   CASE WHEN contains(raw_url, '/box-pro/')
+                             AND NOT contains(raw_url, '?')
+                        THEN concat(raw_url, '?allSports=y')
+                        ELSE raw_url END AS norm_url
+            FROM u
+        """,
+        "a7_derived_totals": """
+            WITH a AS (
+              SELECT user_id,
+                     nullif(count(CASE WHEN event_type = 'click' THEN 1 END), 0)
+                       AS wins,
+                     nullif(count(CASE WHEN event_type = 'view' THEN 1 END), 0)
+                       AS losses,
+                     nullif(count(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+                       AS draws
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, wins, losses, draws,
+                   CAST(wins + losses + draws AS BIGINT) AS total_bouts
+            FROM a
+        """,
+        "p4_substring_flags": """
+            SELECT doc_id,
+                   CASE WHEN contains(lower(text), 'error') THEN 'error_page'
+                        WHEN contains(lower(text), 'login') THEN 'login_page'
+                        WHEN contains(lower(text), 'rate limit') THEN 'rate_limited'
+                        ELSE 'ok' END AS page_flag
+            FROM documents
+        """,
+        "text_quality_score": _quality_oracle(),
         "lang_id_documents": _lang_id_oracle(),
         "text_tokens_quality": """
             SELECT doc_id,
@@ -828,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END, 4) AS punct_ratio
             FROM documents
         """,
-        # no oracle (hash-sketch internals not SQL-reproducible; rows-only):
-        # dedup_minhash_lsh, dedup_simhash, sim_topk_lsh, doc_fingerprint
+        # no oracle (hash-sketch internals not SQL-reproducible, or
+        # approximate-by-design; rows-only): dedup_minhash_lsh, dedup_simhash,
+        # sim_topk_lsh, sim_topk_ivf, doc_fingerprint
     }

@@ -39,6 +39,8 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_from_dir(sf_dir)
     n_events = int(os.environ.get("BENCH_EVENTS", str(max(2000, int(2_000_000 * sf)))))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
+    html_repeat = int(os.environ.get("BENCH_HTML_REPEAT", "0"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as em
@@ -54,19 +56,39 @@ def main() -> None:
     # ---- headline: CDC ingest throughput (tail -> merge commit) ----------
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     changes = change_stream(
-        spark, n_events=n_events, n_keys=max(64, n_events // 8), seed=42
+        spark,
+        n_events=n_events,
+        n_keys=max(64, n_events // 8),
+        seed=42,
+        html_repeat=html_repeat,
     ).persist()
     changes.count()  # materialize generation outside the timed window
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", str(max(16, int(cpus)))))
+    if os.environ.get("BENCH_WARMUP", "1") != "0":
+        # one small throwaway merge: JIT/codegen + python-worker spin-up
+        # happen outside the timed window (they are per-process, not
+        # per-batch, costs — a long-running tail pays them once).
+        from pyspark.sql import functions as F
+
+        wpipe = CdcPipeline(
+            spark,
+            PipelineConfig(
+                table_root=os.path.join(work, "warmup"),
+                n_buckets=n_buckets,
+                decode=True,
+            ),
+        )
+        wpipe.run_batches(changes.where(F.col("offset") < 20_000), n_batches=1)
     pipe = CdcPipeline(
         spark,
         PipelineConfig(
             table_root=os.path.join(work, "t"),
-            n_buckets=max(16, int(cpus)),
+            n_buckets=n_buckets,
             decode=True,
         ),
     )
     t0 = time.time()
-    pipe.run_batches(changes, n_batches=10)
+    pipe.run_batches(changes, n_batches=n_batches)
     cdc_elapsed = time.time() - t0
     final_rows = pipe.table.read().count()
     changes.unpersist()

@@ -66,6 +66,7 @@ def change_stream(
     dup_every: int = 47,
     rescrape_epoch: int = 8,
     evolve_at: float | None = None,
+    html_repeat: int = 0,
 ) -> DataFrame:
     """Build the change-stream DataFrame (one row per delivered event)."""
     if n_keys is None:
@@ -105,7 +106,10 @@ def change_stream(
         F.array(*[F.lit(x) for x in LANGS]),
         (F.pmod(_h(seed + 4, key_id), F.lit(len(LANGS))) + 1).cast("int"),
     )
-    html = _render_html(key_id, epoch, lang, seed)
+    # html_repeat pads the page body toward realistic Common-Crawl sizes
+    # (~122 B per repeat; 80 ≈ 10 KB pages) — decode cost then dominates,
+    # like real web pages, without changing any CDC semantics.
+    html = _render_html(key_id, epoch, lang, seed, extra_repeat=html_repeat)
 
     out = df.select(
         F.col("offset"),
@@ -138,13 +142,15 @@ def change_stream(
     return out.unionByName(dups)
 
 
-def _render_html(key_id: F.Column, epoch: F.Column, lang: F.Column, seed: int) -> F.Column:
+def _render_html(
+    key_id: F.Column, epoch: F.Column, lang: F.Column, seed: int, extra_repeat: int = 0
+) -> F.Column:
     """Small deterministic HTML page with structure for the extractors:
     a title, a ``profileTable`` row, a ``dataTable`` bout-like row, and a
     body paragraph whose content varies with the content epoch.
     """
     name = F.concat(F.lit("Page "), key_id.cast("string"))
-    filler_n = (F.pmod(_h(seed + 5, key_id, epoch), F.lit(5)) + 2).cast("int")
+    filler_n = (F.pmod(_h(seed + 5, key_id, epoch), F.lit(5)) + 2 + F.lit(extra_repeat)).cast("int")
     body = F.concat(
         F.lit(_LOREM),
         F.lit("revision marker "),

@@ -391,25 +391,35 @@ class LakeTable:
             return stats
 
         seq = F.struct(*[F.col(c) for c in self.seq_cols])
-        # one winner per key within the batch: max_by aggregates partially
-        # map-side (combiner), so a hot key is pre-reduced before the shuffle
-        # — cheaper and more skew-proof than a row_number window.
+        # ONE shuffle serves dedup AND write layout: repartition by the hash
+        # bucket, then groupBy (bucket, key) — bucket = f(key), so same-key
+        # rows are already co-located and Catalyst adds no second exchange
+        # (HashPartitioning(_bucket) satisfies ClusteredDistribution(_bucket,
+        # key)). max_by still pre-aggregates map-side (combiner), so a hot key
+        # is partially reduced before the shuffle — skew-proof without a
+        # row_number window.
         batch_cols = [f.name for f in batch_df.schema.fields]
+        width = max(1, min(self.n_buckets, 256))
         deduped = (
-            batch_df.groupBy(self.key)
+            batch_df.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
+            .repartition(width, F.col(_BUCKET_COL))
+            .groupBy(_BUCKET_COL, self.key)
             .agg(F.max_by(F.struct(*[c for c in batch_cols if c != self.key]), seq).alias("_w"))
-            .select(self.key, "_w.*")
+            .select(_BUCKET_COL, self.key, "_w.*")
         )
         if transform_after_dedup is not None:
             deduped = transform_after_dedup(deduped)
         payload_schema = T.StructType(
-            [f for f in deduped.schema.fields if f.name != "op"]
+            [f for f in deduped.schema.fields if f.name not in ("op", _BUCKET_COL)]
         )
         table_schema, evolved = self._evolve_schema(snap, payload_schema)
         stats.schema_evolved = evolved and snap["current_schema_id"] is not None
-        deduped = deduped.withColumn(
-            _BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets)
-        ).persist()
+        if strategy == "delta":
+            # single-job fast path: write the deltas, derive every stat from
+            # the written files' footers driver-side (no pre-agg job, no
+            # persist) — the per-batch floor is one Spark job.
+            return self._merge_delta(deduped, stats, base_version, snap, table_schema)
+        deduped = deduped.persist()
         try:
             # ONE pre-merge job: affected buckets + row/delete counts + span
             # (collect bounded by n_buckets — driver-safe at any data scale)
@@ -440,15 +450,13 @@ class LakeTable:
                 }
             if not affected:
                 return self._commit(snap, base_version, {}, stats, table_schema, append=False)
-            if strategy == "delta":
-                return self._merge_delta(deduped, stats, base_version, snap, table_schema, affected)
             return self._merge_cow(deduped, stats, base_version, snap, table_schema, affected)
         finally:
             deduped.unpersist()
 
     # -------------------------------------------------------- delta strategy
 
-    def _merge_delta(self, deduped, stats, base_version, snap, table_schema, affected):
+    def _merge_delta(self, deduped, stats, base_version, snap, table_schema):
         to_write = self._align(
             deduped, T.StructType(
                 list(self._phys_schema(table_schema, "delta").fields)
@@ -456,8 +464,13 @@ class LakeTable:
             ),
         )
         commit_dir = self._new_commit_dir(base_version)
-        self._write_partitioned(to_write, commit_dir, len(affected))
+        # already hash-partitioned by _bucket from the dedup shuffle — write
+        # directly (no second exchange); each task writes only its buckets.
+        to_write.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(commit_dir)
         new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="delta")
+        if not new_files:  # empty batch: ledger-only commit
+            return self._commit(snap, base_version, {}, stats, table_schema, append=False)
+        self._delta_stats_from_footers(new_files, stats)
         out = self._commit(snap, base_version, new_files, stats, table_schema, append=True)
 
         # compaction policy: any bucket with too many delta files gets
@@ -474,6 +487,44 @@ class LakeTable:
             stats.compacted_buckets = len(over)
             stats.committed_version = c.committed_version
         return stats
+
+    def _delta_stats_from_footers(self, new_files: dict[str, list[dict]], stats: MergeStats) -> None:
+        """Fill per-bucket/batch stats from the just-written delta files —
+        driver-side parquet metadata only, never a Spark job.
+
+        Row counts come from footers; the offset span from the tie column's
+        row-group statistics; tombstone counts from reading ONLY the tiny
+        dictionary-encoded ``op`` column. All O(files in this batch).
+        """
+        import pyarrow.parquet as pq
+
+        tie = self.seq_cols[-1]
+        lo = hi = None
+        for b, files in new_files.items():
+            rows = dead = 0
+            for fe in files:
+                fp = os.path.join(self.root, fe["path"])
+                f = pq.ParquetFile(fp)
+                md = f.metadata
+                rows += md.num_rows
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                op_idx = names.index("op") if "op" in names else None
+                tie_idx = names.index(tie) if tie in names else None
+                for rg in range(md.num_row_groups):
+                    if tie_idx is not None:
+                        st = md.row_group(rg).column(tie_idx).statistics
+                        if st is not None and st.has_min_max:
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                if op_idx is not None:
+                    ops = f.read(columns=["op"]).column(0)
+                    dead += sum(1 for v in ops.to_pylist() if v == "D")
+            stats.per_bucket[int(b)] = {"rows": rows, "tombstones": dead}
+            stats.rows_in += rows
+            stats.rows_deleted += dead
+        stats.rows_upserted = stats.rows_in - stats.rows_deleted
+        stats.buckets_touched = len(new_files)
+        stats.seq_min, stats.seq_max = lo, hi
 
     # ---------------------------------------------------------- cow strategy
 

@@ -1,0 +1,119 @@
+"""Physical-plan audits: the optimizations SURVEY.md §4 promises must be
+visible in the executed plan, not just intended.
+
+Each test asserts a structural property of the plan string:
+
+- parquet scans carry PushedFilters + pruned ReadSchema (Catalyst pushdown);
+- dimension joins broadcast (no shuffle of the big side);
+- the CDC merge path has exactly ONE exchange (the bucket repartition serves
+  the LWW groupBy and the bucketed write);
+- the hot path contains no row-at-a-time Python eval (pandas/Arrow only).
+"""
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as em
+
+    return em
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, entrymod):
+    df = entrymod.q1_pricing_summary(spark, SF_DIR)
+    plan = _formatted(df)
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed, pushed
+    # ReadSchema must include only the 6 needed columns, not the full table
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_shipdate" in read_schema
+    for unused in ("l_orderkey", "l_partkey", "l_comment"):
+        assert unused not in read_schema, f"{unused} not pruned: {read_schema}"
+
+
+def test_j4_dimension_join_broadcasts(spark, entrymod):
+    plan = _plan(entrymod.j4_dim_membership(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_j5_side_input_broadcasts(spark, entrymod):
+    plan = _plan(entrymod.j5_broadcast_side_input(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_merge_dedup_single_exchange(spark):
+    """The ingest hot path: exactly one shuffle from raw batch to written
+    layout — the bucket repartition satisfies the groupBy distribution."""
+    from data_pipelines_spark.functions.hashing import bucket_id
+    from data_pipelines_spark.gen.changegen import change_stream
+
+    changes = change_stream(spark, n_events=1000, n_keys=100, seed=42)
+    cols = [c for c in changes.columns]
+    seq = F.struct(F.col("warc_ts"), F.col("offset"))
+    deduped = (
+        changes.withColumn("_bucket", bucket_id(F.col("url"), 16))
+        .repartition(16, F.col("_bucket"))
+        .groupBy("_bucket", "url")
+        .agg(F.max_by(F.struct(*[c for c in cols if c != "url"]), seq).alias("_w"))
+        .select("_bucket", "url", "_w.*")
+    )
+    plan = _plan(deduped)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_lww_window_single_exchange(spark):
+    from data_pipelines_spark.operators.lww import lww_latest
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    plan = _plan(lww_latest(ev, "user_id", ("ts", "event_id")))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_no_row_python_udf_on_ingest_path(spark):
+    """input_hint invariant: decode is Arrow-vectorized (ArrowEvalPython /
+    pandas), never row-at-a-time (BatchEvalPython)."""
+    from data_pipelines_spark.extract.html import html_to_text
+    from data_pipelines_spark.gen.changegen import change_stream
+
+    df = change_stream(spark, n_events=100, n_keys=10, seed=42).withColumn(
+        "text", html_to_text(F.col("html"))
+    )
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_p2_columns_pruned_to_used(spark, entrymod):
+    # the reason-chain's whole-row predicate can't push, but the scan must
+    # still prune columns to the 3 used ones (not read `text`/`source`)
+    plan = _formatted(entrymod.p2_quarantine(spark, SF_DIR))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+
+
+def test_whole_stage_codegen_on_agg(spark, entrymod):
+    df = entrymod.a2_group_count(spark, SF_DIR)
+    df.collect()  # AQE finalizes stages on execution
+    plan = _plan(df)
+    assert "*(" in plan or "WholeStageCodegen" in plan, plan
