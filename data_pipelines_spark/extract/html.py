@@ -120,6 +120,16 @@ PAGE_FIELDS_SCHEMA = T.StructType(
         T.StructField("lang_attr", T.StringType()),
         T.StructField("n_tables", T.IntegerType()),
         T.StructField("text_len", T.IntegerType()),
+        # profile families mirrored from the reference's per-field extractors
+        T.StructField("birth_date", T.StringType()),
+        T.StructField("gender", T.StringType()),
+        T.StructField("nationality", T.StringType()),
+        T.StructField("stance", T.StringType()),
+        T.StructField("height_cm", T.IntegerType()),
+        T.StructField("nicknames", T.ArrayType(T.StringType())),
+        T.StructField("pro_wins", T.IntegerType()),
+        T.StructField("pro_losses", T.IntegerType()),
+        T.StructField("pro_draws", T.IntegerType()),
     ]
 )
 
@@ -162,7 +172,64 @@ def _fields_one(html: bytes | str | None) -> dict:
     out["lang_attr"] = m.group(1) if m else None
     out["n_tables"] = len(_TABLE_RE.findall(html))
     out["text_len"] = len(_to_text_one(html) or "")
+    _profile_fields(html, out)
     return out
+
+
+_AGE_SUFFIX_RE = re.compile(r"\s*\(.*?\)\s*$")
+_WLD_CELLS_RE = re.compile(
+    r'class="bgW"[^>]*>\s*(\d+)\s*<.*?class="bgL"[^>]*>\s*(\d+)\s*<.*?'
+    r'class="bgD"[^>]*>\s*(\d+)\s*<',
+    re.S,
+)
+
+
+def _profile_fields(html: str, out: dict) -> None:
+    """Label-row profile families, mirroring the reference's per-field
+    extractors (``boxing/extract/page/boxer/fields/*.py``):
+
+    - ``birth_date``: label row, '(age)' suffix stripped (``birth_date.py``);
+    - ``gender``: sex/gender row, **defaults to 'M' when absent**
+      (``gender.py:23-24`` — the reference's documented quirk);
+    - ``nationality``/``stance``: label rows;
+    - ``height_cm``: explicit NNNcm match preferred, else ft'in" converted
+      ``int((ft*12+in)*2.54)`` (``height.py:7-31``);
+    - ``nicknames``: comma-split list (``nicknames.py:17-22``);
+    - ``pro_wins/losses/draws``: profileWLD class-tagged cells, **0 not NULL
+      when the table is present but a cell is missing** (``wins_pro.py:33``).
+    """
+    labels = {}
+    for label, value in _ROW_RE.findall(html):
+        labels.setdefault(label.strip().lower(), value.strip())
+    bd = labels.get("born") or labels.get("birth date") or labels.get("date of birth")
+    if bd:
+        bd = _AGE_SUFFIX_RE.sub("", bd)
+        m = _ANYDATE_RE.search(bd)
+        out["birth_date"] = m.group(1) if m else bd or None
+    sex = labels.get("sex") or labels.get("gender")
+    out["gender"] = (
+        "M" if sex is None else ("F" if sex.lower().startswith("f") else "M")
+    )
+    out["nationality"] = labels.get("nationality")
+    st = labels.get("stance")
+    out["stance"] = st.lower() if st else None
+    height = labels.get("height")
+    if height:
+        m = re.search(r"(\d{3})\s*cm", height)
+        if m:
+            out["height_cm"] = int(m.group(1))
+        else:
+            m = re.search(r"(\d+)\s*(?:ft|′|')\s*(\d+)?", height)
+            if m:
+                ft, inch = int(m.group(1)), int(m.group(2) or 0)
+                out["height_cm"] = int((ft * 12 + inch) * 2.54)
+    nick = labels.get("alias") or labels.get("nickname") or labels.get("nicknames")
+    if nick:
+        out["nicknames"] = [n.strip() for n in nick.split(",") if n.strip()]
+    if 'class="profileWLD"' in html:
+        m = _WLD_CELLS_RE.search(html)
+        w, l, d = m.groups() if m else ("0", "0", "0")
+        out["pro_wins"], out["pro_losses"], out["pro_draws"] = int(w), int(l), int(d)
 
 
 @F.pandas_udf(PAGE_FIELDS_SCHEMA)
@@ -175,6 +242,102 @@ def extract_page_fields(html: pd.Series) -> pd.DataFrame:
     """
     rows = html.map(_fields_one)
     return pd.DataFrame(list(rows))
+
+
+# ---------------------------------------------------------------------------
+# Bout-history UDTF analog: one page in → N bout structs out (+ explode)
+# ---------------------------------------------------------------------------
+
+BOUT_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("bout_date", T.StringType()),
+            T.StructField("opponent_name", T.StringType()),
+            T.StructField("opponent_id", T.StringType()),
+            T.StructField("opponent_record", T.StringType()),
+            T.StructField("venue", T.StringType()),
+            T.StructField("result", T.StringType()),
+            T.StructField("result_method", T.StringType()),
+            T.StructField("result_round", T.IntegerType()),
+            T.StructField("event_id", T.StringType()),
+        ]
+    )
+)
+
+_DATATABLE_RE = re.compile(r'<table class="dataTable"[^>]*>(.*?)</table>', re.S)
+_TR_RE = re.compile(r"<tr[^>]*>(.*?)</tr>", re.S)
+_TD_RE = re.compile(r"<td[^>]*>(.*?)</td>", re.S)
+_COLSPAN_RE = re.compile(r"<td[^>]*colspan", re.I)
+_ANYDATE_RE = re.compile(r"(\d{4}-\d{2}-\d{2})")
+_WLD_RE = re.compile(
+    r'class="textWon"[^>]*>(\d+)<.*?class="textLost"[^>]*>(\d+)<.*?class="textDraw"[^>]*>(\d+)<',
+    re.S,
+)
+_BOUTRESULT_RE = re.compile(r'class="boutResult"[^>]*>\s*([^<]*?)\s*<', re.S)
+_EVENT_RE = re.compile(r'href="/event/(\d+)')
+
+#: boutResult text → (result code, method) — reference
+#: boxing/extract/page/boxer/fields/bouts.py:81-116
+_RESULT_CODES = {"W": "W", "L": "L", "D": "D", "NC": "NC"}
+_METHODS = ["TKO", "KO", "RTD", "DQ", "UD", "MD", "SD", "PTS", "decision"]
+
+
+def _bouts_one(html: bytes | str | None) -> list[dict]:
+    """Reference bouts extractor (``bouts.py:7-146``) semantics:
+    skip header/colspan-note/short rows; date from cell 0; opponent from the
+    ``personLink`` anchor; W-L-D record from text spans; venue cell 5; result
+    code + method + trailing round from the ``boutResult`` cell; event id from
+    the event link. Keep only rows with a date AND an opponent."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    out: list[dict] = []
+    for tbl in _DATATABLE_RE.findall(html):
+        for row in _TR_RE.findall(tbl):
+            if "<th" in row or _COLSPAN_RE.search(row):
+                continue  # header / note rows
+            cells = _TD_RE.findall(row)
+            if not cells:
+                continue
+            b: dict = {f.name: None for f in BOUT_SCHEMA.elementType.fields}
+            m = _ANYDATE_RE.search(cells[0])
+            b["bout_date"] = m.group(1) if m else None
+            m = _PERSON_RE.search(row)
+            if m:
+                b["opponent_id"], b["opponent_name"] = m.group(1), m.group(2).strip()
+            m = _WLD_RE.search(row)
+            if m:
+                b["opponent_record"] = "-".join(m.groups())
+            if len(cells) >= 6:
+                venue = _TAG_RE.sub(" ", cells[5]).strip()
+                b["venue"] = venue or None
+            m = _BOUTRESULT_RE.search(row)
+            if m:
+                raw = m.group(1).strip()
+                head = raw.split()[0].upper() if raw.split() else ""
+                b["result"] = _RESULT_CODES.get(head)
+                for meth in _METHODS:
+                    if meth.lower() in raw.lower():
+                        b["result_method"] = meth
+                        break
+                tail = re.search(r"(\d+)\s*$", raw)
+                if tail:
+                    b["result_round"] = int(tail.group(1))
+            m = _EVENT_RE.search(row)
+            b["event_id"] = m.group(1) if m else None
+            if b["bout_date"] and b["opponent_name"]:
+                out.append(b)
+    return out
+
+
+@F.pandas_udf(BOUT_SCHEMA)
+def extract_bouts(html: pd.Series) -> pd.Series:
+    """Vectorized UDTF analog: page → array of bout structs; pair with
+    ``posexplode`` for (bout index, struct) rows — the reference's 1→N
+    ``bouts`` extractor plus ``generate_unique_bout_id`` positional index
+    (``boxing/load/to_staging_mirror_db.py:81-83``)."""
+    return html.map(_bouts_one)
 
 
 # ---------------------------------------------------------------------------

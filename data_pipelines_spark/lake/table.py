@@ -474,13 +474,17 @@ class LakeTable:
         out = self._commit(snap, base_version, new_files, stats, table_schema, append=True)
 
         # compaction policy: any bucket with too many delta files gets
-        # rewritten (base+deltas -> new base) in a follow-up commit.
+        # rewritten (base+deltas -> new base) in a follow-up commit. The
+        # threshold is staggered by bucket id (+0..3) so in steady state each
+        # batch compacts ~1/4 of the buckets instead of all of them at once —
+        # at cluster scale this keeps the ingest latency profile flat rather
+        # than spiking every `compact_threshold` batches.
         new_snap = self._snapshot(out.committed_version)
         over = [
             int(b)
             for b, files in new_snap["files"].items()
             if sum(1 for fe in files if fe.get("kind", "base") == "delta")
-            >= self.compact_threshold
+            >= self.compact_threshold + (int(b) % 4)
         ]
         if over:
             c = self.compact(buckets=over, batch_id=f"{stats.batch_id}:compact")

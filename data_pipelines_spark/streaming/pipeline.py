@@ -42,6 +42,7 @@ class PipelineConfig:
     seq_cols: tuple[str, ...] = ("warc_ts", "offset")
     n_buckets: int = 16
     decode: bool = True
+    extract_fields: bool = False  # add the wide-struct page-field extraction
     merge_partitions: int | None = None  # repartition width ahead of the merge
 
 
@@ -77,6 +78,14 @@ class CdcPipeline:
                 F.regexp_extract(F.col("html").cast("string"), 'lang="([a-z]{2})"', 1),
             ),
         )
+        if self.cfg.extract_fields:
+            # reference load path §3.1: extract (wide struct, parse-once) +
+            # bout history (UDTF analog) carried as nested columns; schema
+            # evolution adds them to the table on first sight.
+            from data_pipelines_spark.extract.html import extract_bouts, extract_page_fields
+
+            out = out.withColumn("fields", extract_page_fields(F.col("html")))
+            out = out.withColumn("bouts", extract_bouts(F.col("html")))
         return out
 
     # ----------------------------------------------------------------- merge
