@@ -141,6 +141,28 @@ class CdcPipeline:
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(self._lineage_dir)
 
+    def throughput_report(self) -> DataFrame:
+        """Per-batch ingest metrics from the lineage table — the engine's
+        analog of the reference's run-rate instrumentation
+        (``boxing/scrapers/boxrec/boxer.py:122-133, 239-251``): rows in,
+        upserts/deletes, bytes written, buckets touched, offset span.
+        """
+        lin = self.lineage()
+        return (
+            lin.groupBy("batch_id")
+            .agg(
+                F.first("rows_in").alias("rows_in"),
+                F.first("rows_upserted").alias("rows_upserted"),
+                F.first("rows_deleted").alias("rows_deleted"),
+                F.first("bytes_written").alias("bytes_written"),
+                F.count("*").alias("buckets_touched"),
+                F.first("offset_min").alias("offset_min"),
+                F.first("offset_max").alias("offset_max"),
+                F.first("commit_version").alias("commit_version"),
+            )
+            .orderBy("batch_id")
+        )
+
     # ------------------------------------------------------------- streaming
 
     def run_stream(
