@@ -300,6 +300,7 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         include_tombstones: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame.
 
@@ -307,11 +308,19 @@ class LakeTable:
         with its exact schema, aligned to the snapshot schema, unioned, and —
         only when deltas are present — LWW-resolved to one winner per key.
         Tombstones (deleted keys retained for LWW) are filtered unless asked.
+
+        ``columns`` prunes the projection to key + seq + the named columns —
+        the parquet scans then read only those column chunks (the same
+        column-pruning a pushed-down ``select`` would get), which keeps
+        key/hash-only scans cheap at any table size.
         """
         snap = self._snapshot(version)
         target = self.schema_from_snap(snap)
         if target is None:
             raise ValueError("table has no schema yet (no data committed)")
+        if columns is not None:
+            need = {self.key, *self.seq_cols, *columns}
+            target = T.StructType([f for f in target.fields if f.name in need])
         groups: dict[tuple[int, str], list[str]] = {}
         for b, files in snap["files"].items():
             if buckets is not None and int(b) not in buckets:

@@ -43,6 +43,7 @@ class PipelineConfig:
     n_buckets: int = 16
     decode: bool = True
     extract_fields: bool = False  # add the wide-struct page-field extraction
+    change_filter: bool = False  # drop hash-unchanged re-scrapes pre-merge
     merge_partitions: int | None = None  # repartition width ahead of the merge
 
 
@@ -78,6 +79,10 @@ class CdcPipeline:
                 F.regexp_extract(F.col("html").cast("string"), 'lang="([a-z]{2})"', 1),
             ),
         )
+        # F1 content fingerprint stored at ingest — makes the next batch's
+        # change filter a (key, hash) column-pruned scan instead of re-reading
+        # page bytes (reference: boxing/database/metadata.py:37-39).
+        out = out.withColumn("content_hash", F.sha2(F.col("html"), 256))
         if self.cfg.extract_fields:
             # reference load path §3.1: extract (wide struct, parse-once) +
             # bout history (UDTF analog) carried as nested columns; schema
@@ -90,6 +95,32 @@ class CdcPipeline:
 
     # ----------------------------------------------------------------- merge
 
+    def change_filtered(self, batch: DataFrame) -> DataFrame:
+        """§3.2 pre-MERGE change filter: drop updates whose content hash
+        equals the stored hash for that key — hash-unchanged re-scrapes never
+        reach the dedup shuffle or the MERGE (the reference's
+        ``check-changes`` loop as ONE join: F1 hash → J2 lookup → F2 compare).
+
+        The state side is a (key, content_hash) column-pruned read — cheap at
+        any table size. Caveat (same as the reference's change detection):
+        a skipped re-scrape does not advance the stored sequence, so a
+        between-sequences out-of-order delete resolves as if the re-scrape
+        never happened.
+        """
+        snap_schema = self.table.schema()
+        if snap_schema is None or "content_hash" not in [f.name for f in snap_schema.fields]:
+            return batch
+        state = self.table.read(columns=["content_hash"]).select(
+            F.col(self.cfg.key), F.col("content_hash").alias("_stored_hash")
+        )
+        joined = batch.join(state, on=self.cfg.key, how="left")
+        unchanged = (
+            (F.col("op") != "D")
+            & F.col("_stored_hash").isNotNull()
+            & (F.sha2(F.col("html"), 256) == F.col("_stored_hash"))
+        )
+        return joined.where(~unchanged).drop("_stored_hash")
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> MergeStats:
         """foreachBatch body: LWW dedup → decode winners → merge → lineage.
 
@@ -98,6 +129,8 @@ class CdcPipeline:
         shuffle carries raw payload only. No extra repartition: the dedup's
         own groupBy(key) shuffle already co-locates rows for the merge.
         """
+        if self.cfg.change_filter:
+            batch = self.change_filtered(batch)
         stats = self.table.merge(
             batch,
             batch_id=batch_id,

@@ -150,3 +150,34 @@ def test_partition_pruning_only_touched_buckets_rewritten(spark, table):
     s = _merge(spark, table, [("U", "url-0", ts(2), 100, b"<y>", "en")], 2)
     assert s.buckets_touched == 1  # copy-on-write confined to url-0's bucket
     assert table.read().count() == 40
+
+
+def test_crash_mid_commit_leaves_previous_snapshot(spark, table):
+    """Write-audit-publish: data files on disk without a pointer move are
+    invisible; the table stays on the last consistent snapshot and the next
+    merge commits normally."""
+    _merge(spark, table, [("I", "u1", ts(1), 1, b"<p>a</p>", "en")], batch_id=0)
+    v_before = table.current_version()
+    # simulate a crash after file write, before the pointer swap: orphan
+    # commit dir exists but CURRENT still points at v_before
+    orphan = table._new_commit_dir(v_before)
+    os.makedirs(os.path.join(orphan, "_bucket=0"), exist_ok=True)
+    with open(os.path.join(orphan, "_bucket=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    assert table.current_version() == v_before
+    assert table.read().count() == 1  # orphan files never read (manifest-driven)
+    s = _merge(spark, table, [("I", "u2", ts(2), 2, b"<p>b</p>", "en")], batch_id=1)
+    assert s.committed_version == v_before + 1
+    assert table.read().count() == 2
+
+
+def test_concurrent_commit_refused(spark, table):
+    """The pointer swap detects a foreign commit between snapshot read and
+    publish and refuses rather than silently clobbering it."""
+    from data_pipelines_spark.lake.table import ConcurrentCommitError
+
+    _merge(spark, table, [("I", "u1", ts(1), 1, b"<p>a</p>", "en")], batch_id=0)
+    with pytest.raises(ConcurrentCommitError):
+        table._swap_pointer(expected=table.current_version() + 5, new_version=99)
+    # table unharmed
+    assert table.read().count() == 1

@@ -136,3 +136,40 @@ def test_schema_evolution_mid_stream(spark, tmp_root):
     got = {r.url: (r.offset, r.meta) for r in out.collect()}
     assert got == want
     df.unpersist()
+
+
+def test_change_filter_skips_unchanged_rescrapes(spark, tmp_root):
+    """§3.2: with the pre-MERGE change filter on, hash-unchanged re-scrapes
+    are dropped before the shuffle, yet the final (url → html) state matches
+    the unfiltered replay. Deletes disabled: a skipped re-scrape does not
+    advance the stored sequence (documented caveat)."""
+    import os
+
+    from data_pipelines_spark.gen.changegen import change_stream
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    changes = change_stream(
+        spark, n_events=4000, n_keys=300, seed=7, delete_frac=0.0
+    ).persist()
+    pipes = {}
+    for name, flag in [("plain", False), ("filtered", True)]:
+        pipe = CdcPipeline(
+            spark,
+            PipelineConfig(
+                table_root=os.path.join(tmp_root, name),
+                n_buckets=4,
+                change_filter=flag,
+            ),
+        )
+        pipe.run_batches(changes, n_batches=4)
+        pipes[name] = pipe
+
+    a = pipes["plain"].table.read().select("url", F.sha2("html", 256).alias("h"))
+    b = pipes["filtered"].table.read().select("url", F.sha2("html", 256).alias("h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # the filter must actually drop work: fewer delta rows after batch 0
+    rows_plain = sum(r.rows_in for r in pipes["plain"].lineage().collect())
+    rows_filt = sum(r.rows_in for r in pipes["filtered"].lineage().collect())
+    assert rows_filt < rows_plain
+    changes.unpersist()
