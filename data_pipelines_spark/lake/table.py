@@ -764,3 +764,42 @@ class LakeTable:
 
     def stats(self) -> dict:
         return dict(self._snapshot()["stats"])
+
+    def update_schema(self, new_schema: T.StructType, batch_id: int | str = "schema-update") -> MergeStats:
+        """Explicit schema evolution: commit a metadata-only snapshot with the
+        merged (additive/widened) schema — the engine's `schema-validate` +
+        migration-apply gate (``boxing/run_pipeline.py:120-122``,
+        ``fetch_and_update_schema.py:89-94``). Existing files are untouched;
+        readers NULL-backfill added columns on alignment. Incompatible
+        changes raise ``SchemaEvolutionError`` before anything moves.
+        """
+        stats = MergeStats(batch_id=batch_id)
+        base_version = self.current_version()
+        snap = self._snapshot(base_version)
+        if str(batch_id) in snap["ledger"]:
+            stats.skipped_duplicate_batch = True
+            stats.committed_version = snap["ledger"][str(batch_id)]
+            return stats
+        merged, changed = self._evolve_schema(snap, new_schema)
+        stats.schema_evolved = changed
+        return self._commit(snap, base_version, {}, stats, merged, append=True)
+
+    def history(self) -> list[dict]:
+        """Snapshot log (oldest→newest): version, parent, schema id, batch
+        ids committed at that version, table stats — Iceberg's snapshot
+        history analog, also the audit trail for replay verification."""
+        out = []
+        v: int | None = self.current_version()
+        while v is not None:
+            s = self._snapshot(v)
+            out.append(
+                {
+                    "version": s["version"],
+                    "parent": s["parent"],
+                    "schema_id": s["current_schema_id"],
+                    "batches": [b for b, ver in s["ledger"].items() if ver == s["version"]],
+                    "stats": dict(s.get("stats", {})),
+                }
+            )
+            v = s["parent"]
+        return list(reversed(out))

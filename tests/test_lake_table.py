@@ -181,3 +181,26 @@ def test_concurrent_commit_refused(spark, table):
         table._swap_pointer(expected=table.current_version() + 5, new_version=99)
     # table unharmed
     assert table.read().count() == 1
+
+
+def test_explicit_update_schema_and_history(spark, table):
+    """update_schema commits a metadata-only snapshot (files untouched);
+    history() walks the snapshot chain oldest-first."""
+    _merge(spark, table, [("I", "u1", ts(1), 1, b"<p>a</p>", "en")], batch_id=0)
+    new = T.StructType(
+        list(SCHEMA.fields)[1:] + [T.StructField("mime", T.StringType())]
+    )
+    s = table.update_schema(new, batch_id="mig-1")
+    assert s.schema_evolved and s.committed_version == 2
+    assert "mime" in [f.name for f in table.schema().fields]
+    row = table.read().select("url", "mime").collect()[0]
+    assert row.mime is None  # NULL-backfilled on read alignment
+    # idempotent re-apply
+    assert table.update_schema(new, batch_id="mig-1").skipped_duplicate_batch
+    hist = table.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[2]["batches"] == ["mig-1"]
+    # incompatible migration refused
+    bad = T.StructType([T.StructField("lang", T.LongType())])
+    with pytest.raises(SchemaEvolutionError):
+        table.update_schema(bad, batch_id="mig-2")
