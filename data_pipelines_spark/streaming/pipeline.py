@@ -204,6 +204,8 @@ class CdcPipeline:
         checkpoint_dir: str,
         source_schema,
         max_files_per_trigger: int = 1,
+        stateful_filter: bool = False,
+        watermark: str = "30 minutes",
     ):
         """Tail the change-log directory as a file-source stream.
 
@@ -211,12 +213,28 @@ class CdcPipeline:
         ``maxFilesPerTrigger``-sized microbatches then stops — deterministic
         for tests; a production deployment would use a processing-time
         trigger (or a Kafka source) with the identical foreachBatch body.
+
+        ``stateful_filter=True`` inserts the watermark-bounded
+        ``streaming_lww_filter`` (applyInPandasWithState) upstream of the
+        MERGE: duplicates and stale updates are absorbed in the state store
+        before they cost a shuffle, with per-key state expiring past the
+        watermark. The merge's ledger remains the exactly-once boundary.
         """
         stream = (
             self.spark.readStream.schema(source_schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(source_dir)
         )
+        if stateful_filter:
+            from data_pipelines_spark.streaming.stateful import streaming_lww_filter
+
+            stream = streaming_lww_filter(
+                stream,
+                key=self.cfg.key,
+                ts_col=self.cfg.seq_cols[0],
+                offset_col=self.cfg.seq_cols[-1],
+                watermark=watermark,
+            )
         return (
             stream.writeStream.foreachBatch(
                 lambda df, bid: self.process_batch(df, bid)
