@@ -650,6 +650,37 @@ def text_quality_score(spark, sf):
     return d.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("quality"))
 
 
+def a11_tumbling_window(spark, sf):
+    """§2.10 metrics-stage tumbling window: daily event counts per op type
+    via F.window (the streaming metrics aggregation, run batch-side)."""
+    ev = _t(spark, sf, "events")
+    w = F.window(F.col("ts"), "1 day")
+    return ev.groupBy(w.alias("w"), F.col("event_type")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    ).select(
+        F.col("w.start").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def a12_session_window(spark, sf):
+    """Session windows per user (30-min inactivity gap) via F.session_window —
+    events per session + session span."""
+    ev = _t(spark, sf, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(sw.alias("s"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": cdc_final_state,
@@ -668,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_array_consistency": a6_array_consistency,
         "a8_minmax_freshness": a8_minmax_freshness,
         "a10_distinct": a10_distinct,
+        "a11_tumbling_window": a11_tumbling_window,
+        "a12_session_window": a12_session_window,
         "p2_quarantine": p2_quarantine,
         "p10_time_window": p10_time_window,
         "f1_sha2_hash": f1_sha2_hash,
@@ -870,6 +903,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CASE WHEN n_chars < 100 THEN 'too_short'
                         WHEN n_chars > 450 THEN 'too_long'
                         WHEN lang IS NULL THEN 'no_lang' END) IS NOT NULL
+        """,
+        "a11_tumbling_window": """
+            SELECT date_trunc('day', ts) AS win_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "a12_session_window": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+            FROM g GROUP BY user_id, sid
         """,
         "p10_time_window": """
             SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events

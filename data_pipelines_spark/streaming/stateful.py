@@ -75,8 +75,15 @@ def streaming_lww_filter(
             new_off = int(off.iloc[-1])
             state.update((new_ts, new_off))
             # expire state once the watermark passes an hour beyond the best
-            # event time — bounds state to keys active in the window
-            state.setTimeoutTimestamp(new_ts // 1000 + 3_600_000)
+            # event time — bounds state to keys active in the window. Clamped
+            # above the current watermark: for a key whose latest event is
+            # already older than the watermark the timeout must still be in
+            # the engine's future, or Spark rejects it.
+            timeout_ms = max(
+                new_ts // 1000 + 3_600_000,
+                state.getCurrentWatermarkMs() + 60_000,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
             yield pdf[mask]
 
     return (
