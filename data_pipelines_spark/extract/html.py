@@ -331,6 +331,24 @@ def _bouts_one(html: bytes | str | None) -> list[dict]:
     return out
 
 
+#: extractor-name → staging-column rename map, pinned by the reference's
+#: contract test (``boxing/tests/load/test_to_staging_mirror_db.py:9-79``:
+#: ``opponent_name→opponent``, ``venue→location``).
+BOUT_STAGING_RENAMES = {"opponent_name": "opponent", "venue": "location"}
+
+
+def bouts_to_staging(bouts: Column) -> Column:
+    """Rename bout-struct fields to their staging names (the reference's
+    loader field map) without leaving the array — one `transform`."""
+    fields = [f.name for f in BOUT_SCHEMA.elementType.fields]
+    return F.transform(
+        bouts,
+        lambda b: F.struct(
+            *[b[f].alias(BOUT_STAGING_RENAMES.get(f, f)) for f in fields]
+        ),
+    )
+
+
 @F.pandas_udf(BOUT_SCHEMA)
 def extract_bouts(html: pd.Series) -> pd.Series:
     """Vectorized UDTF analog: page → array of bout structs; pair with

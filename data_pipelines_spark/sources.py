@@ -1,0 +1,60 @@
+"""Source scans (SURVEY §2.1) as thin, typed helpers.
+
+S1 — CSV URL work queue: the reference's ``load_urls_from_csv``
+(``boxing/scrapers/boxrec/boxer.py:171-189``; pandas variant
+``airflow/dags/scrape_html_zyte.py:87-107``) picks the ``url``/``URL``
+column, drops nulls, dedups. S4 — directory scan of raw page files
+(``boxing/run_validators.py:86-89``) becomes a ``binaryFile`` read carrying
+(path, modificationTime, content). S7 — the due-work scan over the change
+metadata (``boxing/database/change_detection.py:37-49``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_url_queue(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:
+    """S1: CSV work queue → one non-null ``url`` column (case-insensitive
+    header match), optionally distinct — the stream of things to ingest."""
+    df = spark.read.csv(path, header=True)
+    url_col = next((c for c in df.columns if c.lower() == "url"), None)
+    if url_col is None:
+        raise ValueError(f"no url column in {path}: {df.columns}")
+    out = df.select(F.col(url_col).alias("url")).where(F.col("url").isNotNull())
+    return out.distinct() if dedup else out
+
+
+def read_page_files(spark: SparkSession, glob_path: str) -> DataFrame:
+    """S4: directory of raw page files → (path, modificationTime, length,
+    html) via the binaryFile source — new-file discovery is the streaming
+    variant (``readStream.format('binaryFile')``)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .load(glob_path)
+        .select(
+            "path",
+            "modificationTime",
+            "length",
+            F.col("content").alias("html"),
+        )
+    )
+
+
+def due_work_scan(
+    state: DataFrame,
+    cutoff,
+    key: str = "url",
+    checked_col: str = "last_checked_at",
+    limit: int | None = 100,
+) -> DataFrame:
+    """S7: keys due a re-check — never-checked first, then stalest-first,
+    bounded batch (the reference's nulls-first ordering + LIMIT)."""
+    out = (
+        state.where(F.col(checked_col).isNull() | (F.col(checked_col) < F.lit(cutoff)))
+        .select(key, checked_col)
+        .orderBy(F.col(checked_col).asc_nulls_first(), F.col(key))
+    )
+    return out.limit(limit) if limit else out

@@ -156,6 +156,23 @@ def test_pipeline_extract_fields_lands_in_table(spark, tmp_root):
     assert row.status in ("active", "inactive") and row.nb >= 1
 
 
+def test_bout_staging_rename_contract(spark, pages):
+    """Reference contract test parity: opponent_name→opponent,
+    venue→location (test_to_staging_mirror_db.py:9-79)."""
+    from data_pipelines_spark.extract.html import bouts_to_staging, extract_bouts
+
+    row = (
+        pages.where(F.col("id") == 2)
+        .select(bouts_to_staging(extract_bouts(F.col("html"))).alias("bouts"))
+        .select(F.explode("bouts").alias("b"))
+        .select("b.*")
+        .collect()[0]
+    )
+    d = row.asDict()
+    assert d["opponent"] == "Conor McGregor" and d["location"] == "Madison Square Garden"
+    assert "opponent_name" not in d and "venue" not in d
+
+
 def test_bout_id_positional_index(spark, pages):
     """W3: positional index within group → `{id}_bout_{i}` unique ids."""
     from data_pipelines_spark.functions.normalize import bout_id

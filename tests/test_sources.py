@@ -1,0 +1,43 @@
+"""Source-scan helpers (SURVEY §2.1 S1/S4/S7)."""
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.sources import due_work_scan, read_page_files, read_url_queue
+
+
+def test_read_url_queue_header_case_null_and_dedup(spark, tmp_root):
+    p = os.path.join(tmp_root, "q.csv")
+    with open(p, "w") as f:
+        f.write("URL,rank\nhttps://a/1,1\n,2\nhttps://a/1,3\nhttps://b/2,4\n")
+    urls = sorted(r.url for r in read_url_queue(spark, p).collect())
+    assert urls == ["https://a/1", "https://b/2"]
+
+
+def test_read_page_files_binary(spark, tmp_root):
+    d = os.path.join(tmp_root, "pages")
+    os.makedirs(d)
+    with open(os.path.join(d, "en_box-pro_7.html"), "wb") as f:
+        f.write(b"<html><body>seven</body></html>")
+    with open(os.path.join(d, "ignore.txt"), "wb") as f:
+        f.write(b"not html")
+    rows = read_page_files(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0].html == b"<html><body>seven</body></html>"
+    assert rows[0].path.endswith("en_box-pro_7.html") and rows[0].length == 31
+
+
+def test_due_work_scan_nulls_first_then_stalest(spark):
+    state = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2025, 1, 10)),
+            ("u2", None),
+            ("u3", dt.datetime(2025, 1, 1)),
+            ("u4", dt.datetime(2025, 2, 1)),  # fresh → excluded
+        ],
+        "url string, last_checked_at timestamp",
+    )
+    got = [r.url for r in due_work_scan(state, dt.datetime(2025, 1, 15), limit=10).collect()]
+    assert got == ["u2", "u3", "u1"]
