@@ -38,8 +38,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_from_dir(sf_dir)
-    n_events = int(os.environ.get("BENCH_EVENTS", str(max(2000, int(4_000_000 * sf)))))
-    n_batches = int(os.environ.get("BENCH_BATCHES", "5"))
+    n_events = int(os.environ.get("BENCH_EVENTS", str(max(2000, int(10_000_000 * sf)))))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     html_repeat = int(os.environ.get("BENCH_HTML_REPEAT", "0"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
