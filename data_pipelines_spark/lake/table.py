@@ -371,6 +371,7 @@ class LakeTable:
         batch_id: int | str,
         strategy: str = "delta",
         transform_after_dedup=None,
+        salt_dedup: int = 0,
     ) -> MergeStats:
         """Apply one CDC batch: keyed upsert + delete with LWW resolution.
 
@@ -409,11 +410,28 @@ class LakeTable:
         # row_number window.
         batch_cols = [f.name for f in batch_df.schema.fields]
         width = max(1, min(self.n_buckets, 256))
+        payload = F.struct(*[c for c in batch_cols if c != self.key])
+        if salt_dedup > 1:
+            # skew defense (north-rule "salted url-hash buckets"): a hot key
+            # is first reduced across `salt_dedup` tasks — shuffle 1 on
+            # (key, salt) spreads its duplicates and max_by pre-aggregates
+            # map-side — then the tiny per-(key,salt) winner set takes the
+            # bucket shuffle. Costs one extra (small) exchange; use when a
+            # single key can dominate a batch.
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in self.seq_cols]), F.lit(salt_dedup))
+            pre = (
+                batch_df.groupBy(F.col(self.key), salt.alias("_salt"))
+                .agg(F.max_by(payload, seq).alias("_w"))
+                .select(self.key, "_w.*")
+            )
+            pre_cols = [f.name for f in pre.schema.fields]
+            batch_df = pre
+            payload = F.struct(*[c for c in pre_cols if c != self.key])
         deduped = (
             batch_df.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
             .repartition(width, F.col(_BUCKET_COL))
             .groupBy(_BUCKET_COL, self.key)
-            .agg(F.max_by(F.struct(*[c for c in batch_cols if c != self.key]), seq).alias("_w"))
+            .agg(F.max_by(payload, seq).alias("_w"))
             .select(_BUCKET_COL, self.key, "_w.*")
         )
         if transform_after_dedup is not None:

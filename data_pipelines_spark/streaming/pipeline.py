@@ -44,6 +44,7 @@ class PipelineConfig:
     decode: bool = True
     extract_fields: bool = False  # add the wide-struct page-field extraction
     change_filter: bool = False  # drop hash-unchanged re-scrapes pre-merge
+    salt_dedup: int = 0  # >1: two-phase salted dedup against hot-key skew
     merge_partitions: int | None = None  # repartition width ahead of the merge
 
 
@@ -135,6 +136,7 @@ class CdcPipeline:
             batch,
             batch_id=batch_id,
             transform_after_dedup=self.decode if self.cfg.decode else None,
+            salt_dedup=self.cfg.salt_dedup,
         )
         if not stats.skipped_duplicate_batch:
             # the merge's pre-aggregation already recorded the offset span

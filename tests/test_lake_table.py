@@ -204,3 +204,27 @@ def test_explicit_update_schema_and_history(spark, table):
     bad = T.StructType([T.StructField("lang", T.LongType())])
     with pytest.raises(SchemaEvolutionError):
         table.update_schema(bad, batch_id="mig-2")
+
+
+def test_salted_dedup_identical_state_under_extreme_skew(spark, tmp_root):
+    """salt_dedup pre-reduces a hot key across tasks; the final state must be
+    identical to the unsalted path on a stream where one url dominates."""
+    from data_pipelines_spark.gen.changegen import change_stream
+
+    # skew=6 concentrates a large share of events on key 0
+    changes = change_stream(spark, n_events=4000, n_keys=400, seed=5, skew=6.0)
+    tables = {}
+    for name, salt in [("plain", 0), ("salted", 8)]:
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), key="url", n_buckets=4, overwrite=True
+        )
+        t.merge(changes, batch_id=0, salt_dedup=salt)
+        tables[name] = t
+    a = tables["plain"].read().select("url", "offset", "warc_ts")
+    b = tables["salted"].read().select("url", "offset", "warc_ts")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # hot key really is hot (sanity that the scenario exercises skew)
+    top = (
+        changes.groupBy("url").count().orderBy(F.col("count").desc()).limit(1).collect()[0]
+    )
+    assert top["count"] > 4000 * 0.2
