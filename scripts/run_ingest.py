@@ -51,6 +51,12 @@ def main() -> None:
         .config("spark.sql.parquet.compression.codec", "zstd")
         .getOrCreate()
     )
+    # size shuffle/state partitions to the cluster, not Spark's default 200 —
+    # with the stateful filter each trigger touches every state partition, so
+    # 200 near-empty state stores would dominate small triggers.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(2 * spark.sparkContext.defaultParallelism)
+    )
 
     from data_pipelines_spark.gen.changegen import change_stream, write_change_log
     from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig

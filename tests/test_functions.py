@@ -137,3 +137,30 @@ def test_lww_variants_agree(spark):
     for fn in (lww_latest, lww_latest_window, lww_latest_salted):
         got = {r.k: r.v for r in fn(df, "k", ("ts", "off")).collect()}
         assert got == {"a": "x2", "b": "y1"}, fn.__name__
+
+
+def test_change_stream_byte_stable_golden(spark):
+    """Replay foundation: change_stream(n, seed) is byte-identical across
+    sessions/machines — pinned by a golden XOR-hash over every column
+    (content via sha-256). If this fails, determinism broke somewhere."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.gen.changegen import change_stream
+
+    df = change_stream(spark, n_events=2000, n_keys=300, seed=42)
+    h = df.agg(
+        F.expr(
+            "bit_xor(xxhash64(offset, op, url, warc_ts, "
+            "coalesce(sha2(html,256),'-'), coalesce(lang,'-')))"
+        )
+    ).collect()[0][0]
+    assert df.count() == 2043  # 2000 + every-47th duplicated
+    assert h == -2621372641440407018
+    df10 = change_stream(spark, n_events=2000, n_keys=300, seed=42, html_repeat=10)
+    h10 = df10.agg(
+        F.expr(
+            "bit_xor(xxhash64(offset, op, url, warc_ts, "
+            "coalesce(sha2(html,256),'-'), coalesce(lang,'-')))"
+        )
+    ).collect()[0][0]
+    assert h10 == -5764469883450000979
