@@ -14,11 +14,13 @@ Scale design (targets a 1000-executor cluster over ~100 TB):
 - **Merge-on-read writes, copy-on-write compaction.** A MERGE appends the
   deduped batch as *delta* files to the affected buckets — O(batch) work,
   no read of existing data, no join. Readers resolve base + deltas with one
-  LWW reduction. When a bucket accumulates ``compact_threshold`` delta
-  files, it is compacted (base+deltas → new base) in a follow-up commit.
-  Ingest cost is therefore independent of table size; read amplification is
-  bounded by the compaction threshold. (``strategy="cow"`` forces the
-  classic join-rewrite merge for comparison.)
+  LWW reduction. When a bucket accumulates ``compact_threshold + (bucket %
+  compact_stagger)`` delta files it is compacted (base+deltas → new base) in
+  a follow-up commit — the per-bucket stagger keeps steady-state batches
+  compacting ~1/stagger of the buckets instead of all at once. Ingest cost
+  is therefore independent of table size; read amplification is bounded by
+  ``compact_threshold + compact_stagger - 1``. (``strategy="cow"`` forces
+  the classic join-rewrite merge for comparison.)
 - **Partition pruning**: both deltas and compaction touch only the hash
   buckets present in the batch. ``n_buckets`` is the scale knob — 16
   locally, thousands in production.
@@ -125,13 +127,19 @@ class LakeTable:
         seq_cols: tuple[str, ...] = ("warc_ts", "offset"),
         n_buckets: int = 16,
         compact_threshold: int = 8,
+        compact_stagger: int = 4,
     ):
         self.spark = spark
         self.root = root
         self.key = key
         self.seq_cols = tuple(seq_cols)
         self.n_buckets = n_buckets
+        #: bucket b compacts at compact_threshold + (b % compact_stagger)
+        #: delta files (stagger ≤ 1 disables the spread), so steady-state
+        #: batches compact ~1/stagger of the buckets instead of all at once;
+        #: worst-case read amplification is threshold + stagger - 1.
         self.compact_threshold = compact_threshold
+        self.compact_stagger = max(1, compact_stagger)
         self._meta_dir = os.path.join(root, "metadata")
         self._data_dir = os.path.join(root, "data")
 
@@ -146,11 +154,12 @@ class LakeTable:
         seq_cols: tuple[str, ...] = ("warc_ts", "offset"),
         n_buckets: int = 16,
         compact_threshold: int = 8,
+        compact_stagger: int = 4,
         overwrite: bool = False,
     ) -> "LakeTable":
         t = cls(
             spark, root, key=key, seq_cols=seq_cols, n_buckets=n_buckets,
-            compact_threshold=compact_threshold,
+            compact_threshold=compact_threshold, compact_stagger=compact_stagger,
         )
         if os.path.exists(t._meta_dir):
             if not overwrite:
@@ -495,7 +504,8 @@ class LakeTable:
         # directly (no second exchange); each task writes only its buckets.
         to_write.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(commit_dir)
         new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="delta")
-        if not new_files:  # empty batch: ledger-only commit
+        if not new_files:  # empty batch: ledger-only commit, no orphan dir
+            shutil.rmtree(commit_dir, ignore_errors=True)
             return self._commit(snap, base_version, {}, stats, table_schema, append=False)
         self._delta_stats_from_footers(new_files, stats)
         out = self._commit(snap, base_version, new_files, stats, table_schema, append=True)
@@ -511,7 +521,7 @@ class LakeTable:
             int(b)
             for b, files in new_snap["files"].items()
             if sum(1 for fe in files if fe.get("kind", "base") == "delta")
-            >= self.compact_threshold + (int(b) % 4)
+            >= self.compact_threshold + (int(b) % self.compact_stagger)
         ]
         if over:
             c = self.compact(buckets=over, batch_id=f"{stats.batch_id}:compact")
@@ -548,8 +558,10 @@ class LakeTable:
                             lo = st.min if lo is None else min(lo, st.min)
                             hi = st.max if hi is None else max(hi, st.max)
                 if op_idx is not None:
+                    import pyarrow.compute as pc
+
                     ops = f.read(columns=["op"]).column(0)
-                    dead += sum(1 for v in ops.to_pylist() if v == "D")
+                    dead += int(pc.sum(pc.equal(ops, "D")).as_py() or 0)
             stats.per_bucket[int(b)] = {"rows": rows, "tombstones": dead}
             stats.rows_in += rows
             stats.rows_deleted += dead

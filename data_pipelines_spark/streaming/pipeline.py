@@ -52,6 +52,11 @@ class CdcPipeline:
     """Drives change batches into a :class:`LakeTable` with lineage."""
 
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        if cfg.extract_fields and not cfg.decode:
+            raise ValueError(
+                "extract_fields=True requires decode=True (extraction runs "
+                "inside the decode stage)"
+            )
         self.spark = spark
         self.cfg = cfg
         self.table = LakeTable.create(
@@ -83,7 +88,9 @@ class CdcPipeline:
         # F1 content fingerprint stored at ingest — makes the next batch's
         # change filter a (key, hash) column-pruned scan instead of re-reading
         # page bytes (reference: boxing/database/metadata.py:37-39).
-        out = out.withColumn("content_hash", F.sha2(F.col("html"), 256))
+        from data_pipelines_spark.functions.hashing import content_hash
+
+        out = out.withColumn("content_hash", content_hash(F.col("html")))
         if self.cfg.extract_fields:
             # reference load path §3.1: extract (wide struct, parse-once) +
             # bout history (UDTF analog) carried as nested columns; schema
@@ -102,25 +109,39 @@ class CdcPipeline:
         reach the dedup shuffle or the MERGE (the reference's
         ``check-changes`` loop as ONE join: F1 hash → J2 lookup → F2 compare).
 
-        The state side is a (key, content_hash) column-pruned read — cheap at
-        any table size. Caveat (same as the reference's change detection):
-        a skipped re-scrape does not advance the stored sequence, so a
-        between-sequences out-of-order delete resolves as if the re-scrape
-        never happened.
+        The state side is a (key, content_hash) column-pruned read restricted
+        to the hash buckets the batch actually touches (one narrow
+        distinct-buckets job, bounded by n_buckets), so the state scan is
+        O(affected buckets), not O(table). Caveat (same as the reference's
+        change detection): a skipped re-scrape does not advance the stored
+        sequence, so a between-sequences out-of-order delete resolves as if
+        the re-scrape never happened.
         """
+        from data_pipelines_spark.functions.hashing import bucket_id, content_hash
+
         snap_schema = self.table.schema()
         if snap_schema is None or "content_hash" not in [f.name for f in snap_schema.fields]:
             return batch
-        state = self.table.read(columns=["content_hash"]).select(
+        affected = [
+            r.b
+            for r in batch.select(
+                bucket_id(F.col(self.cfg.key), self.cfg.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        state = self.table.read(columns=["content_hash"], buckets=affected).select(
             F.col(self.cfg.key), F.col("content_hash").alias("_stored_hash")
         )
         joined = batch.join(state, on=self.cfg.key, how="left")
         unchanged = (
             (F.col("op") != "D")
             & F.col("_stored_hash").isNotNull()
-            & (F.sha2(F.col("html"), 256) == F.col("_stored_hash"))
+            & (content_hash(F.col("html")) == F.col("_stored_hash"))
         )
-        return joined.where(~unchanged).drop("_stored_hash")
+        # NULL-safe: a row with NULL html/op must pass through, not vanish
+        # into three-valued-logic limbo (where(~NULL) would drop it).
+        return joined.where(~F.coalesce(unchanged, F.lit(False))).drop("_stored_hash")
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> MergeStats:
         """foreachBatch body: LWW dedup → decode winners → merge → lineage.
@@ -190,7 +211,8 @@ class CdcPipeline:
                 F.first("rows_upserted").alias("rows_upserted"),
                 F.first("rows_deleted").alias("rows_deleted"),
                 F.first("bytes_written").alias("bytes_written"),
-                F.count("*").alias("buckets_touched"),
+                # bucket -1 is the empty-batch sentinel row, not a real bucket
+                F.count(F.when(F.col("bucket") != -1, 1)).alias("buckets_touched"),
                 F.first("offset_min").alias("offset_min"),
                 F.first("offset_max").alias("offset_max"),
                 F.first("commit_version").alias("commit_version"),

@@ -16,8 +16,16 @@ the "watermark on warc_ts bounding the LWW dedup state" requirement from
 BASELINE.json, independent of total stream length.
 
 Downstream, the emitted stream feeds the same ``foreachBatch`` MERGE; the
-merge's own dedup+ledger still make redelivery safe (this operator is an
-optimization + state bound, not the correctness boundary).
+merge's own dedup+ledger still make redelivery safe.
+
+Lateness contract (the price of bounded state): with a watermark, Spark
+drops input events whose ``ts`` is older than the watermark *before* this
+operator sees them. An event arriving later than the configured delay is
+therefore not applied at all — whereas the unfiltered batch/merge path,
+which keeps no state, would still LWW-resolve it. Use a watermark at least
+as large as the source's worst-case disorder (the generator's jitter is
+±5 min vs the 10-min default here); with that sizing, the filtered and
+unfiltered paths converge to the same state (tests/test_stateful_stream.py).
 """
 
 from __future__ import annotations
@@ -51,7 +59,8 @@ def streaming_lww_filter(
     an event may arrive, per SURVEY §2.10.
     """
     out_schema = stream.schema
-    ts_idx = [f.name for f in out_schema.fields].index(ts_col)
+    if ts_col not in [f.name for f in out_schema.fields]:
+        raise ValueError(f"{ts_col!r} not in stream schema {out_schema.simpleString()}")
 
     def fn(key_tuple, pdfs, state: GroupState):
         if state.hasTimedOut:
