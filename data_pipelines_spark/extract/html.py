@@ -153,14 +153,19 @@ def _fields_one(html: bytes | str | None) -> dict:
     # single BeautifulSoup parse shared by 36 extractors.
     m = _TITLE_RE.search(html)
     out["title"] = m.group(1) if m else None
-    m = _H1_RE.search(html)  # name: title-strip → h1 fallback chain
-    out["name"] = (m.group(1).strip() if m else None) or out["title"]
-    for label, value in _ROW_RE.findall(html):
-        low = label.strip().lower()
-        if low == "status" and out["status"] is None:
-            out["status"] = "active" if "active" in value.lower() else "inactive"
-        elif low == "division" and out["division"] is None:
-            out["division"] = value.strip()
+    # name: title (BoxRec:-stripped) FIRST, h1 text as fallback — the
+    # reference's chain order (name.py: title → h1 → og:title); h1 content
+    # is tag-stripped so nested markup never leaks into the value.
+    h1 = _H1_RE.search(html)
+    h1_text = _TAG_RE.sub(" ", h1.group(1)).strip() if h1 else None
+    out["name"] = out["title"] or h1_text or None
+    labels: dict[str, str] = {}
+    for label, value in _ROW_RE.findall(html):  # ONE row scan for all fields
+        labels.setdefault(label.strip().lower(), value.strip())
+    if "status" in labels:
+        out["status"] = "active" if "active" in labels["status"].lower() else "inactive"
+    if "division" in labels:
+        out["division"] = labels["division"]
     m = _PERSON_RE.search(html)
     if m:
         out["opponent_id"], out["opponent_name"] = m.group(1), m.group(2).strip()
@@ -172,7 +177,7 @@ def _fields_one(html: bytes | str | None) -> dict:
     out["lang_attr"] = m.group(1) if m else None
     out["n_tables"] = len(_TABLE_RE.findall(html))
     out["text_len"] = len(_to_text_one(html) or "")
-    _profile_fields(html, out)
+    _profile_fields(html, out, labels)
     return out
 
 
@@ -184,7 +189,7 @@ _WLD_CELLS_RE = re.compile(
 )
 
 
-def _profile_fields(html: str, out: dict) -> None:
+def _profile_fields(html: str, out: dict, labels: dict[str, str]) -> None:
     """Label-row profile families, mirroring the reference's per-field
     extractors (``boxing/extract/page/boxer/fields/*.py``):
 
@@ -198,9 +203,6 @@ def _profile_fields(html: str, out: dict) -> None:
     - ``pro_wins/losses/draws``: profileWLD class-tagged cells, **0 not NULL
       when the table is present but a cell is missing** (``wins_pro.py:33``).
     """
-    labels = {}
-    for label, value in _ROW_RE.findall(html):
-        labels.setdefault(label.strip().lower(), value.strip())
     bd = labels.get("born") or labels.get("birth date") or labels.get("date of birth")
     if bd:
         bd = _AGE_SUFFIX_RE.sub("", bd)
@@ -215,7 +217,7 @@ def _profile_fields(html: str, out: dict) -> None:
     out["stance"] = st.lower() if st else None
     height = labels.get("height")
     if height:
-        m = re.search(r"(\d{3})\s*cm", height)
+        m = re.search(r"(\d+)\s*cm", height)
         if m:
             out["height_cm"] = int(m.group(1))
         else:

@@ -121,7 +121,9 @@ def quality_score(col: Column, lang: str = "en") -> Column:
 
 def char_shingles(col: Column, k: int = 8) -> Column:
     """Character k-gram shingles (for fingerprinting), JVM-side."""
-    t = F.lower(F.trim(F.regexp_replace(col, "\\s+", " ")))
+    from data_pipelines_spark.functions.normalize import normalized_text
+
+    t = normalized_text(col)
     n = F.length(t) - F.lit(k - 1)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),

@@ -11,6 +11,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def normalized_text(col: Column) -> Column:
+    """Canonical text normal form: whitespace runs collapsed, trimmed,
+    lowercased — the single definition every fingerprint/dedup hash uses
+    (dedup groups and char-shingle sketches must agree byte-for-byte)."""
+    return F.lower(F.trim(F.regexp_replace(col, "\\s+", " ")))
+
+
 def normalize_id(col: Column) -> Column:
     """Strip leading zeros iff the value is all digits; otherwise unchanged.
 
@@ -94,8 +101,12 @@ def normalize_date(col: Column, base_year: Column | None = None) -> Column:
 
 
 def bout_id(boxer_id: Column, index: Column) -> Column:
-    """``"{normalized_id}_bout_{i}"`` — reference ``boxing/transform/bout_id.py:4-12``."""
-    return F.concat_ws("_bout_", normalize_id(boxer_id), index.cast("string"))
+    """``"{normalized_id}_bout_{i}"`` — reference ``boxing/transform/bout_id.py:4-12``.
+
+    ``concat`` (not ``concat_ws``) so a NULL id yields NULL instead of a
+    plausible-looking bare index string.
+    """
+    return F.concat(normalize_id(boxer_id), F.lit("_bout_"), index.cast("string"))
 
 
 def id_from_url(col: Column, pattern: str = r"/box-pro/(\d+)") -> Column:
@@ -112,7 +123,7 @@ def height_to_cm(col: Column) -> Column:
 
     Reference: ``boxing/extract/page/boxer/fields/height.py:7-31``.
     """
-    cm = F.regexp_extract(col, r"(\d{3})\s*cm", 1)
+    cm = F.regexp_extract(col, r"(\d+)\s*cm", 1)
     ft = F.regexp_extract(col, r"(\d+)\s*(?:ft|')", 1)
     inch = F.regexp_extract(col, r"(?:ft|')\s*(\d+)", 1)
     converted = F.floor(

@@ -35,7 +35,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-BASE_TS = "2025-01-01 00:00:00"
+#: 2025-01-01 00:00:00 UTC as epoch seconds — a numeric literal so the
+#: generated warc_ts (and the pinned golden hashes) cannot shift with the
+#: session time zone of a consumer that didn't use get_spark().
+BASE_EPOCH = 1735689600
 
 LANGS = ["en", "en", "en", "de", "es", "fr", "it", "pt"]  # en-heavy like the web
 
@@ -87,9 +90,7 @@ def change_stream(
 
     # --- event time: offset-proportional with ±300s jitter (out-of-order)
     jitter = F.pmod(_h(seed + 2, F.col("offset")), F.lit(600)) - F.lit(300)
-    warc_ts = F.timestamp_seconds(
-        F.unix_timestamp(F.lit(BASE_TS)) + F.col("offset") + jitter
-    )
+    warc_ts = F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("offset") + jitter)
 
     # --- op mix: ~delete_frac 'D', 1/8 'I', rest 'U'
     opsel = _u01(seed + 3, F.col("offset"))

@@ -35,9 +35,9 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------------------
 
 
-def normalized_text(col: Column) -> Column:
-    """Whitespace-collapsed, lowercased text — the exact-dup canonical form."""
-    return F.lower(F.trim(F.regexp_replace(col, "\\s+", " ")))
+# canonical normal form + F1 fingerprint live in functions/ — one definition
+from data_pipelines_spark.functions.hashing import content_hash
+from data_pipelines_spark.functions.normalize import normalized_text  # noqa: F401 (re-export)
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,7 +46,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     The A4 'HAVING count(*) > 1' pattern (reference
     ``boxing/database/validators/queries.py:86-107``) applied to content.
     """
-    h = F.sha2(normalized_text(F.col(text_col)).cast("binary"), 256).alias("content_hash")
+    h = content_hash(normalized_text(F.col(text_col))).alias("content_hash")
     return (
         df.select(h, F.col(id_col))
         .groupBy("content_hash")
@@ -60,7 +60,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct content (the min id — deterministic)."""
-    h = F.sha2(normalized_text(F.col(text_col)).cast("binary"), 256)
+    h = content_hash(normalized_text(F.col(text_col)))
     keep = (
         df.select(F.col(id_col).alias("_id"), h.alias("_h"))
         .groupBy("_h")
@@ -197,12 +197,19 @@ def minhash_lsh_candidates(
     collisions are found by grouping on (band, bucket) and expanding each
     group's id list to pairs with JVM higher-order functions. Group sizes are
     bounded by ``max_bucket``: a bucket larger than that is a boilerplate
-    cluster — its members are all near-identical, so only the id-sorted
-    adjacent chain is emitted instead of the quadratic pair set (keeps the
-    worst-case output linear; the transitive dedup group is preserved).
+    cluster, so only the id-sorted adjacent chain is emitted instead of the
+    quadratic pair set (keeps the worst-case output linear and the chain
+    connects the bucket as one candidate group — note a downstream exact
+    verifier may split such a chain; see ``minhash_lsh_dedup_pairs``).
     """
     from data_pipelines_spark.operators.partitioning import ensure_parallelism
 
+    if num_bands < 1 or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"num_bands ({num_bands}) — leftover lanes would silently change "
+            "the recall curve, and rows_per_band=0 degenerates to all-collide"
+        )
     rows_per_band = num_hashes // num_bands
     src = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
     sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes, seed)
@@ -255,15 +262,21 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = 64,
     num_bands: int = 16,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by true Jaccard.
 
     Output: (a, b, jaccard) with a < b and jaccard ≥ threshold. Because every
-    candidate is re-verified exactly, the result has no false positives; LSH
-    only bounds recall (tunable via bands/rows).
+    candidate is re-verified exactly, the result has no false positives;
+    recall is bounded by the band/row configuration AND, inside buckets
+    larger than ``max_bucket``, by the linear chain fallback — a chain pair
+    that fails verification can hide a transitive true pair, so raise
+    ``max_bucket`` (or post-process chains) when exact recall inside
+    boilerplate clusters matters.
     """
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, shingle_n, num_hashes, num_bands, seed
+        df, text_col, id_col, shingle_n, num_hashes, num_bands, seed,
+        max_bucket=max_bucket,
     )
     docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     joined = (

@@ -94,11 +94,21 @@ def in_range(col: str, lo, hi) -> Check:
     return (f"range_{col}", fn)
 
 
-def no_future_dates(col: str) -> Check:
-    """F13: timestamps may not exceed now (``queries.py:199-207``)."""
+def no_future_dates(col: str, as_of=None) -> Check:
+    """F13: timestamps may not exceed "now" (``queries.py:199-207``).
+
+    "Now" is snapshotted ONCE at check construction (``as_of`` overrides it
+    explicitly) and embedded as a literal: ``run_suite`` evaluates each
+    check's plan twice (sample + count), and a live ``current_timestamp()``
+    could legally return 0 offenders on the second job after sampling rows
+    on the first — passed=True with a non-empty sample.
+    """
+    import datetime as _dt
+
+    bound = as_of if as_of is not None else _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
     def fn(df: DataFrame) -> DataFrame:
-        return df.where(F.col(col) > F.current_timestamp())
+        return df.where(F.col(col) > F.lit(bound))
 
     return (f"future_{col}", fn)
 
