@@ -795,6 +795,52 @@ class LakeTable:
     def stats(self) -> dict:
         return dict(self._snapshot()["stats"])
 
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Snapshot GC (Iceberg's ``expireSnapshots`` analog): drop snapshot
+        metadata older than the ``keep_last`` most recent versions and delete
+        every data file no retained snapshot references — including orphan
+        commit directories left by crashes before the pointer swap.
+
+        Without this, a 10^10-event stream accrues unbounded metadata and
+        dead delta/base files (every compaction strands its inputs). Safe
+        under the single-writer assumption; idempotent (re-running deletes
+        nothing new). Time travel afterwards reaches only retained versions.
+        Returns {files_deleted, bytes_deleted, snapshots_expired, dirs_removed}.
+        """
+        current = self.current_version()
+        keep_from = max(0, current - keep_last + 1)
+        referenced: set[str] = set()
+        retained = 0
+        for v in range(keep_from, current + 1):
+            try:
+                snap = self._snapshot(v)
+            except FileNotFoundError:
+                continue
+            retained += 1
+            for files in snap["files"].values():
+                for fe in files:
+                    referenced.add(os.path.normpath(fe["path"]))
+        stats = {"files_deleted": 0, "bytes_deleted": 0, "snapshots_expired": 0, "dirs_removed": 0}
+        # data files no retained snapshot references (incl. crash orphans)
+        for dirpath, _dirnames, filenames in os.walk(self._data_dir, topdown=False):
+            for fn in filenames:
+                fp = os.path.join(dirpath, fn)
+                rel = os.path.normpath(os.path.relpath(fp, self.root))
+                if rel not in referenced:
+                    stats["bytes_deleted"] += os.path.getsize(fp)
+                    os.remove(fp)
+                    stats["files_deleted"] += 1
+            if not os.listdir(dirpath) and os.path.normpath(dirpath) != os.path.normpath(self._data_dir):
+                os.rmdir(dirpath)
+                stats["dirs_removed"] += 1
+        # expired snapshot metadata
+        for v in range(0, keep_from):
+            p = os.path.join(self._meta_dir, f"v{v}.json")
+            if os.path.exists(p):
+                os.remove(p)
+                stats["snapshots_expired"] += 1
+        return stats
+
     def update_schema(self, new_schema: T.StructType, batch_id: int | str = "schema-update") -> MergeStats:
         """Explicit schema evolution: commit a metadata-only snapshot with the
         merged (additive/widened) schema — the engine's `schema-validate` +
@@ -821,7 +867,10 @@ class LakeTable:
         out = []
         v: int | None = self.current_version()
         while v is not None:
-            s = self._snapshot(v)
+            try:
+                s = self._snapshot(v)
+            except FileNotFoundError:
+                break  # older snapshots expired by expire_snapshots()
             out.append(
                 {
                     "version": s["version"],

@@ -228,3 +228,34 @@ def test_salted_dedup_identical_state_under_extreme_skew(spark, tmp_root):
         changes.groupBy("url").count().orderBy(F.col("count").desc()).limit(1).collect()[0]
     )
     assert top["count"] > 4000 * 0.2
+
+
+def test_expire_snapshots_gc(spark, table):
+    """expire_snapshots drops old metadata + unreferenced data files (incl.
+    crash orphans) while current reads and retained time travel survive."""
+    for i in range(5):
+        _merge(
+            spark, table,
+            [("U", "u1", ts(i + 1), i, f"<p>{i}</p>".encode(), "en")],
+            batch_id=i,
+        )
+    # crash orphan: files written, pointer never moved
+    orphan = table._new_commit_dir(table.current_version())
+    os.makedirs(os.path.join(orphan, "_bucket=0"), exist_ok=True)
+    with open(os.path.join(orphan, "_bucket=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"junk")
+    before = table.read().collect()
+    cur = table.current_version()
+
+    stats = table.expire_snapshots(keep_last=2)
+    assert stats["snapshots_expired"] == cur - 1  # v0..v{cur-2} dropped
+    assert stats["files_deleted"] > 0 and not os.path.exists(orphan)
+    after = table.read().collect()
+    assert after == before
+    assert table.read(version=cur - 1).count() >= 0  # retained time travel
+    with pytest.raises(FileNotFoundError):
+        table._snapshot(0)
+    assert [h["version"] for h in table.history()] == [cur - 1, cur]
+    # idempotent
+    again = table.expire_snapshots(keep_last=2)
+    assert again["files_deleted"] == 0 and again["snapshots_expired"] == 0
