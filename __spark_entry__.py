@@ -160,15 +160,14 @@ def w1_latest_per_key(spark, sf):
 
 
 def s7_due_work_scan(spark, sf):
-    """S7 due-work scan: stale users ordered oldest-first, bounded batch."""
+    """S7 due-work scan: stale users ordered oldest-first, bounded batch —
+    via the library operator (sources.due_work_scan)."""
+    from data_pipelines_spark.sources import due_work_scan
+
     ev = _t(spark, sf, "events")
     latest = lww_latest(ev, "user_id", ("ts", "event_id"))
-    cutoff = "2024-01-30 00:00:00"
-    return (
-        latest.where(F.col("ts") < F.lit(cutoff))
-        .select("user_id", "ts")
-        .orderBy(F.col("ts").asc(), F.col("user_id"))
-        .limit(100)
+    return due_work_scan(
+        latest, "2024-01-30 00:00:00", key="user_id", checked_col="ts", limit=100
     )
 
 
@@ -911,7 +910,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a12_session_window": """
             WITH o AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
                                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS brk
@@ -919,7 +918,7 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), g AS (
               SELECT user_id, ts,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
               FROM o
             )

@@ -75,10 +75,19 @@ def publish_snapshot(
         raise ValueError(fmt)
 
     source_rows = df.count()
+    # read back with the writer's schema (no inference — an empty export
+    # would otherwise fail schema inference) and, for CSV, multiLine so
+    # quoted embedded newlines in text columns stay one record.
+    data_dir = os.path.join(dest, "data")
     target_rows = {
-        "parquet": lambda: spark.read.parquet(os.path.join(dest, "data")).count(),
-        "json": lambda: spark.read.json(os.path.join(dest, "data")).count(),
-        "csv": lambda: spark.read.option("header", True).csv(os.path.join(dest, "data")).count(),
+        "parquet": lambda: spark.read.parquet(data_dir).count(),
+        "json": lambda: spark.read.schema(df.schema).json(data_dir).count(),
+        "csv": lambda: spark.read.schema(df.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(data_dir)
+        .count(),
     }[fmt]()
     manifest = {
         "source_snapshot": version,
@@ -93,8 +102,11 @@ def publish_snapshot(
     if not manifest["match"]:
         raise PublishError(f"count reconciliation failed: {manifest}")
     # atomic LATEST pointer, same discipline as the lake's CURRENT
+    # (flush+fsync before rename, so a crash can't leave a torn pointer)
     tmp = os.path.join(out_root, f".latest-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(dest)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(out_root, "LATEST"))
     return manifest

@@ -128,11 +128,25 @@ def ivf_assign(
     )
     centroids = [(i, [float(x) for x in r.cv]) for i, r in enumerate(sample)]
     v = F.col(vec_col).cast("array<double>")
-    # argmax over centroids via array_max of (cosine, -centroid_id) structs
+    # cosine argmax with the row norm computed ONCE (not once per centroid)
+    # and centroid norms folded in driver-side as literals — per row this is
+    # n_centroids dot products + 1 norm fold instead of 2*n_centroids folds.
+    # Since ||v|| > 0 is a common positive factor, argmax over dot/||c||
+    # equals argmax over full cosine; ||v||=0 rows score 0 everywhere and
+    # deterministically take centroid 0, same as before.
+    import math
+
     scored = F.array(
         *[
             F.struct(
-                cosine_similarity(v, _query_lit(cv)).alias("cos"),
+                (
+                    F.aggregate(
+                        F.zip_with(v, _query_lit(cv), lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.lit(max(math.sqrt(sum(x * x for x in cv)), 1e-12))
+                ).alias("score"),
                 F.lit(-ci).alias("neg_id"),
             )
             for ci, cv in centroids

