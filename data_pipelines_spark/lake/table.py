@@ -537,34 +537,48 @@ class LakeTable:
         row-group statistics; tombstone counts from reading ONLY the tiny
         dictionary-encoded ``op`` column. All O(files in this batch).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         tie = self.seq_cols[-1]
-        lo = hi = None
-        for b, files in new_files.items():
-            rows = dead = 0
-            for fe in files:
-                fp = os.path.join(self.root, fe["path"])
-                f = pq.ParquetFile(fp)
-                md = f.metadata
-                rows += md.num_rows
-                names = [md.schema.column(i).name for i in range(md.num_columns)]
-                op_idx = names.index("op") if "op" in names else None
-                tie_idx = names.index(tie) if tie in names else None
-                for rg in range(md.num_row_groups):
-                    if tie_idx is not None:
-                        st = md.row_group(rg).column(tie_idx).statistics
-                        if st is not None and st.has_min_max:
-                            lo = st.min if lo is None else min(lo, st.min)
-                            hi = st.max if hi is None else max(hi, st.max)
-                if op_idx is not None:
-                    import pyarrow.compute as pc
 
-                    ops = f.read(columns=["op"]).column(0)
-                    dead += int(pc.sum(pc.equal(ops, "D")).as_py() or 0)
-            stats.per_bucket[int(b)] = {"rows": rows, "tombstones": dead}
+        def one_file(args):
+            b, fe = args
+            f = pq.ParquetFile(os.path.join(self.root, fe["path"]))
+            md = f.metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            op_idx = names.index("op") if "op" in names else None
+            tie_idx = names.index(tie) if tie in names else None
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                if tie_idx is not None:
+                    st = md.row_group(rg).column(tie_idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            dead = 0
+            if op_idx is not None:
+                ops = f.read(columns=["op"]).column(0)
+                dead = int(pc.sum(pc.equal(ops, "D")).as_py() or 0)
+            return b, md.num_rows, dead, lo, hi
+
+        work = [(b, fe) for b, files in new_files.items() for fe in files]
+        # footer opens are I/O-latency-bound — a thread pool turns ~10 ms ×
+        # n_files of serial driver time into one round trip
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(work)))) as ex:
+            results = list(ex.map(one_file, work))
+        lo = hi = None
+        for b, rows, dead, flo, fhi in results:
+            p = stats.per_bucket.setdefault(int(b), {"rows": 0, "tombstones": 0})
+            p["rows"] += rows
+            p["tombstones"] += dead
             stats.rows_in += rows
             stats.rows_deleted += dead
+            if flo is not None:
+                lo = flo if lo is None else min(lo, flo)
+                hi = fhi if hi is None else max(hi, fhi)
         stats.rows_upserted = stats.rows_in - stats.rows_deleted
         stats.buckets_touched = len(new_files)
         stats.seq_min, stats.seq_max = lo, hi
