@@ -680,6 +680,104 @@ def a12_session_window(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.9 extraction surface over synthetic BoxRec-shaped pages: the pandas-UDF
+# extractors run Spark-side on pages generated from doc_id arithmetic; the
+# DuckDB oracle predicts the exact extracted values from the same arithmetic
+# (a ground-truth check, not a reimplementation of the regexes).
+# ---------------------------------------------------------------------------
+
+
+def x1_extract_profile(spark, sf):
+    """Full 36-field wide-struct extraction (ref orchestrator + per-field
+    extractors, ``boxing/extract/page/boxer/fields/*.py``)."""
+    from data_pipelines_spark.extract.html import extract_page_fields
+    from data_pipelines_spark.gen.pagegen import profile_page
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    fields = extract_page_fields(profile_page(i).cast("binary")).alias("f")
+    out = d.select("doc_id", fields)
+    return out.select(
+        "doc_id",
+        "f.name", "f.birth_name", "f.birth_date", "f.birth_place", "f.residence",
+        "f.gender", "f.height_cm", "f.reach_cm", "f.stance",
+        "f.debut_date_pro", "f.debut_date_amateur",
+        "f.division", "f.division_amateur", "f.status", "f.status_amateur",
+        "f.pro_wins", "f.pro_losses", "f.pro_draws",
+        "f.pro_ko_wins", "f.pro_ko_losses",
+        "f.am_wins", "f.am_losses", "f.am_draws", "f.am_ko_wins",
+        "f.rounds_pro",
+        F.concat_ws(",", F.col("f.promoters")).alias("promoters_csv"),
+        # NULL array → concat_ws gives '' — normalize back to NULL
+        F.nullif(F.concat_ws(",", F.col("f.managers")), F.lit("")).alias(
+            "managers_csv"
+        ),
+        "f.gym", "f.avatar_image",
+    )
+
+
+def x2_extract_bouts(spark, sf):
+    """Bout-history UDTF with the full sub-field surface (ref ``bouts.py``:
+    record/form/weight/rating/links/title) + F4 positional bout ids."""
+    from data_pipelines_spark.extract.html import extract_bouts
+    from data_pipelines_spark.gen.pagegen import bouts_page
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    bouts = extract_bouts(bouts_page(i).cast("binary"))
+    ex = d.select("doc_id", F.posexplode(bouts).alias("pos", "b"))
+    return ex.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("bout_no"),
+        "b.bout_date", "b.opponent_name", "b.opponent_id", "b.opponent_record",
+        "b.opponent_weight", "b.recent_form", "b.venue",
+        "b.result", "b.result_method", "b.result_round", "b.rating",
+        "b.event_id", "b.bout_ref_id",
+        (F.size(F.col("b.titles")) > 0).alias("title_fight"),
+        bout_id(F.col("doc_id").cast("string"), F.col("pos")).alias("gen_bout_id"),
+    )
+
+
+def x3_url_harvest(spark, sf):
+    """URL-harvest UDTF + J7 seen-set anti-join (ref ``urls/opponent_urls.py``:
+    harvest personLink URLs from fight tables, keep only unseen ones)."""
+    from data_pipelines_spark.extract.html import harvest_new_urls
+    from data_pipelines_spark.gen.pagegen import bouts_page
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    pages = d.select("doc_id", bouts_page(i).cast("binary").alias("html"))
+    # seen set: every harvested opponent id divisible by 7 (pre-registered)
+    seen_parts = []
+    for j in (1, 2):
+        oid = 1000 + i * 3 + j
+        seen_parts.append(
+            d.where((i % 3 >= j) & (oid % 7 == 0)).select(
+                F.concat(
+                    F.lit("https://boxrec.com/en/box-pro/"), oid.cast("string")
+                ).alias("url")
+            )
+        )
+    seen = seen_parts[0].union(seen_parts[1]).distinct()
+    return harvest_new_urls(pages, seen, url_kind="opponent_urls")
+
+
+def x4_page_quarantine(spark, sf):
+    """P2→P7 full validator chain (size/error/login/rate-limit/URL/blank/
+    maintenance/content/page-type) over a corpus with one deterministic
+    defect family per doc_id%10."""
+    from data_pipelines_spark.extract.html import page_validation_reason
+    from data_pipelines_spark.gen.pagegen import quarantine_page, quarantine_url
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        page_validation_reason(quarantine_page(i), quarantine_url(i)).alias("reason"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": cdc_final_state,
@@ -732,6 +830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": lang_id_documents,
         "text_tokens_quality": text_tokens_quality,
         "doc_fingerprint": doc_fingerprint,
+        "x1_extract_profile": x1_extract_profile,
+        "x2_extract_bouts": x2_extract_bouts,
+        "x3_url_harvest": x3_url_harvest,
+        "x4_page_quarantine": x4_page_quarantine,
     }
 
 
@@ -1167,6 +1269,110 @@ def oracle_sql() -> dict[str, str]:
                         WHEN contains(lower(text), 'login') THEN 'login_page'
                         WHEN contains(lower(text), 'rate limit') THEN 'rate_limited'
                         ELSE 'ok' END AS page_flag
+            FROM documents
+        """,
+        "x1_extract_profile": """
+            SELECT doc_id,
+                   concat('Boxer ', CAST(doc_id AS VARCHAR)) AS name,
+                   concat('Alias ', CAST(doc_id AS VARCHAR)) AS birth_name,
+                   concat(CAST(1970 + doc_id % 30 AS VARCHAR), '-0',
+                          CAST(1 + doc_id % 9 AS VARCHAR), '-',
+                          CAST(10 + doc_id % 10 AS VARCHAR)) AS birth_date,
+                   concat('City ', CAST(doc_id % 100 AS VARCHAR)) AS birth_place,
+                   concat('Town ', CAST(doc_id % 50 AS VARCHAR)) AS residence,
+                   CASE WHEN doc_id % 5 = 0 THEN 'F' ELSE 'M' END AS gender,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(150 + doc_id % 50 AS INT)
+                        ELSE CAST(floor((60 + doc_id % 12) * 2.54) AS INT)
+                   END AS height_cm,
+                   CAST(160 + doc_id % 40 AS INT) AS reach_cm,
+                   CASE WHEN doc_id % 2 = 0 THEN 'orthodox'
+                        ELSE 'southpaw' END AS stance,
+                   concat('200', CAST(doc_id % 10 AS VARCHAR), '-06-15')
+                     AS debut_date_pro,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat('1999-03-0', CAST(1 + doc_id % 9 AS VARCHAR))
+                   END AS debut_date_amateur,
+                   'heavyweight' AS division,
+                   CASE WHEN doc_id % 3 = 0 THEN 'middleweight'
+                   END AS division_amateur,
+                   CASE WHEN doc_id % 2 = 0 THEN 'active'
+                        ELSE 'inactive' END AS status,
+                   CASE WHEN doc_id % 3 = 0 THEN 'inactive'
+                        WHEN (doc_id % 60) + (doc_id % 8) + (doc_id % 5) > 0
+                        THEN 'inactive' END AS status_amateur,
+                   CAST(doc_id % 60 AS INT) AS pro_wins,
+                   CAST(doc_id % 8 AS INT) AS pro_losses,
+                   CAST(doc_id % 5 AS INT) AS pro_draws,
+                   CAST(doc_id % 40 AS INT) AS pro_ko_wins,
+                   CAST(doc_id % 6 AS INT) AS pro_ko_losses,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 90 AS INT)
+                   END AS am_wins,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 9 AS INT)
+                   END AS am_losses,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 4 AS INT)
+                   END AS am_draws,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 30 AS INT)
+                   END AS am_ko_wins,
+                   CAST(doc_id % 300 AS INT) AS rounds_pro,
+                   'Top Rank,Golden Boy' AS promoters_csv,
+                   CASE WHEN doc_id % 2 = 0 THEN 'Al Haymon'
+                   END AS managers_csv,
+                   concat('Gym ', CAST(doc_id % 5 AS VARCHAR)) AS gym,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE concat('https://boxrec.com/images/b/',
+                                    CAST(doc_id AS VARCHAR), '.jpg')
+                   END AS avatar_image
+            FROM documents
+        """,
+        "x2_extract_bouts": """
+            SELECT doc_id,
+                   CAST(j AS INT) AS bout_no,
+                   concat('202', CAST(j AS VARCHAR), '-0',
+                          CAST(1 + doc_id % 9 AS VARCHAR), '-15') AS bout_date,
+                   concat('Opp ', CAST(doc_id AS VARCHAR), '-',
+                          CAST(j AS VARCHAR)) AS opponent_name,
+                   CAST(1000 + doc_id * 3 + j AS VARCHAR) AS opponent_id,
+                   concat(CAST(doc_id % 30 AS VARCHAR), '-',
+                          CAST(j AS VARCHAR), '-0') AS opponent_record,
+                   concat(CAST(140 + j AS VARCHAR), ' lbs') AS opponent_weight,
+                   CASE WHEN j = 1 THEN 'WL' ELSE 'D' END AS recent_form,
+                   concat('Arena ', CAST(doc_id % 20 AS VARCHAR)) AS venue,
+                   CASE WHEN j % 2 = 1 THEN 'W' ELSE 'L' END AS result,
+                   CASE WHEN j % 2 = 1 THEN 'TKO' ELSE 'UD' END AS result_method,
+                   CASE WHEN j % 2 = 1 THEN CAST(j AS INT)
+                        ELSE 12 END AS result_round,
+                   CAST(j AS INT) AS rating,
+                   CAST(5000 + doc_id AS VARCHAR) AS event_id,
+                   CAST(j AS VARCHAR) AS bout_ref_id,
+                   (doc_id % 5 = 0 AND j = 1) AS title_fight,
+                   concat(CAST(doc_id AS VARCHAR), '_bout_',
+                          CAST(j - 1 AS VARCHAR)) AS gen_bout_id
+            FROM documents,
+                 unnest(generate_series(1, doc_id % 3)) AS t(j)
+        """,
+        "x3_url_harvest": """
+            WITH oids AS (
+              SELECT DISTINCT 1000 + doc_id * 3 + j AS oid
+              FROM documents,
+                   unnest(generate_series(1, doc_id % 3)) AS t(j)
+            )
+            SELECT concat('https://boxrec.com/en/box-pro/',
+                          CAST(oid AS VARCHAR)) AS url
+            FROM oids WHERE oid % 7 <> 0
+        """,
+        "x4_page_quarantine": """
+            SELECT doc_id,
+                   CASE doc_id % 10
+                        WHEN 0 THEN 'too_small'
+                        WHEN 1 THEN 'error_page'
+                        WHEN 2 THEN 'login_page'
+                        WHEN 3 THEN 'rate_limited'
+                        WHEN 4 THEN 'bad_url'
+                        WHEN 5 THEN 'blank_minimal'
+                        WHEN 6 THEN 'maintenance'
+                        WHEN 7 THEN 'blank_no_content'
+                        WHEN 8 THEN 'not_boxer_page'
+                   END AS reason
             FROM documents
         """,
         "text_quality_score": _quality_oracle(),

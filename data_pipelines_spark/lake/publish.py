@@ -70,7 +70,16 @@ def publish_snapshot(
     elif fmt == "json":
         df.write.mode("overwrite").json(os.path.join(dest, "data"))
     elif fmt == "csv":
-        df.write.mode("overwrite").option("header", True).csv(os.path.join(dest, "data"))
+        # RFC-4180 doubled quotes (escape='"') so the verify reader below —
+        # which parses with the same escape — round-trips values containing
+        # quotes/newlines; Spark's default backslash escape would split such
+        # rows and fail (or worse, coincidentally pass) reconciliation.
+        (
+            df.write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .csv(os.path.join(dest, "data"))
+        )
     else:
         raise ValueError(fmt)
 

@@ -40,14 +40,27 @@ def run_suite(df: DataFrame, checks: Sequence[Check], sample_size: int = 5) -> l
     results = []
     for name, fn in checks:
         offenders = fn(df)
-        rows = offenders.limit(sample_size + 1).collect()
-        n = offenders.count() if len(rows) > sample_size else len(rows)
+        # ONE job per check: count + bounded sample in a single aggregation.
+        # The input is capped at `count_cap` offenders so the collect_list
+        # buffer stays bounded on a 100 TB table full of violations — the
+        # gate only needs "0 or not", and a capped count is reported as-is
+        # (the suite fails identically either way).
+        count_cap = 10_000
+        agg = (
+            offenders.limit(count_cap)
+            .select(F.struct("*").alias("_r"))
+            .agg(
+                F.count("_r").alias("n"),
+                F.slice(F.collect_list("_r"), 1, sample_size).alias("sample"),
+            )
+            .collect()[0]
+        )
         results.append(
             CheckResult(
                 name=name,
-                passed=n == 0,
-                offending_rows=n,
-                sample=[r.asDict(recursive=True) for r in rows[:sample_size]],
+                passed=agg["n"] == 0,
+                offending_rows=agg["n"],
+                sample=[r.asDict(recursive=True) for r in agg["sample"]],
             )
         )
     return results
@@ -105,7 +118,11 @@ def no_future_dates(col: str, as_of=None) -> Check:
     """
     import datetime as _dt
 
-    bound = as_of if as_of is not None else _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    # keep the literal timezone-AWARE: PySpark converts an aware datetime to
+    # the correct instant in any session timezone, whereas a naive UTC value
+    # would be reinterpreted in the session zone and shift the cutoff by the
+    # UTC offset on non-UTC sessions.
+    bound = as_of if as_of is not None else _dt.datetime.now(_dt.timezone.utc)
 
     def fn(df: DataFrame) -> DataFrame:
         return df.where(F.col(col) > F.lit(bound))
