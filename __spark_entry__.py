@@ -453,8 +453,11 @@ def dedup_ngram_jaccard(spark, sf):
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup pairs, exact-verified at Jaccard ≥ 0.9.
 
-    No SQL oracle (xxhash64 signatures); the exactness of the verify step is
-    covered by tests/test_dedup.py against brute-force all-pairs.
+    Oracle: global all-pairs 3-shingle Jaccard at the same threshold — the
+    LSH stage only generates candidates; the verify stage recomputes exact
+    Jaccard, so output == the exact pair set whenever banding recall is 1.
+    With 16 bands × 4 rows the per-pair miss probability at J ≥ 0.9 is
+    (1 − 0.9⁴)¹⁶ ≈ 3·10⁻⁸ — the oracle doubles as a live recall check.
     """
     d = _t(spark, sf, "documents")
     return minhash_lsh_dedup_pairs(d, threshold=0.9).select(
@@ -463,9 +466,14 @@ def dedup_minhash_lsh(spark, sf):
 
 
 def dedup_simhash(spark, sf):
-    """SimHash near-dup pairs (Hamming ≤ 3). Rows-only check (blake2b lanes)."""
+    """SimHash near-dup pairs (Hamming ≤ 3), md5 60-bit variant.
+
+    Chunk blocking is pigeonhole-exact, and the md5 lane hash is
+    reproducible in DuckDB, so the oracle recomputes the full signature +
+    pair set in SQL.
+    """
     d = _t(spark, sf, "documents")
-    return simhash_near_dup_pairs(d, max_hamming=3)
+    return simhash_near_dup_pairs(d, max_hamming=3, hash_fn="md5")
 
 
 def sim_topk_bruteforce(spark, sf):
@@ -477,8 +485,10 @@ def sim_topk_bruteforce(spark, sf):
 
 
 def sim_topk_lsh(spark, sf):
-    """Sign-LSH bucketed ANN top-10 (rows-only: approximate by design;
-    recall vs brute force is asserted in tests/test_similarity.py)."""
+    """Sign-LSH bucketed ANN top-10. The hyperplanes are seed-deterministic,
+    so the oracle embeds them as literals and replays the whole structure —
+    bucket assignment, Hamming-≤-multiprobe probing, exact cosine ranking —
+    in SQL (same left-fold summation order end to end)."""
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
     out = lsh_topk(e, q, k=10, n_planes=8, multiprobe=2)
@@ -506,11 +516,13 @@ def text_tokens_quality(spark, sf):
 
 
 def doc_fingerprint(spark, sf):
-    """Bottom-k rolling-hash fingerprint (rows-only: xxhash64 sketch)."""
+    """Bottom-k rolling-hash fingerprint (md5 gram hash → the oracle
+    rebuilds the identical sketch and digest in SQL; production would use
+    the xxhash64 variant, same plan shape)."""
     from data_pipelines_spark.extract.textqa import fingerprint_hex
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", fingerprint_hex(F.col("text")).alias("fp"))
+    return d.select("doc_id", fingerprint_hex(F.col("text"), hash_fn="md5").alias("fp"))
 
 
 def dedup_embedding_cosine(spark, sf):
@@ -524,8 +536,10 @@ def dedup_embedding_cosine(spark, sf):
 
 
 def sim_topk_ivf(spark, sf):
-    """IVF-probed ANN top-10 (rows-only: approximate by design; recall floor
-    asserted in tests/test_similarity.py)."""
+    """IVF-probed ANN top-10. Centroid selection uses a plain-integer
+    multiplicative scramble, so the oracle rebuilds centroids, the argmax
+    assignment (same score expression + tie-break), the nprobe probe set,
+    and the exact in-cluster ranking in SQL."""
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
     assigned, cents = ivf_assign(e, n_centroids=16)
@@ -901,6 +915,180 @@ WITH w AS (
 )
 SELECT doc_id, CASE WHEN score > 0 THEN lang END AS guess
 FROM best WHERE rn = 1
+"""
+
+
+#: DuckDB equivalent of functions.normalize.normalized_text
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _minhash_oracle(threshold: float = 0.9, n: int = 3) -> str:
+    """Global all-pairs word-{n}-shingle Jaccard at the LSH verify threshold."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(ws) - {n - 1}, 1)),
+             i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, ' ') AS ws
+        FROM documents)
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh))::double /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::double /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+"""
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """Full md5 60-bit SimHash recomputation + all pairs within Hamming."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(
+           string_split_regex({_NORM_SQL}, ' '),
+           t -> ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT) AS hs
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(0, 59), b ->
+           CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                THEN (1::BIGINT << b) ELSE 0 END)) AS simhash
+  FROM tok
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _fingerprint_oracle(k: int = 8, sketch: int = 16) -> str:
+    """Bottom-k md5 char-{k}-gram sketch → sha256 digest, rebuilt in SQL."""
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(nt) - {k - 1}, 1)),
+           i -> nt[i:i+{k - 1}]) AS grams
+  FROM (SELECT doc_id, {_NORM_SQL} AS nt FROM documents)
+), h AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           grams, s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT))) AS hs
+  FROM g
+)
+SELECT doc_id,
+       sha256(array_to_string(
+         list_transform(hs[1:{sketch}], x -> CAST(x AS VARCHAR)), ',')) AS fp
+FROM h
+"""
+
+
+def _lsh_topk_oracle(n_planes: int = 8, multiprobe: int = 2, k: int = 10) -> str:
+    """Replay of sign-LSH ANN in SQL: the seed-deterministic hyperplanes are
+    embedded as literals; buckets, the Hamming-≤-multiprobe probe set, and
+    the exact cosine ranking use the same left-fold float summation order as
+    the Spark plan, so results agree bit-for-bit."""
+    from data_pipelines_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, seed=42)
+    rows = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(b, ", ".join(repr(float(x)) for x in p))
+        for b, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(b, p) AS (VALUES
+      {rows}
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings
+), bk AS (
+  SELECT vec_id, e,
+         CAST(sum(CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(e)), i -> e[i] * p[i]),
+                 (x, y) -> x + y) > 0
+               THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id, e
+), q AS (
+  SELECT e AS qe, bucket AS qb FROM bk WHERE vec_id = 1
+), scored AS (
+  SELECT vec_id,
+         list_reduce(list_transform(generate_series(1, len(e)),
+                                    i -> e[i] * qe[i]), (x, y) -> x + y) AS dot,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y)) AS na,
+         sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS nq
+  FROM bk CROSS JOIN q
+  WHERE bit_count(xor(bucket, qb)) <= {multiprobe}
+)
+SELECT vec_id,
+       round(CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END, 4)
+         AS cosine
+FROM scored
+ORDER BY (CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END) DESC,
+         vec_id
+LIMIT {k}
+"""
+
+
+def _ivf_topk_oracle(
+    n_centroids: int = 16, sample_mod: int = 37, nprobe: int = 4, k: int = 10
+) -> str:
+    """Replay of the IVF structure in SQL: multiplicative-scramble centroid
+    sample, dot/||c|| argmax assignment with the same tie-break, fold-order
+    cosine probe selection, exact ranking inside probed clusters."""
+    scr = f"((vec_id * 2654435761) % 4294967296) % {sample_mod}"
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings
+), c AS (
+  SELECT row_number() OVER (ORDER BY {scr}, vec_id) - 1 AS cid, e AS ce
+  FROM v ORDER BY {scr}, vec_id LIMIT {n_centroids}
+), cn AS (
+  SELECT cid, ce,
+         greatest(sqrt(list_reduce(list_transform(ce, x -> x * x),
+                                   (x, y) -> x + y)), 1e-12) AS cnorm
+  FROM c
+), q AS (SELECT e AS qe FROM v WHERE vec_id = 1
+), assign AS (
+  SELECT vec_id, e, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY
+             list_reduce(list_transform(generate_series(1, len(e)),
+                                        i -> e[i] * ce[i]), (x, y) -> x + y)
+               / cnorm DESC,
+             cid ASC) AS rn
+  FROM v CROSS JOIN cn
+), probes AS (
+  SELECT cid FROM (
+    SELECT cid,
+           list_reduce(list_transform(generate_series(1, len(qe)),
+                                      i -> qe[i] * ce[i]), (x, y) -> x + y) AS dot,
+           sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS nq,
+           sqrt(list_reduce(list_transform(ce, x -> x * x), (x, y) -> x + y)) AS nc
+    FROM c CROSS JOIN q
+  )
+  ORDER BY (CASE WHEN nq > 0 AND nc > 0 THEN dot / (nq * nc) ELSE 0 END) DESC,
+           cid
+  LIMIT {nprobe}
+), cand AS (
+  SELECT a.vec_id, a.e FROM assign a JOIN probes p USING (cid) WHERE a.rn = 1
+), scored AS (
+  SELECT vec_id,
+         list_reduce(list_transform(generate_series(1, len(e)),
+                                    i -> e[i] * qe[i]), (x, y) -> x + y) AS dot,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y)) AS na,
+         sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS nq
+  FROM cand CROSS JOIN q
+)
+SELECT vec_id,
+       round(CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END, 4)
+         AS cosine
+FROM scored
+ORDER BY (CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END) DESC,
+         vec_id
+LIMIT {k}
 """
 
 
@@ -1389,7 +1577,9 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END, 4) AS punct_ratio
             FROM documents
         """,
-        # no oracle (hash-sketch internals not SQL-reproducible, or
-        # approximate-by-design; rows-only): dedup_minhash_lsh, dedup_simhash,
-        # sim_topk_lsh, sim_topk_ivf, doc_fingerprint
+        "dedup_minhash_lsh": _minhash_oracle(threshold=0.9, n=3),
+        "dedup_simhash": _simhash_oracle(max_hamming=3),
+        "doc_fingerprint": _fingerprint_oracle(k=8, sketch=16),
+        "sim_topk_lsh": _lsh_topk_oracle(n_planes=8, multiprobe=2, k=10),
+        "sim_topk_ivf": _ivf_topk_oracle(n_centroids=16, sample_mod=37, nprobe=4, k=10),
     }

@@ -131,20 +131,44 @@ def char_shingles(col: Column, k: int = 8) -> Column:
     )
 
 
-def fingerprint(col: Column, k: int = 8, sketch_size: int = 16) -> Column:
+def _gram_hash(s: Column, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(s)
+    if hash_fn == "md5":
+        # first 15 hex digits of md5 → positive 60-bit long; DuckDB computes
+        # the identical value with ('0x'||substr(md5(g),1,15))::UBIGINT, so
+        # the oracle can rebuild the whole sketch
+        return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast("long")
+    raise ValueError(hash_fn)
+
+
+def fingerprint(
+    col: Column, k: int = 8, sketch_size: int = 16, hash_fn: str = "xxhash64"
+) -> Column:
     """Bottom-k document fingerprint: the ``sketch_size`` smallest k-gram
     hashes, sorted — a compact rolling-hash sketch whose overlap estimates
     containment (winnowing-family; deterministic, order-insensitive).
+
+    ``hash_fn='xxhash64'`` is the production path (fastest, pure JVM);
+    ``'md5'`` trades a few cycles for SQL-oracle reproducibility — still
+    all-JVM, still inside whole-stage codegen.
     """
     hashes = F.array_distinct(
-        F.transform(char_shingles(col, k), lambda s: F.xxhash64(s))
+        F.transform(char_shingles(col, k), lambda s: _gram_hash(s, hash_fn))
     )
     return F.slice(F.array_sort(hashes), 1, sketch_size)
 
 
-def fingerprint_hex(col: Column, k: int = 8, sketch_size: int = 16) -> Column:
+def fingerprint_hex(
+    col: Column, k: int = 8, sketch_size: int = 16, hash_fn: str = "xxhash64"
+) -> Column:
     """Single hex digest of the bottom-k sketch (joinable fingerprint id)."""
     return F.sha2(
-        F.concat_ws(",", F.transform(fingerprint(col, k, sketch_size), lambda h: h.cast("string"))).cast("binary"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                fingerprint(col, k, sketch_size, hash_fn), lambda h: h.cast("string")
+            ),
+        ).cast("binary"),
         256,
     )

@@ -211,8 +211,13 @@ def minhash_lsh_candidates(
             "the recall curve, and rows_per_band=0 degenerates to all-collide"
         )
     rows_per_band = num_hashes // num_bands
-    src = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes, seed)
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+    )
+    sig = minhash_signature(F.col("sh"), num_hashes, seed)
     banded = (
         src.select("id", sig.alias("sig"))
         .select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"))
@@ -273,19 +278,31 @@ def minhash_lsh_dedup_pairs(
     that fails verification can hide a transitive true pair, so raise
     ``max_bucket`` (or post-process chains) when exact recall inside
     boilerplate clusters matters.
+
+    The verify stage joins candidate pairs against a ``(id, shingles)``
+    projection and compares the prebuilt arrays with
+    ``array_intersect``/``array_union`` — shingling stays O(docs), never
+    O(candidate pairs), and the join ships shingle arrays instead of raw
+    document text (at 100 TB a doc appearing in k candidate pairs would
+    otherwise be re-shingled k times).
     """
     cands = minhash_lsh_candidates(
         df, text_col, id_col, shingle_n, num_hashes, num_bands, seed,
         max_bucket=max_bucket,
     )
-    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
     joined = (
-        cands.join(docs.withColumnRenamed("t", "ta"), cands.a == docs.id)
+        cands.join(docs.withColumnRenamed("sh", "sha"), cands.a == docs.id)
         .drop("id")
-        .join(docs.withColumnRenamed("t", "tb"), cands.b == docs.id)
+        .join(docs.withColumnRenamed("sh", "shb"), cands.b == docs.id)
         .drop("id")
     )
-    jac = shingle_jaccard(joined, "ta", "tb", shingle_n).alias("jaccard")
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard")
     return joined.select("a", "b", jac).where(F.col("jaccard") >= threshold)
 
 
@@ -343,12 +360,52 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
     return tokens.map(one)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Add a ``simhash`` column (64-bit signed long)."""
+@F.pandas_udf(_SIMHASH_SCHEMA)
+def _simhash60_md5(tokens: pd.Series) -> pd.Series:
+    """60-bit SimHash over md5 token hashes (first 15 hex digits).
+
+    The oracle-able variant: both md5 and the 15-hex-digit→integer parse are
+    natively reproducible in DuckDB SQL (``('0x'||substr(md5(t),1,15))::
+    UBIGINT``), so the full signature — per-bit majority included — can be
+    recomputed by the correctness oracle. 60 bits keep every value positive
+    in a signed long (no sign-extension mismatches across engines).
+    Majority rule: bit b set iff strictly more than half the token hashes
+    have bit b set (same rule as the 64-bit blake2b variant).
+    """
+    import hashlib
+
+    import numpy as np
+
+    def one(toks) -> int:
+        if toks is None or len(toks) == 0:
+            return 0
+        hs = np.array(
+            [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) for t in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(60, dtype=np.uint64)) & 1).astype(np.int64)
+        maj = (bits.sum(axis=0) * 2 > len(hs)).astype(np.uint64)
+        return int((maj << np.arange(60, dtype=np.uint64)).sum(dtype=np.uint64))
+
+    return tokens.map(one)
+
+
+#: per-variant (signature UDF, total bits) — both split into 4 chunks for
+#: the pigeonhole blocking (Hamming ≤ 3 ⇒ ≥1 identical chunk)
+_SIMHASH_VARIANTS = {"blake2b": (_simhash64, 64), "md5": (_simhash60_md5, 60)}
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "blake2b",
+) -> DataFrame:
+    """Add a ``simhash`` column (signed long; 64-bit blake2b by default,
+    60-bit md5 for SQL-oracle reproducibility)."""
     from data_pipelines_spark.operators.partitioning import ensure_parallelism
 
+    udf, _bits = _SIMHASH_VARIANTS[hash_fn]
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    return ensure_parallelism(df).withColumn("simhash", _simhash64(toks))
+    return ensure_parallelism(df).withColumn("simhash", udf(toks))
 
 
 def simhash_near_dup_pairs(
@@ -356,18 +413,28 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "blake2b",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit chunks, verify Hamming.
+    """Near-dup pairs by SimHash: block on signature chunks, verify Hamming.
 
-    Pigeonhole: distance ≤ 3 over 64 bits ⇒ at least one of the four 16-bit
-    chunks is identical, so blocking on chunks finds every such pair.
+    Pigeonhole: distance ≤ 3 over 4 chunks ⇒ at least one chunk is
+    identical, so blocking on chunks finds every such pair — the output is
+    EXACTLY the set of pairs within ``max_hamming``, not an approximation
+    (which is what makes the md5 variant fully oracle-checkable).
     """
-    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("id"), "simhash")
+    _udf, n_bits = _SIMHASH_VARIANTS[hash_fn]
+    chunk_bits = n_bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    sh = simhash(df, text_col, id_col, hash_fn=hash_fn).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit(chunk_mask))
+                .alias("val"),
             )
             for c in range(4)
         ]

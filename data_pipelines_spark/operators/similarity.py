@@ -50,6 +50,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
+def _fold_dot(a, b) -> float:
+    """Left-fold dot product from 0.0 — the SAME summation order as the
+    JVM-side ``F.aggregate(zip_with(...))`` and DuckDB's ``list_reduce``,
+    so driver-computed buckets/probes agree bit-for-bit with both engines
+    (numpy's pairwise-summation ``np.dot`` would not)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _fold_cos(a, b) -> float:
+    import math
+
+    dot = _fold_dot(a, b)
+    na = math.sqrt(_fold_dot(a, a))
+    nb = math.sqrt(_fold_dot(b, b))
+    return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
 def random_hyperplane_bucket(
     vec: Column, planes: np.ndarray
 ) -> Column:
@@ -93,7 +113,7 @@ def lsh_topk(
     """
     q = np.asarray(query_vec, dtype=float)
     planes = _hyperplanes(len(q), n_planes, seed)
-    qb = int(sum((1 << b) for b, p in enumerate(planes) if float(np.dot(q, p)) > 0))
+    qb = int(sum((1 << b) for b, p in enumerate(planes) if _fold_dot(q, p) > 0))
     probes = _probe_buckets(qb, n_planes, multiprobe)
     v = F.col(vec_col).cast("array<double>")
     bucketed = df.withColumn("_bkt", random_hyperplane_bucket(v, planes))
@@ -118,11 +138,18 @@ def ivf_assign(
 
     Centroids are the first ``n_centroids`` vectors by a hash-ordered sample
     (deterministic, no RNG on data) — a pragmatic stand-in for k-means that
-    keeps the whole structure reproducible. Returns (assigned_df, centroids).
+    keeps the whole structure reproducible. The ordering hash is a Knuth
+    multiplicative scramble ``(id * 2654435761) mod 2^32 mod sample_mod`` —
+    plain integer arithmetic any engine reproduces (the correctness oracle
+    rebuilds the same centroid set in SQL). Returns (assigned_df, centroids).
     """
+    scramble = F.pmod(
+        F.pmod(F.col("cid_src") * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(sample_mod),
+    )
     sample = (
         df.select(F.col(id_col).alias("cid_src"), F.col(vec_col).cast("array<double>").alias("cv"))
-        .orderBy(F.pmod(F.xxhash64(F.col("cid_src")), F.lit(sample_mod)), F.col("cid_src"))
+        .orderBy(scramble, F.col("cid_src"))
         .limit(n_centroids)
         .collect()
     )
@@ -169,11 +196,8 @@ def ivf_topk(
     """Probe the ``nprobe`` centroids nearest the query, exact-rank inside."""
     q = np.asarray(query_vec, dtype=float)
 
-    def cos_np(a, b):
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        return float(np.dot(a, b) / (na * nb)) if na > 0 and nb > 0 else 0.0
-
-    order = sorted(centroids, key=lambda c: (-cos_np(q, np.asarray(c[1])), c[0]))
+    # fold-order cosine so the probe choice matches the SQL oracle exactly
+    order = sorted(centroids, key=lambda c: (-_fold_cos(q, c[1]), c[0]))
     probe_ids = [c[0] for c in order[:nprobe]]
     v = F.col(vec_col).cast("array<double>")
     cos = cosine_similarity(v, _query_lit(q))

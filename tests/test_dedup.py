@@ -105,3 +105,71 @@ def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([("one two",)], "t string")
     got = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0].s
     assert got == ["one two"]
+
+
+def test_simhash_md5_variant_matches_bruteforce(spark, docs):
+    """The oracle-able md5 60-bit variant keeps the pigeonhole exactness:
+    chunk blocking (4×15 bits) finds exactly the brute-force pair set."""
+    from data_pipelines_spark.operators.dedup import simhash
+
+    sh = simhash(docs, hash_fn="md5").select(F.col("doc_id").alias("id"), "simhash")
+    assert all(r.simhash >= 0 for r in sh.collect())  # 60-bit → never negative
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r.a, r.b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r.a, r.b)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3, hash_fn="md5").collect()
+    }
+    assert blocked == brute and (0, 100) in blocked
+
+
+def test_fingerprint_md5_matches_duckdb(spark):
+    """The md5 fingerprint sketch is byte-identical to a DuckDB SQL rebuild
+    (the property the correctness oracle relies on)."""
+    import duckdb
+
+    from data_pipelines_spark.extract.textqa import fingerprint_hex
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"), (2, "tiny"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", fingerprint_hex(F.col("text"), hash_fn="md5").alias("fp")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.sql(
+            """
+        WITH g AS (
+          SELECT doc_id, list_transform(
+                   generate_series(1, greatest(len(nt) - 7, 1)),
+                   i -> nt[i:i+7]) AS grams
+          FROM (SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+                FROM t)
+        ), h AS (
+          SELECT doc_id, list_sort(list_distinct(list_transform(
+                   grams, s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT))) AS hs
+          FROM g
+        )
+        SELECT doc_id, sha256(array_to_string(
+                 list_transform(hs[1:16], x -> CAST(x AS VARCHAR)), ',')) AS fp
+        FROM h
+        """
+        ).fetchall()
+    )
+    assert got == want
