@@ -232,6 +232,26 @@ def j5_broadcast_side_input(spark, sf):
     )
 
 
+def j6_identity_preserve(spark, sf):
+    """J6 rescrape identity preservation: previously assigned slugs/ids win
+    over freshly extracted ones; extraction only fills gaps
+    (ref ``existing_boxers.py:146-186``)."""
+    from data_pipelines_spark.operators.identity import preserve_identity
+
+    c = _t(spark, sf, "customer")
+    incoming = c.select(
+        F.col("c_custkey").alias("url"),
+        slugify(F.col("c_name")).alias("slug"),
+        F.col("c_name").alias("name"),
+    )
+    existing = c.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("url"),
+        F.concat(F.lit("legacy-"), F.col("c_custkey").cast("string")).alias("slug"),
+        F.lit(None).cast("string").alias("name"),  # gap → incoming fills it
+    )
+    return preserve_identity(incoming, existing, key="url", preserve=("slug", "name"))
+
+
 def a2_group_count(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(F.count("*").alias("n"))
@@ -360,9 +380,32 @@ def f5_slug(spark, sf):
 
 
 def f6_date_normalization(spark, sf):
-    """F6 date normalization: slashed date strings → canonical yyyy-MM-dd."""
+    """F6 date normalization long tail: six deterministic format variants
+    (slashed, US slashed, month names, ordinal suffixes, two-digit years)
+    all normalize to the canonical yyyy-MM-dd the oracle computes directly
+    from the source date."""
     li = _t(spark, sf, "lineitem")
-    raw = F.date_format(F.col("l_shipdate"), "yyyy/MM/dd")
+    d = F.col("l_shipdate")
+    day_s = F.dayofmonth(d).cast("string")
+    raw = (
+        F.when(F.col("l_linenumber") % 6 == 0, F.date_format(d, "yyyy/MM/dd"))
+        .when(F.col("l_linenumber") % 6 == 1, F.date_format(d, "MM/dd/yyyy"))
+        .when(F.col("l_linenumber") % 6 == 2, F.date_format(d, "MMM d yyyy"))
+        .when(F.col("l_linenumber") % 6 == 3, F.date_format(d, "d MMMM yyyy"))
+        .when(
+            F.col("l_linenumber") % 6 == 4,
+            F.concat(
+                F.date_format(d, "MMM"), F.lit(" "), day_s, F.lit("th "),
+                F.date_format(d, "yyyy"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.month(d).cast("string"), F.lit("/"), day_s, F.lit("/"),
+                F.date_format(d, "yy"),
+            )
+        )
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -605,18 +648,24 @@ def f15_url_normalization(spark, sf):
 
 
 def f8_filename_codec(spark, sf):
-    """F8 url⇄filename codec: encode then parse back id + competition level."""
-    d = _t(spark, sf, "documents")
-    fname = F.concat(
-        F.lit("en_box-pro_"), F.col("doc_id").cast("string"), F.lit(".html")
+    """F8 url⇄filename codec round trip via the engine functions
+    (``functions.normalize.encode_page_filename`` / ``parse_page_filename``)."""
+    from data_pipelines_spark.functions.normalize import (
+        encode_page_filename,
+        parse_page_filename,
     )
-    parsed = F.regexp_extract(fname, r"_(\d+)\.html$", 1).cast("long")
-    level = F.when(fname.contains("_box-pro_"), "professional").otherwise("amateur")
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://boxrec.com/en/box-pro/"), F.col("doc_id").cast("string")
+    )
+    fname = encode_page_filename(url)
+    parsed = parse_page_filename(fname)
     return d.select(
         "doc_id",
         fname.alias("filename"),
-        parsed.alias("parsed_id"),
-        level.alias("level"),
+        parsed["boxrec_id"].cast("long").alias("parsed_id"),
+        parsed["competition_level"].alias("level"),
     )
 
 
@@ -803,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_pivot_pairing": j3_pivot_pairing,
         "j4_dim_membership": j4_dim_membership,
         "j5_broadcast_side_input": j5_broadcast_side_input,
+        "j6_identity_preserve": j6_identity_preserve,
         "a2_group_count": a2_group_count,
         "a3_top10_users": a3_top10_users,
         "a4_dup_detection": a4_dup_detection,
@@ -1152,6 +1202,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation_name
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         """,
+        "j6_identity_preserve": """
+            SELECT c_custkey AS url,
+                   CASE WHEN c_custkey % 3 = 0
+                        THEN concat('legacy-', CAST(c_custkey AS VARCHAR))
+                        ELSE regexp_replace(
+                               regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'),
+                               '(^-+)|(-+$)', '', 'g') END AS slug,
+                   c_name AS name
+            FROM customer
+        """,
         "a2_group_count": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
         "a3_top10_users": """
             SELECT user_id, count(*) AS n FROM events
@@ -1255,9 +1315,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f6_date_normalization": """
             SELECT l_orderkey, l_linenumber,
-                   strftime(l_shipdate, '%Y/%m/%d') AS raw_date,
-                   strftime(try_strptime(strftime(l_shipdate, '%Y/%m/%d'), '%Y/%m/%d'),
-                            '%Y-%m-%d') AS norm_date
+                   CASE l_linenumber % 6
+                        WHEN 0 THEN strftime(l_shipdate, '%Y/%m/%d')
+                        WHEN 1 THEN strftime(l_shipdate, '%m/%d/%Y')
+                        WHEN 2 THEN concat(strftime(l_shipdate, '%b'), ' ',
+                                           CAST(day(l_shipdate) AS VARCHAR), ' ',
+                                           strftime(l_shipdate, '%Y'))
+                        WHEN 3 THEN concat(CAST(day(l_shipdate) AS VARCHAR), ' ',
+                                           strftime(l_shipdate, '%B'), ' ',
+                                           strftime(l_shipdate, '%Y'))
+                        WHEN 4 THEN concat(strftime(l_shipdate, '%b'), ' ',
+                                           CAST(day(l_shipdate) AS VARCHAR), 'th ',
+                                           strftime(l_shipdate, '%Y'))
+                        ELSE concat(CAST(month(l_shipdate) AS VARCHAR), '/',
+                                    CAST(day(l_shipdate) AS VARCHAR), '/',
+                                    strftime(l_shipdate, '%y'))
+                   END AS raw_date,
+                   strftime(l_shipdate, '%Y-%m-%d') AS norm_date
             FROM lineitem
         """,
         "f7_result_normalization": """

@@ -73,29 +73,53 @@ def normalize_result(col: Column) -> Column:
 _DATE_FORMATS = [
     "yyyy-MM-dd",
     "yyyy/MM/dd",
+    "yyyy.MM.dd",
     "MMM d yyyy",
     "MMMM d yyyy",
     "d MMM yyyy",
     "d MMMM yyyy",
     "MM/dd/yyyy",
+    "dd.MM.yyyy",
 ]
+
+#: fixed two-digit-year pivot — years parse into 2000-2099, anything past
+#: the pivot is pulled back a century ("PREFER_DATES_FROM=past" without a
+#: wall clock: replay determinism forbids now()-relative pivots)
+_YY_PIVOT = 2049
 
 
 def normalize_date(col: Column, base_year: Column | None = None) -> Column:
     """Arbitrary common date formats → 'yyyy-MM-dd' string; NULL if unparseable.
 
-    Year-less dates like 'Aug 17' get ``base_year`` appended before parsing —
-    reference: ``boxing/transform/bout_data.py:9-47``.
+    Reference: ``boxing/transform/bout_data.py:9-47`` (``dateparser`` with
+    PREFER_DATES_FROM=past). The JVM-side long tail covers: ISO and slashed/
+    dotted forms, month names (with or without commas), ordinal day suffixes
+    ("Aug 17th 1995"), two-digit years ("2/4/24" — past-preferring via a
+    fixed 2049 pivot), and year-less dates ("Aug 17") completed from
+    ``base_year``. Genuinely ambiguous leftovers fall to NULL rather than a
+    locale-dependent guess.
     """
     cleaned = F.trim(F.regexp_replace(col, ",", " "))
-    cleaned = F.regexp_replace(cleaned, "\\s+", " ")
+    # strip ordinal suffixes on day numbers: 17th → 17 (dateparser accepts
+    # them natively; JVM formats do not)
+    cleaned = F.regexp_replace(cleaned, "(?<=\\d)(st|nd|rd|th)\\b", "")
+    cleaned = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
     candidates = [F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in _DATE_FORMATS]
+    # two-digit year, month-first (the reference's en-locale dateparser
+    # order); 'yy' parses into 2000-2099, pivot pulls 20 5x-9x back a century
+    two = F.try_to_timestamp(cleaned, F.lit("M/d/yy"))
+    two = F.when(
+        two.isNotNull() & (F.year(two) > _YY_PIVOT),
+        F.make_date(F.year(two) - 100, F.month(two), F.day(two)).cast("timestamp"),
+    ).otherwise(two)
+    candidates.append(two)
     if base_year is not None:
         with_year = F.concat_ws(" ", cleaned, base_year.cast("string"))
         candidates += [
             F.try_to_timestamp(with_year, F.lit("MMM d yyyy")),
             F.try_to_timestamp(with_year, F.lit("MMMM d yyyy")),
             F.try_to_timestamp(with_year, F.lit("d MMM yyyy")),
+            F.try_to_timestamp(with_year, F.lit("d MMMM yyyy")),
         ]
     return F.date_format(F.coalesce(*candidates), "yyyy-MM-dd")
 
@@ -132,6 +156,68 @@ def height_to_cm(col: Column) -> Column:
     ).cast("int")
     return F.when(cm != "", cm.cast("int")).when(ft != "", converted).otherwise(
         F.lit(None).cast("int")
+    )
+
+
+#: languages the reference's filename codec recognizes
+#: (``boxing/utils/filename_utils.py:18``)
+_FILENAME_LANGS = ["en", "es", "fr", "de", "ru"]
+
+
+def encode_page_filename(url: Column) -> Column:
+    """F8 url→filename codec: ``{lang}_{box-pro|box-am}_{id}.html``.
+
+    Reference ``boxing/utils/filename_utils.py:10-41``: language from the
+    first path segment (whitelisted, default 'en'), competition level from
+    the path kind, id from the trailing segment; wiki URLs encode as
+    ``wiki_box-pro_{id}.html``. Non-page URLs yield NULL (the reference's
+    path-mangling fallback is a scraper artifact, not page identity).
+    """
+    lang_raw = F.regexp_extract(url, r"://[^/]+/([a-z]{2})/", 1)
+    lang = F.when(lang_raw.isin(_FILENAME_LANGS), lang_raw).otherwise(F.lit("en"))
+    page_id = F.regexp_extract(url, r"/box-(?:pro|am)/(\d+)", 1)
+    wiki_id = F.regexp_extract(url, r"Human:(\d+)", 1)
+    level = F.when(url.contains("box-am"), F.lit("box-am")).otherwise(F.lit("box-pro"))
+    return (
+        F.when(
+            page_id != "",
+            F.concat(lang, F.lit("_"), level, F.lit("_"), page_id, F.lit(".html")),
+        )
+        .when(wiki_id != "", F.concat(F.lit("wiki_box-pro_"), wiki_id, F.lit(".html")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def parse_page_filename(col: Column) -> Column:
+    """F8 inverse codec: filename → struct(boxrec_id, competition_level,
+    lang, url). Reference ``boxing/load/to_data_lake.py:33-69`` /
+    ``to_data_lake_batch.py:36-62``: id from the trailing digits, level from
+    the path kind, reconstructed canonical URL. NULL fields when the name
+    doesn't parse."""
+    page_id = F.nullif(F.regexp_extract(col, r"_(\d+)\.html$", 1), F.lit(""))
+    level = F.when(page_id.isNull(), F.lit(None).cast("string")).when(
+        col.contains("_box-am_"), F.lit("amateur")
+    ).otherwise(F.lit("professional"))
+    lang = F.nullif(F.regexp_extract(col, r"^([a-z]{2})_", 1), F.lit(""))
+    kind = F.when(col.contains("_box-am_"), F.lit("box-am")).otherwise(
+        F.lit("box-pro")
+    )
+    url = F.when(
+        page_id.isNotNull(),
+        F.concat(
+            F.lit("https://boxrec.com/"),
+            F.coalesce(lang, F.lit("en")),
+            F.lit("/"),
+            kind,
+            F.lit("/"),
+            page_id,
+        ),
+    )
+    return F.struct(
+        page_id.alias("boxrec_id"),
+        level.alias("competition_level"),
+        lang.alias("lang"),
+        url.alias("url"),
     )
 
 

@@ -164,3 +164,83 @@ def test_change_stream_byte_stable_golden(spark):
         )
     ).collect()[0][0]
     assert h10 == -5764469883450000979
+
+
+def test_normalize_date_long_tail(spark):
+    """F6 long tail (ref bout_data.py:9-47 dateparser behaviors): ordinal
+    suffixes, two-digit past-preferring years, dotted forms, month names."""
+    from data_pipelines_spark.functions.normalize import normalize_date
+
+    cases = [
+        ("Aug 17th 1995", "1995-08-17"),
+        ("March 3rd 2001", "2001-03-03"),
+        ("1st May 2010", "2010-05-01"),
+        ("2/4/24", "2024-02-04"),     # two-digit year, month-first, recent
+        ("8/17/95", "1995-08-17"),    # two-digit year pulled back a century
+        ("17.08.1995", "1995-08-17"),
+        ("1995.08.17", "1995-08-17"),
+        ("August 17, 1995", "1995-08-17"),
+        ("17 August 1995", "1995-08-17"),
+        ("2024-04-02", "2024-04-02"),
+        ("not a date", None),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "raw string")
+    got = [r.n for r in df.select(normalize_date(F.col("raw")).alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_filename_codec_round_trip(spark):
+    """F8 engine codec (ref filename_utils.py:10-41 + to_data_lake.py:33-69):
+    encode → parse restores id/level/lang; wiki and off-domain handled."""
+    from data_pipelines_spark.functions.normalize import (
+        encode_page_filename,
+        parse_page_filename,
+    )
+
+    cases = [
+        ("https://boxrec.com/en/box-pro/628407", "en_box-pro_628407.html"),
+        ("https://boxrec.com/es/box-am/99", "es_box-am_99.html"),
+        ("https://boxrec.com/xx/box-pro/5", "en_box-pro_5.html"),  # lang default
+        ("https://boxrec.com/wiki/index.php?title=Human:777", "wiki_box-pro_777.html"),
+        ("https://boxrec.com/en/news/123", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    enc = [
+        r.f
+        for r in df.select(encode_page_filename(F.col("url")).alias("f")).collect()
+    ]
+    assert enc == [want for _, want in cases]
+
+    parsed = (
+        spark.createDataFrame([(f,) for f in enc if f], "fname string")
+        .select(parse_page_filename(F.col("fname")).alias("p"))
+        .select("p.*")
+        .collect()
+    )
+    assert [(p.boxrec_id, p.competition_level, p.lang) for p in parsed] == [
+        ("628407", "professional", "en"),
+        ("99", "amateur", "es"),
+        ("5", "professional", "en"),
+        ("777", "professional", None),  # wiki_ prefix is not a lang code
+    ]
+    assert parsed[0].url == "https://boxrec.com/en/box-pro/628407"
+    assert parsed[1].url == "https://boxrec.com/es/box-am/99"
+
+
+def test_preserve_identity(spark):
+    """J6: existing slug/name win; extraction fills gaps only."""
+    from data_pipelines_spark.operators.identity import preserve_identity
+
+    incoming = spark.createDataFrame(
+        [("u1", "fresh-slug-1", "Fresh One"), ("u2", "fresh-slug-2", "Fresh Two")],
+        "url string, slug string, name string",
+    )
+    existing = spark.createDataFrame(
+        [("u1", "minted-slug-1", None)], "url string, slug string, name string"
+    )
+    got = {
+        r.url: (r.slug, r.name)
+        for r in preserve_identity(incoming, existing, "url", ("slug", "name")).collect()
+    }
+    assert got["u1"] == ("minted-slug-1", "Fresh One")  # slug kept, name filled
+    assert got["u2"] == ("fresh-slug-2", "Fresh Two")   # unseen: all fresh
