@@ -58,6 +58,7 @@ from data_pipelines_spark.functions.hashing import bucket_id
 
 _BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
+BUMP_COL = "_bump"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -142,6 +143,7 @@ class LakeTable:
         self.compact_stagger = max(1, compact_stagger)
         self._meta_dir = os.path.join(root, "metadata")
         self._data_dir = os.path.join(root, "data")
+        self._manifest_cache: dict[int, dict] = {}
 
     # ------------------------------------------------------------------ setup
 
@@ -176,6 +178,7 @@ class LakeTable:
             "current_schema_id": None,
             "schemas": {},
             "files": {},
+            "manifests": [],
             "ledger": {},
             "bucket_stats": {},
             "stats": {"total_rows": 0, "live_rows": 0, "tombstones": 0},
@@ -195,9 +198,61 @@ class LakeTable:
 
     # ------------------------------------------------------- snapshot plumbing
 
+    #: manifest-chain length that triggers a consolidation rewrite — keeps
+    #: snapshot JSON and resolution cost bounded at O(squash) regardless of
+    #: commit count (the Iceberg rewrite-manifests analog, automatic)
+    MANIFEST_SQUASH = 64
+
     def current_version(self) -> int:
         with open(os.path.join(self._meta_dir, "CURRENT")) as f:
             return int(f.read().strip())
+
+    # ------------------------------------------------------------- manifests
+    #
+    # Per-commit file lists live in immutable manifest files
+    # (metadata/m{version}-{uuid}.json), not in the snapshot JSON — a commit
+    # writes O(files changed in this commit) metadata, so commit cost stops
+    # growing with table size (the Iceberg snapshot → manifest shape).
+    # Snapshot JSON carries only the ordered manifest path list (plus a
+    # legacy inline "files" dict as the chain base for old snapshots).
+
+    def _write_manifest(self, version: int, append: bool, files: dict) -> str:
+        name = f"m{version}-{uuid.uuid4().hex[:8]}.json"
+        path = os.path.join(self._meta_dir, name)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"append": append, "files": files}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return name
+
+    def _load_manifest(self, name: str) -> dict:
+        with open(os.path.join(self._meta_dir, name)) as f:
+            return json.load(f)
+
+    def _resolve_files(self, snap: dict) -> dict[str, list[dict]]:
+        """Materialize the per-bucket file lists for a snapshot: legacy
+        inline ``files`` as the base, then the manifest chain in order
+        (append extends a bucket's list; replace resets every bucket the
+        manifest mentions). Cached per version — manifests are immutable."""
+        v = snap["version"]
+        cached = self._manifest_cache.get(v)
+        if cached is not None:
+            return cached
+        files: dict[str, list[dict]] = {
+            b: list(fl) for b, fl in snap.get("files", {}).items()
+        }
+        for name in snap.get("manifests", []):
+            m = self._load_manifest(name)
+            for b, fl in m["files"].items():
+                if m["append"]:
+                    files.setdefault(b, [])
+                    files[b] = files[b] + fl
+                else:
+                    files[b] = list(fl)
+        self._manifest_cache[v] = files
+        return files
 
     def _snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -327,11 +382,26 @@ class LakeTable:
         target = self.schema_from_snap(snap)
         if target is None:
             raise ValueError("table has no schema yet (no data committed)")
+        # do any loaded delta files contain seq-bump rows (op='B')? Only then
+        # is the (costlier) bump-aware resolution engaged — compaction
+        # materializes bumps away, so steady-state reads stay on the plain
+        # single-aggregation path.
+        snap_files = self._resolve_files(snap)
+        has_bumps = any(
+            fe.get("bumps")
+            for b, files in snap_files.items()
+            if buckets is None or int(b) in buckets
+            for fe in files
+        )
+        hash_col = "content_hash"
         if columns is not None:
             need = {self.key, *self.seq_cols, *columns}
+            if has_bumps:
+                need.add(hash_col)  # bump materialization joins on the hash
             target = T.StructType([f for f in target.fields if f.name in need])
+        has_bumps = has_bumps and hash_col in [f.name for f in target.fields]
         groups: dict[tuple[int, str], list[str]] = {}
-        for b, files in snap["files"].items():
+        for b, files in snap_files.items():
             if buckets is not None and int(b) not in buckets:
                 continue
             for fe in files:
@@ -360,14 +430,28 @@ class LakeTable:
                     if kind == "base"
                     else (F.col("op") == F.lit("D")).alias(DELETED_COL)
                 )
+                if has_bumps:
+                    cols.append(
+                        F.lit(False).alias(BUMP_COL)
+                        if kind == "base"
+                        else (F.col("op") == F.lit("B")).alias(BUMP_COL)
+                    )
                 parts.append(part.select(*cols))
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
         if has_delta:
-            from data_pipelines_spark.operators.lww import lww_latest
+            if has_bumps:
+                from data_pipelines_spark.operators.lww import lww_resolve_bumps
 
-            df = lww_latest(df, self.key, self.seq_cols)
+                df = lww_resolve_bumps(
+                    df, self.key, self.seq_cols,
+                    bump_col=BUMP_COL, deleted_col=DELETED_COL, hash_col=hash_col,
+                )
+            else:
+                from data_pipelines_spark.operators.lww import lww_latest
+
+                df = lww_latest(df, self.key, self.seq_cols)
         if not include_tombstones:
             df = df.where(~F.col(DELETED_COL)).drop(DELETED_COL)
         return df
@@ -519,7 +603,7 @@ class LakeTable:
         new_snap = self._snapshot(out.committed_version)
         over = [
             int(b)
-            for b, files in new_snap["files"].items()
+            for b, files in self._resolve_files(new_snap).items()
             if sum(1 for fe in files if fe.get("kind", "base") == "delta")
             >= self.compact_threshold + (int(b) % self.compact_stagger)
         ]
@@ -562,6 +646,10 @@ class LakeTable:
             if op_idx is not None:
                 ops = f.read(columns=["op"]).column(0)
                 dead = int(pc.sum(pc.equal(ops, "D")).as_py() or 0)
+                # flag files carrying seq-bump rows so read() engages the
+                # bump-aware resolution only when it has to
+                if int(pc.sum(pc.equal(ops, "B")).as_py() or 0) > 0:
+                    fe["bumps"] = True
             return b, md.num_rows, dead, lo, hi
 
         work = [(b, fe) for b, files in new_files.items() for fe in files]
@@ -587,8 +675,9 @@ class LakeTable:
 
     def _merge_cow(self, deduped, stats, base_version, snap, table_schema, affected):
         phys = self._phys_schema(table_schema, "base")
+        snap_files = self._resolve_files(snap)
         have_data = snap["current_schema_id"] is not None and any(
-            str(b) in snap["files"] and snap["files"][str(b)] for b in affected
+            snap_files.get(str(b)) for b in affected
         )
         if have_data:
             current = self.read(version=base_version, buckets=affected, include_tombstones=True)
@@ -650,7 +739,7 @@ class LakeTable:
         if table_schema is None:
             return stats
         if buckets is None:
-            buckets = [int(b) for b in snap["files"]]
+            buckets = [int(b) for b in self._resolve_files(snap)]
         stats.buckets_touched = len(buckets)
         resolved = self.read(version=base_version, buckets=buckets, include_tombstones=True)
         resolved = resolved.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
@@ -744,12 +833,21 @@ class LakeTable:
         schema_id = self._next_schema_id(snap, table_schema)
         new_snap["schemas"][str(schema_id)] = table_schema.jsonValue()
         new_snap["current_schema_id"] = schema_id
-        for b, files in file_updates.items():
-            if append:
-                new_snap["files"].setdefault(b, [])
-                new_snap["files"][b] = new_snap["files"][b] + files
-            else:
-                new_snap["files"][b] = files  # copy-on-write: replace bucket
+        new_snap.setdefault("manifests", [])
+        if file_updates:
+            # file lists go into an immutable per-commit manifest, NOT the
+            # snapshot — commit metadata cost is O(files in this commit)
+            name = self._write_manifest(new_snap["version"], append, file_updates)
+            new_snap["manifests"] = new_snap["manifests"] + [name]
+        if len(new_snap["manifests"]) > self.MANIFEST_SQUASH:
+            # consolidation rewrite: collapse base + chain into one replace
+            # manifest (bounds snapshot size and resolution cost; amortized
+            # O(table files / MANIFEST_SQUASH) per commit)
+            full = self._resolve_files(new_snap)
+            name = self._write_manifest(new_snap["version"], False, full)
+            new_snap["manifests"] = [name]
+            new_snap["files"] = {}
+            self._manifest_cache.pop(new_snap["version"], None)
         if stats.per_bucket and not append:
             bucket_stats = dict(new_snap.get("bucket_stats", {}))
             for b, p in stats.per_bucket.items():
@@ -786,7 +884,7 @@ class LakeTable:
         if table_schema is None:
             return stats
         ts_col = self.seq_cols[0]
-        buckets = [int(b) for b in snap["files"]]
+        buckets = [int(b) for b in self._resolve_files(snap)]
         stats.buckets_touched = len(buckets)
         kept = (
             self.read(version=base_version, include_tombstones=True)
@@ -824,6 +922,7 @@ class LakeTable:
         current = self.current_version()
         keep_from = max(0, current - keep_last + 1)
         referenced: set[str] = set()
+        live_manifests: set[str] = set()
         retained = 0
         for v in range(keep_from, current + 1):
             try:
@@ -831,10 +930,11 @@ class LakeTable:
             except FileNotFoundError:
                 continue
             retained += 1
-            for files in snap["files"].values():
+            live_manifests.update(snap.get("manifests", []))
+            for files in self._resolve_files(snap).values():
                 for fe in files:
                     referenced.add(os.path.normpath(fe["path"]))
-        stats = {"files_deleted": 0, "bytes_deleted": 0, "snapshots_expired": 0, "dirs_removed": 0}
+        stats = {"files_deleted": 0, "bytes_deleted": 0, "snapshots_expired": 0, "dirs_removed": 0, "manifests_deleted": 0}
         # data files no retained snapshot references (incl. crash orphans)
         for dirpath, _dirnames, filenames in os.walk(self._data_dir, topdown=False):
             for fn in filenames:
@@ -853,6 +953,11 @@ class LakeTable:
             if os.path.exists(p):
                 os.remove(p)
                 stats["snapshots_expired"] += 1
+        # manifest files no retained snapshot references
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("m") and fn.endswith(".json") and fn not in live_manifests:
+                os.remove(os.path.join(self._meta_dir, fn))
+                stats["manifests_deleted"] += 1
         return stats
 
     def update_schema(self, new_schema: T.StructType, batch_id: int | str = "schema-update") -> MergeStats:

@@ -51,6 +51,80 @@ def lww_latest(df: DataFrame, key: str | Sequence[str], seq_cols: Sequence[str])
     return out.select(*df.columns)
 
 
+def lww_resolve_bumps(
+    df: DataFrame,
+    key: str,
+    seq_cols: Sequence[str],
+    bump_col: str = "_bump",
+    deleted_col: str = "_deleted",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """LWW resolution aware of sequence-bump rows (op='B').
+
+    A bump is a (key, seq, content_hash)-only delta the change filter emits
+    for a hash-unchanged re-scrape: it advances the key's sequence without
+    re-shipping the payload, so an out-of-order delete with a sequence
+    between the stored row and the skipped re-scrape can no longer win
+    (the resurrection edge the plain skip had).
+
+    Resolution per key:
+
+    - overall winner ``w`` = max-seq row (bumps and tombstones included);
+    - if ``w`` is a bump, the key is LIVE and its payload comes from the
+      newest content row whose ``content_hash`` equals the hash the bump
+      observed (exact materialization of what the skipped re-scrape saw);
+      if that row was compacted away, fall back to the newest content row;
+      if no content row exists at all, the key resolves to a tombstone —
+      all cases keep the bump's sequence so later LWW comparisons are
+      correct;
+    - otherwise ``w`` stands as-is (plain LWW).
+
+    Cost: two partial-aggregated ``max_by`` groupings plus one join on
+    (key, hash) for bump-winner keys only — and the whole path is engaged
+    only while un-compacted bump deltas exist (compaction materializes
+    bumps back into plain rows).
+    """
+    payload = [c for c in df.columns if c != key]
+    seq = _seq_struct(seq_cols)
+    is_content = (~F.col(bump_col)) & (~F.col(deleted_col))
+    pay = F.struct(*payload)
+    agg = df.groupBy(key).agg(
+        F.max_by(pay, seq).alias("_w"),
+        F.max_by(F.when(is_content, pay), F.when(is_content, seq)).alias("_cw"),
+    )
+    out_cols = [c for c in df.columns if c != bump_col]
+
+    plain = agg.where(~F.col(f"_w.{bump_col}")).select(
+        key, *[F.col(f"_w.{c}").alias(c) for c in payload if c != bump_col]
+    )
+
+    by_hash = (
+        df.where(is_content)
+        .groupBy(F.col(key).alias("_k2"), F.col(hash_col).alias("_h2"))
+        .agg(F.max_by(pay, seq).alias("_ch"))
+    )
+    bumped = agg.where(F.col(f"_w.{bump_col}"))
+    joined = bumped.join(
+        by_hash,
+        on=(bumped[key] == F.col("_k2"))
+        & (F.col(f"_w.{hash_col}") == F.col("_h2")),
+        how="left",
+    )
+    content = F.coalesce(F.col("_ch"), F.col("_cw"))
+    resolved_cols = [F.col(key)]
+    for c in payload:
+        if c == bump_col:
+            continue
+        if c in seq_cols:
+            resolved_cols.append(F.col(f"_w.{c}").alias(c))
+        elif c == deleted_col:
+            resolved_cols.append(content.isNull().alias(c))
+        else:
+            resolved_cols.append(content[c].alias(c))
+    resolved = joined.select(*resolved_cols)
+    return plain.unionByName(resolved).select(*out_cols)
+
+
 def lww_latest_window(
     df: DataFrame, key: str | Sequence[str], seq_cols: Sequence[str]
 ) -> DataFrame:

@@ -43,7 +43,7 @@ class PipelineConfig:
     n_buckets: int = 16
     decode: bool = True
     extract_fields: bool = False  # add the wide-struct page-field extraction
-    change_filter: bool = False  # drop hash-unchanged re-scrapes pre-merge
+    change_filter: bool = False  # hash-unchanged re-scrapes → seq-bump deltas
     salt_dedup: int = 0  # >1: two-phase salted dedup against hot-key skew
     merge_partitions: int | None = None  # repartition width ahead of the merge
 
@@ -87,10 +87,19 @@ class CdcPipeline:
         )
         # F1 content fingerprint stored at ingest — makes the next batch's
         # change filter a (key, hash) column-pruned scan instead of re-reading
-        # page bytes (reference: boxing/database/metadata.py:37-39).
+        # page bytes (reference: boxing/database/metadata.py:37-39). Rows
+        # with no html (deletes, seq bumps) keep any hash they carried — a
+        # bump's hash is its link to the content it observed.
         from data_pipelines_spark.functions.hashing import content_hash
 
-        out = out.withColumn("content_hash", content_hash(F.col("html")))
+        carried = (
+            F.col("content_hash")
+            if "content_hash" in batch.columns
+            else F.lit(None).cast("string")
+        )
+        out = out.withColumn(
+            "content_hash", F.coalesce(content_hash(F.col("html")), carried)
+        )
         if self.cfg.extract_fields:
             # reference load path §3.1: extract (wide struct, parse-once) +
             # bout history (UDTF analog) carried as nested columns; schema
@@ -104,18 +113,25 @@ class CdcPipeline:
     # ----------------------------------------------------------------- merge
 
     def change_filtered(self, batch: DataFrame) -> DataFrame:
-        """§3.2 pre-MERGE change filter: drop updates whose content hash
-        equals the stored hash for that key — hash-unchanged re-scrapes never
-        reach the dedup shuffle or the MERGE (the reference's
-        ``check-changes`` loop as ONE join: F1 hash → J2 lookup → F2 compare).
+        """§3.2 pre-MERGE change filter: updates whose content hash equals
+        the stored hash for that key are reduced to **sequence-bump deltas**
+        (op='B': key + sequence + the observed hash, payload NULL) — the
+        page bytes never reach the dedup shuffle, the decode UDF, or the
+        delta files (the reference's ``check-changes`` loop as ONE join:
+        F1 hash → J2 lookup → F2 compare).
+
+        Why a bump instead of a plain drop: the bump advances the stored
+        sequence, so an out-of-order delete with a sequence between the
+        stored row and the skipped re-scrape can no longer kill the key
+        (the resurrection edge the reference's skip has). Read-side
+        resolution materializes bump winners from the content row matching
+        the carried hash (``operators.lww.lww_resolve_bumps``); compaction
+        folds bumps back into plain rows.
 
         The state side is a (key, content_hash) column-pruned read restricted
         to the hash buckets the batch actually touches (one narrow
         distinct-buckets job, bounded by n_buckets), so the state scan is
-        O(affected buckets), not O(table). Caveat (same as the reference's
-        change detection): a skipped re-scrape does not advance the stored
-        sequence, so a between-sequences out-of-order delete resolves as if
-        the re-scrape never happened.
+        O(affected buckets), not O(table).
         """
         from data_pipelines_spark.functions.hashing import bucket_id, content_hash
 
@@ -134,14 +150,32 @@ class CdcPipeline:
             F.col(self.cfg.key), F.col("content_hash").alias("_stored_hash")
         )
         joined = batch.join(state, on=self.cfg.key, how="left")
-        unchanged = (
+        # NULL-safe: a row with NULL html/op must pass through, not vanish
+        # into three-valued-logic limbo.
+        unchanged = F.coalesce(
             (F.col("op") != "D")
             & F.col("_stored_hash").isNotNull()
-            & (content_hash(F.col("html")) == F.col("_stored_hash"))
+            & (content_hash(F.col("html")) == F.col("_stored_hash")),
+            F.lit(False),
         )
-        # NULL-safe: a row with NULL html/op must pass through, not vanish
-        # into three-valued-logic limbo (where(~NULL) would drop it).
-        return joined.where(~F.coalesce(unchanged, F.lit(False))).drop("_stored_hash")
+        keep = {self.cfg.key, *self.cfg.seq_cols}
+        bump_cols = []
+        for c in batch.columns:
+            if c == "op":
+                bump_cols.append(F.lit("B").alias("op"))
+            elif c in keep:
+                bump_cols.append(F.col(c))
+            elif c == "content_hash":
+                bump_cols.append(F.col("_stored_hash").alias("content_hash"))
+            else:
+                bump_cols.append(F.lit(None).cast(batch.schema[c].dataType).alias(c))
+        if "content_hash" not in batch.columns:
+            bump_cols.append(F.col("_stored_hash").alias("content_hash"))
+        bumps = joined.where(unchanged).select(*bump_cols)
+        passed = joined.where(~unchanged).drop("_stored_hash")
+        if "content_hash" not in batch.columns:
+            passed = passed.withColumn("content_hash", F.lit(None).cast("string"))
+        return passed.unionByName(bumps)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> MergeStats:
         """foreachBatch body: LWW dedup → decode winners → merge → lineage.

@@ -259,3 +259,74 @@ def test_expire_snapshots_gc(spark, table):
     # idempotent
     again = table.expire_snapshots(keep_last=2)
     assert again["files_deleted"] == 0 and again["snapshots_expired"] == 0
+
+
+def test_snapshot_metadata_is_o1_per_commit(spark, tmp_root):
+    """Manifest split (Iceberg shape): a commit writes its file list into an
+    immutable per-commit manifest, so snapshot JSON stays ~constant size as
+    the table accumulates files, and commit metadata cost stops growing with
+    table size."""
+    import json
+    import os
+
+    from data_pipelines_spark.gen.changegen import change_stream
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    root = os.path.join(tmp_root, "o1meta")
+    pipe = CdcPipeline(spark, PipelineConfig(table_root=root, n_buckets=4))
+    changes = change_stream(spark, n_events=1200, n_keys=200, seed=5)
+    pipe.run_batches(changes, n_batches=12)
+
+    t = pipe.table
+    meta = os.path.join(root, "metadata")
+    sizes = []
+    for v in range(1, t.current_version() + 1):
+        p = os.path.join(meta, f"v{v}.json")
+        if os.path.exists(p):
+            snap = json.load(open(p))
+            # snapshot never carries inline file lists after the split
+            assert not snap.get("files"), f"v{v} has inline files"
+            sizes.append(os.path.getsize(p))
+    # growth per commit is bounded (ledger entry + manifest path), far below
+    # one file entry per table file: last snapshot stays within a few KB of
+    # the first even though the table holds dozens of files by then
+    assert sizes[-1] - sizes[0] < 4096
+    manifests = [f for f in os.listdir(meta) if f.startswith("m")]
+    assert manifests, "commits must write manifest files"
+    # resolution reproduces a coherent view: read() works at old + new versions
+    assert t.read(version=t.current_version()).count() > 0
+
+    # manifest GC: expiring old snapshots deletes their unreferenced manifests
+    before = len(manifests)
+    t.expire_snapshots(keep_last=2)
+    after = len([f for f in os.listdir(meta) if f.startswith("m")])
+    assert after <= before
+    assert t.read().count() > 0
+
+
+def test_manifest_chain_squash(spark, tmp_root):
+    """Past MANIFEST_SQUASH commits the chain consolidates into one replace
+    manifest — resolution cost and snapshot size stay bounded forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.lake.table import LakeTable
+
+    root = os.path.join(tmp_root, "squash")
+    t = LakeTable.create(spark, root, n_buckets=2, compact_threshold=10**9)
+    t.MANIFEST_SQUASH = 5
+    base = spark.range(6).select(
+        F.lit("U").alias("op"),
+        F.concat(F.lit("k"), F.col("id")).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("id")).alias("warc_ts"),
+        F.col("id").alias("offset"),
+        F.col("id").cast("double").alias("value"),
+    )
+    for i in range(8):
+        t.merge(base.where(F.col("offset") % 8 == i), batch_id=i)
+    snap = t._snapshot()
+    assert len(snap["manifests"]) <= 5 + 1
+    assert t.read().count() == 6
+    # every key still resolves to its newest version after the squash
+    assert {r.url for r in t.read().collect()} == {f"k{i}" for i in range(6)}

@@ -140,17 +140,15 @@ def test_schema_evolution_mid_stream(spark, tmp_root):
 
 def test_change_filter_skips_unchanged_rescrapes(spark, tmp_root):
     """§3.2: with the pre-MERGE change filter on, hash-unchanged re-scrapes
-    are dropped before the shuffle, yet the final (url → html) state matches
-    the unfiltered replay. Deletes disabled: a skipped re-scrape does not
-    advance the stored sequence (documented caveat)."""
+    become payload-free seq-bump deltas, yet the final (url → html, seq)
+    state matches the unfiltered replay — deletes ENABLED (the bump advances
+    the stored sequence, so out-of-order deletes resolve identically)."""
     import os
 
     from data_pipelines_spark.gen.changegen import change_stream
     from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
 
-    changes = change_stream(
-        spark, n_events=4000, n_keys=300, seed=7, delete_frac=0.0
-    ).persist()
+    changes = change_stream(spark, n_events=4000, n_keys=300, seed=7).persist()
     pipes = {}
     for name, flag in [("plain", False), ("filtered", True)]:
         pipe = CdcPipeline(
@@ -164,12 +162,70 @@ def test_change_filter_skips_unchanged_rescrapes(spark, tmp_root):
         pipe.run_batches(changes, n_batches=4)
         pipes[name] = pipe
 
-    a = pipes["plain"].table.read().select("url", F.sha2("html", 256).alias("h"))
-    b = pipes["filtered"].table.read().select("url", F.sha2("html", 256).alias("h"))
+    # full equivalence: same keys, same content, same winning sequence
+    a = pipes["plain"].table.read().select(
+        "url", "warc_ts", "offset", F.sha2("html", 256).alias("h")
+    )
+    b = pipes["filtered"].table.read().select(
+        "url", "warc_ts", "offset", F.sha2("html", 256).alias("h")
+    )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
-    # the filter must actually drop work: fewer delta rows after batch 0
-    rows_plain = sum(r.rows_in for r in pipes["plain"].lineage().collect())
-    rows_filt = sum(r.rows_in for r in pipes["filtered"].lineage().collect())
-    assert rows_filt < rows_plain
+    # the filter must actually drop work: bump deltas carry no page bytes
+    bytes_plain = sum(r.bytes_written for r in pipes["plain"].lineage().collect())
+    bytes_filt = sum(r.bytes_written for r in pipes["filtered"].lineage().collect())
+    assert bytes_filt < bytes_plain
     changes.unpersist()
+
+
+def test_bump_defeats_out_of_order_delete(spark, tmp_root):
+    """The resurrection edge the bump fixes: stored U@3; a hash-unchanged
+    re-scrape at seq 9 is skipped as a bump; a late delete at seq 7 arrives
+    afterwards. Without the bump the delete would win (7 > 3) and kill the
+    key; with it, the key stays live with the observed content at seq 9."""
+    import os
+
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            table_root=os.path.join(tmp_root, "t"), n_buckets=2, change_filter=True
+        ),
+    )
+    schema = "offset long, op string, url string, warc_ts timestamp, html binary, lang string"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    from datetime import datetime
+
+    def ts(s):
+        return datetime(2025, 1, 1, 0, 0, s)
+
+    u = "https://site.example.com/page/1"
+    html = b"<html><body>stable content</body></html>"
+    pipe.process_batch(batch([(3, "U", u, ts(3), html, "en")]), 0)
+    # re-scrape with identical bytes -> reduced to a seq bump at offset 9
+    pipe.process_batch(batch([(9, "U", u, ts(9), html, "en")]), 1)
+    lin = {r.batch_id: r for r in pipe.lineage().collect()}
+    assert lin[1].bytes_written < lin[0].bytes_written  # no page bytes shipped
+    # late out-of-order delete between the stored and bumped sequences
+    pipe.process_batch(batch([(7, "D", u, ts(7), None, None)]), 2)
+
+    rows = pipe.table.read().collect()
+    assert len(rows) == 1, "bump must defeat the in-between delete"
+    r = rows[0]
+    assert bytes(r.html) == html and r.offset == 9
+    # and the state scan the NEXT filter does sees the bumped sequence + hash
+    state = pipe.table.read(columns=["content_hash"]).collect()[0]
+    assert state.offset == 9 and state.content_hash is not None
+
+    # compaction folds the bump into a plain row; result unchanged
+    pipe.table.compact()
+    rows2 = pipe.table.read().collect()
+    assert len(rows2) == 1 and bytes(rows2[0].html) == html and rows2[0].offset == 9
+
+    # a delete NEWER than the bump must still win
+    pipe.process_batch(batch([(11, "D", u, ts(11), None, None)]), 3)
+    assert pipe.table.read().count() == 0
