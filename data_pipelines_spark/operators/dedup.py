@@ -121,42 +121,33 @@ def _affine_coeffs(num_hashes: int, seed: int):
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature as an Arrow-vectorized pandas UDF.
+    """MinHash signature: JVM base hashes + Arrow-vectorized lane mins.
 
-    One 64-bit base hash per shingle (blake2b — stable across platforms and
-    replays), then ``num_hashes`` affine permutations ``a_i*h + b_i mod 2^64``
-    minimized per lane with one numpy matmul-shaped reduction. Linear work,
-    no giant codegen, wraps-by-design in uint64.
+    The per-shingle 64-bit base hash runs JVM-side (``xxhash64`` inside the
+    same whole-stage-codegen projection that built the shingles — string
+    hashing never touches Python), and only the ``num_hashes`` affine
+    permutations ``a_i*h + b_i mod 2^64`` + per-lane min run in the pandas
+    UDF, as one numpy broadcast over the Arrow int64 batch. Linear work, no
+    giant codegen, wraps-by-design in uint64; deterministic across replays.
     """
-    import hashlib
-
     import numpy as np
 
     max_long = (1 << 63) - 1
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(sh: pd.Series) -> pd.Series:
+    def sig_udf(hashes: pd.Series) -> pd.Series:
         a, b = _affine_coeffs(num_hashes, seed)
 
-        def one(toks):
-            if toks is None or len(toks) == 0:
+        def one(hs):
+            if hs is None or len(hs) == 0:
                 return [max_long] * num_hashes
-            h = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
-                    )
-                    for t in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
-            )
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)  # C-cast wrap
             lanes = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
             return lanes.astype(np.int64).tolist()
 
-        return sh.map(one)
+        return hashes.map(one)
 
-    return sig_udf(shingles)
+    return sig_udf(F.transform(shingles, lambda s: F.xxhash64(s)))
 
 
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -211,12 +202,11 @@ def minhash_lsh_candidates(
             "the recall curve, and rows_per_band=0 degenerates to all-collide"
         )
     rows_per_band = num_hashes // num_bands
+    # repartition BEFORE deriving shingles: a projection ahead of the
+    # exchange would be computed on the (possibly single) input partition
     src = ensure_parallelism(
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-    )
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", word_shingles(F.col(text_col), shingle_n).alias("sh"))
     sig = minhash_signature(F.col("sh"), num_hashes, seed)
     banded = (
         src.select("id", sig.alias("sig"))
@@ -279,20 +269,26 @@ def minhash_lsh_dedup_pairs(
     ``max_bucket`` (or post-process chains) when exact recall inside
     boilerplate clusters matters.
 
-    The verify stage joins candidate pairs against a ``(id, shingles)``
-    projection and compares the prebuilt arrays with
-    ``array_intersect``/``array_union`` — shingling stays O(docs), never
-    O(candidate pairs), and the join ships shingle arrays instead of raw
-    document text (at 100 TB a doc appearing in k candidate pairs would
-    otherwise be re-shingled k times).
+    The verify stage first semi-joins the corpus down to the docs that
+    appear in ANY candidate pair, computes each one's shingle array once,
+    and compares prebuilt arrays with ``array_intersect``/``array_union`` —
+    shingling is O(min(docs, 2·pairs)) instead of O(pairs) re-shingling
+    per candidate, and the pair join ships shingle arrays only for docs it
+    actually needs (never the full corpus, never raw text per pair).
     """
     cands = minhash_lsh_candidates(
         df, text_col, id_col, shingle_n, num_hashes, num_bands, seed,
         max_bucket=max_bucket,
     )
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    in_pairs = (
+        cands.select(F.col("a").alias("id"))
+        .union(cands.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    docs = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(in_pairs, "id", "left_semi")
+        .select("id", word_shingles(F.col(text_col), shingle_n).alias("sh"))
     )
     joined = (
         cands.join(docs.withColumnRenamed("sh", "sha"), cands.a == docs.id)

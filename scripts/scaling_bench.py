@@ -60,12 +60,12 @@ def _calib_burn(n: int) -> float:
 
 
 def host_ceiling(lo: int, hi: int, n_docs: int = 3000) -> dict:
-    """Aggregate parse throughput at lo and hi processes (best of 2 trials):
+    """Aggregate parse throughput at lo and hi processes (best of 3 trials):
     the maximum scaling the HOST allows, independent of any engine."""
     rates = {}
     for procs in (lo, hi):
         best = 0.0
-        for _ in range(2):
+        for _ in range(3):
             with mp.Pool(procs, initializer=_calib_setup) as p:
                 t0 = time.time()
                 p.map(_calib_burn, [n_docs] * procs)
@@ -81,7 +81,7 @@ def host_ceiling(lo: int, hi: int, n_docs: int = 3000) -> dict:
 # -------------------------------------------------------------- engine bench
 
 
-def run_once(cpus: int, n_events: int, n_buckets: int, trials: int = 2) -> dict:
+def run_once(cpus: int, n_events: int, n_buckets: int, trials: int = 3) -> dict:
     """Best of ``trials`` fresh-JVM runs — the standard de-noising for a
     shared host (a background-neighbor stall inflates a single run)."""
     best = None
