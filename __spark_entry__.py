@@ -578,6 +578,18 @@ def dedup_embedding_cosine(spark, sf):
     )
 
 
+def dedup_embedding_lsh(spark, sf):
+    """Embedding near-dup at scale: sign-LSH hyperplane bucket blocking +
+    exact cosine verify inside buckets (no label column needed). Oracle
+    replays buckets from plane literals and the in-bucket pair set."""
+    from data_pipelines_spark.operators.dedup import embedding_near_dup_lsh
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dup_lsh(e, threshold=0.3).select(
+        "a", "b", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def sim_topk_ivf(spark, sf):
     """IVF-probed ANN top-10. Centroid selection uses a plain-integer
     multiplicative scramble, so the oracle rebuilds centroids, the argmax
@@ -883,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "f4_bout_id_gen": f4_bout_id_gen,
         "f8_filename_codec": f8_filename_codec,
         "f10_height_conversion": f10_height_conversion,
@@ -1038,18 +1051,56 @@ FROM h
 """
 
 
+def _planes_values_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """The seed-deterministic hyperplanes as a SQL VALUES list."""
+    from data_pipelines_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(b, ", ".join(repr(float(x)) for x in p))
+        for b, p in enumerate(planes)
+    )
+
+
+def _embedding_lsh_oracle(threshold: float = 0.3, n_planes: int = 8) -> str:
+    """Replay of sign-LSH-blocked embedding near-dup: bucket assignment from
+    plane literals, exact fold-order cosine inside shared buckets."""
+    rows = _planes_values_sql(n_planes)
+    return f"""
+WITH planes(b, p) AS (VALUES
+      {rows}
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings
+), bk AS (
+  SELECT vec_id, e,
+         CAST(sum(CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(e)), i -> e[i] * p[i]),
+                 (x, y) -> x + y) > 0
+               THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id, e
+), s AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_reduce(list_transform(generate_series(1, len(a.e)),
+                                    i -> a.e[i] * b.e[i]), (x, y) -> x + y) AS dot,
+         sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y)) AS na,
+         sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)) AS nb
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a, b,
+       round(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END, 4)
+         AS cosine
+FROM s
+WHERE (CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END)
+      >= {threshold}
+"""
+
+
 def _lsh_topk_oracle(n_planes: int = 8, multiprobe: int = 2, k: int = 10) -> str:
     """Replay of sign-LSH ANN in SQL: the seed-deterministic hyperplanes are
     embedded as literals; buckets, the Hamming-≤-multiprobe probe set, and
     the exact cosine ranking use the same left-fold float summation order as
     the Spark plan, so results agree bit-for-bit."""
-    from data_pipelines_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(64, n_planes, seed=42)
-    rows = ",\n      ".join(
-        "({}, [{}]::DOUBLE[])".format(b, ", ".join(repr(float(x)) for x in p))
-        for b, p in enumerate(planes)
-    )
+    rows = _planes_values_sql(n_planes)
     return f"""
 WITH planes(b, p) AS (VALUES
       {rows}
@@ -1652,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_minhash_lsh": _minhash_oracle(threshold=0.9, n=3),
+        "dedup_embedding_lsh": _embedding_lsh_oracle(threshold=0.3, n_planes=8),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "doc_fingerprint": _fingerprint_oracle(k=8, sketch=16),
         "sim_topk_lsh": _lsh_topk_oracle(n_planes=8, multiprobe=2, k=10),

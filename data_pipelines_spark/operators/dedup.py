@@ -482,6 +482,66 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dups at scale: sign-LSH bucket blocking + exact verify.
+
+    The scale path ``embedding_near_dup_pairs`` documents: the block key is
+    the seed-deterministic hyperplane bucket (JVM-side sign tests, no
+    Python), so the quadratic verify runs only inside buckets — expected
+    bucket size shrinks ~2^n_planes-fold. High-cosine pairs land in the same
+    bucket with probability (1 − θ/π)^n_planes (θ = angle at the threshold);
+    every candidate is verified with exact cosine, so no false positives.
+    Group-then-expand like the other blockers: one groupBy on the bucket,
+    pairs generated JVM-side from each bucket's member list, no self-join.
+    """
+    from data_pipelines_spark.operators.partitioning import ensure_parallelism
+    from data_pipelines_spark.operators.similarity import (
+        _hyperplanes,
+        random_hyperplane_bucket,
+    )
+
+    v = F.col(vec_col).cast("array<double>")
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        random_hyperplane_bucket(v, planes).alias("bkt"),
+    )
+    groups = (
+        bucketed.groupBy("bkt")
+        .agg(F.array_sort(F.collect_set(F.struct("id", "v"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("a"),
+                    y["id"].alias("b"),
+                    cosine_similarity(x["v"], y["v"]).alias("cosine"),
+                ),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b", "p.cosine")
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -492,7 +552,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dups within blocks (labels / LSH buckets).
 
     The blocked-quadratic baseline; at scale the block key comes from
-    ``similarity.random_hyperplane_bucket`` instead of a label column.
+    sign-LSH hyperplane buckets — see :func:`embedding_near_dup_lsh`.
     """
     docs = df.select(
         F.col(id_col).alias("id"),

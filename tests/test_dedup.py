@@ -173,3 +173,47 @@ def test_fingerprint_md5_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_embedding_lsh_blocking_no_false_positives(spark):
+    """Sign-LSH-blocked embedding near-dup: every emitted pair is exact-
+    verified (no false positives), and equals the exact pair set restricted
+    to bucket-sharing pairs — with enough planes the hot pairs collide."""
+    from data_pipelines_spark.operators.dedup import (
+        cosine_similarity,
+        embedding_near_dup_lsh,
+    )
+    from data_pipelines_spark.operators.similarity import (
+        _hyperplanes,
+        random_hyperplane_bucket,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        (r.a, r.b): r.cosine
+        for r in embedding_near_dup_lsh(e, threshold=0.3).collect()
+    }
+    # exact all-pairs with bucket annotation
+    dim = len(e.select("embedding").first()[0])
+    planes = _hyperplanes(dim, 8, 42)
+    v = F.col("embedding").cast("array<double>")
+    bk = e.select(
+        F.col("vec_id").alias("id"), v.alias("v"),
+        random_hyperplane_bucket(v, planes).alias("bkt"),
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    exact = {
+        (r.a, r.b): (r.cos, r.same_bucket)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos"),
+            (F.col("a.bkt") == F.col("b.bkt")).alias("same_bucket"),
+        )
+        .where(F.col("cos") >= 0.3)
+        .collect()
+    }
+    want = {p: c for p, (c, same) in exact.items() if same}
+    assert set(got) == set(want)          # exactly the bucket-sharing pairs
+    for p, c in got.items():
+        assert abs(c - want[p]) < 1e-9    # exact verify, no false positives
