@@ -280,6 +280,13 @@ def minhash_lsh_dedup_pairs(
         df, text_col, id_col, shingle_n, num_hashes, num_bands, seed,
         max_bucket=max_bucket,
     )
+    # the verify plan references the candidate set three times (both sides
+    # of the in-pairs id set + the pair join); without a persist Spark
+    # re-runs the whole signature pipeline per reference (no automatic
+    # subtree reuse across joins). Candidates are tiny — (a, b) id pairs,
+    # output-bounded by max_bucket — so caching them is O(pairs) memory;
+    # the ContextCleaner unpersists when the result DataFrame is dropped.
+    cands = cands.persist()
     in_pairs = (
         cands.select(F.col("a").alias("id"))
         .union(cands.select(F.col("b").alias("id")))
