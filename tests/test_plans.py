@@ -117,3 +117,32 @@ def test_whole_stage_codegen_on_agg(spark, entrymod):
     df.collect()  # AQE finalizes stages on execution
     plan = _plan(df)
     assert "*(" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_x1_extraction_single_arrow_udf(spark, entrymod):
+    """Parse-once-extract-many: the 36-field wide struct is ONE
+    ArrowEvalPython node, never per-field Python UDFs."""
+    plan = _plan(entrymod.x1_extract_profile(spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_x3_harvest_anti_join_broadcasts(spark, entrymod):
+    """The seen-set anti-join broadcasts (the work queue is the small side)."""
+    plan = _plan(entrymod.x3_url_harvest(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_x4_validators_pure_jvm(spark, entrymod):
+    """P2-P7 chain is Column expressions only — no Python at all."""
+    plan = _plan(entrymod.x4_page_quarantine(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_embedding_lsh_no_self_join_of_corpus(spark, entrymod):
+    """Sign-LSH-blocked near-dup groups then expands: no SortMergeJoin of
+    the corpus against itself, no Python."""
+    plan = _plan(entrymod.dedup_embedding_lsh(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan
