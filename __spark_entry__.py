@@ -853,6 +853,49 @@ def x4_page_quarantine(spark, sf):
     )
 
 
+def m1_media_plans(spark, sf):
+    """Multimodal planning surface (extract/multimodal.py): image resize
+    targets and video frame-sample fan-out computed JVM-side from the typed
+    media_meta struct — byte payloads untouched. Media table derived
+    deterministically from doc_id so the oracle predicts every plan row."""
+    from data_pipelines_spark.extract.multimodal import frame_sample_plan, resize_plan
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (i % 3).cast("int") + 1,
+    )
+    meta = F.struct(
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        (16 + i % 1920).cast("int").alias("width"),
+        (16 + i % 1080).cast("int").alias("height"),
+        (1000 + i % 60000).cast("int").alias("duration_ms"),
+        F.lit(16000).alias("sample_rate"),
+    )
+    media = d.select(i.alias("media_id"), kind.alias("kind"), meta.alias("media_meta"))
+    img = resize_plan(media).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "target_w",
+        "target_h",
+        F.lit(None).cast("int").alias("n_frames"),
+    )
+    vid = (
+        frame_sample_plan(media)
+        .groupBy("media_id")
+        .agg(F.count("*").cast("int").alias("n_frames"))
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            F.lit(None).cast("int").alias("target_w"),
+            F.lit(None).cast("int").alias("target_h"),
+            "n_frames",
+        )
+    )
+    return img.unionByName(vid)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": cdc_final_state,
@@ -911,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_extract_bouts": x2_extract_bouts,
         "x3_url_harvest": x3_url_harvest,
         "x4_page_quarantine": x4_page_quarantine,
+        "m1_media_plans": m1_media_plans,
     }
 
 
@@ -1672,6 +1716,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat('https://boxrec.com/en/box-pro/',
                           CAST(oid AS VARCHAR)) AS url
             FROM oids WHERE oid % 7 <> 0
+        """,
+        "m1_media_plans": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                     CAST(16 + doc_id % 1920 AS INT) AS w,
+                     CAST(16 + doc_id % 1080 AS INT) AS h,
+                     CAST(1000 + doc_id % 60000 AS INT) AS d
+              FROM documents
+            )
+            SELECT media_id, kind,
+                   CAST(floor(w / (CASE WHEN greatest(w, h) > 512
+                                        THEN greatest(w, h) / 512.0
+                                        ELSE 1.0 END)) AS INT) AS target_w,
+                   CAST(floor(h / (CASE WHEN greatest(w, h) > 512
+                                        THEN greatest(w, h) / 512.0
+                                        ELSE 1.0 END)) AS INT) AS target_h,
+                   CAST(NULL AS INT) AS n_frames
+            FROM m WHERE kind = 'image'
+            UNION ALL
+            SELECT media_id, kind, CAST(NULL AS INT), CAST(NULL AS INT),
+                   CAST((d - 1) // 1000 + 1 AS INT)
+            FROM m WHERE kind = 'video'
         """,
         "x4_page_quarantine": """
             SELECT doc_id,

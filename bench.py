@@ -122,11 +122,14 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_embedding_lsh",
         "sim_topk_bruteforce",
         "sim_topk_lsh",
         "lang_id_documents",
         "text_tokens_quality",
         "f1_sha2_hash",
+        "x1_extract_profile",
+        "x4_page_quarantine",
     ]
     for name in headline:
         t0 = time.time()
