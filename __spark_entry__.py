@@ -853,6 +853,21 @@ def x4_page_quarantine(spark, sf):
     )
 
 
+def k8_sanitize_export(spark, sf):
+    """K8 sink-boundary sanitization (lake/publish.sanitize_for_export):
+    booleans -> int, binary -> hex at the serving-store boundary
+    (ref ``sync_to_cloudflare.py:44-63``)."""
+    from data_pipelines_spark.lake.publish import sanitize_for_export
+
+    d = _t(spark, sf, "documents")
+    typed = d.select(
+        "doc_id",
+        ((F.col("doc_id") % 2) == 0).alias("flag"),
+        F.col("lang").cast("binary").alias("payload"),
+    )
+    return sanitize_for_export(typed)
+
+
 def m1_media_plans(spark, sf):
     """Multimodal planning surface (extract/multimodal.py): image resize
     targets and video frame-sample fan-out computed JVM-side from the typed
@@ -955,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_url_harvest": x3_url_harvest,
         "x4_page_quarantine": x4_page_quarantine,
         "m1_media_plans": m1_media_plans,
+        "k8_sanitize_export": k8_sanitize_export,
     }
 
 
@@ -1716,6 +1732,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat('https://boxrec.com/en/box-pro/',
                           CAST(oid AS VARCHAR)) AS url
             FROM oids WHERE oid % 7 <> 0
+        """,
+        "k8_sanitize_export": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS flag,
+                   hex(lang::BLOB) AS payload
+            FROM documents
         """,
         "m1_media_plans": """
             WITH m AS (
