@@ -113,11 +113,15 @@ class LakeTable:
         root/
           data/v{N}-{uuid}/_bucket={b}/part-*.parquet   # files of commit N
           metadata/v{N}.json                            # snapshot N
+          metadata/m{N}-{uuid}.json                     # commit N's manifest
           metadata/CURRENT                              # atomic pointer
 
-    Snapshot JSON: schema registry (``schemas``: schema_id → StructType json),
-    per-bucket file lists (each file tagged with its writer schema_id and
-    kind base|delta), the commit ledger (batch_id → version), table stats.
+    Snapshot JSON: schema registry (``schemas``: schema_id → StructType
+    json), the ordered manifest chain (per-bucket file lists live in the
+    immutable per-commit manifests — Iceberg's snapshot → manifest shape,
+    so commit metadata is O(files changed), not O(table files); the chain
+    auto-consolidates past ``MANIFEST_SQUASH``), the commit ledger
+    (batch_id → version), table stats.
     """
 
     def __init__(
