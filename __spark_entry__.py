@@ -58,6 +58,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Spread a single-file scan across cores before per-row-heavy work —
+    the test tables are one parquet file / one row group, so without this
+    every UDF/regex-heavy projection runs on one task (a test-data
+    artifact; real 100 TB inputs bring thousands of splits)."""
+    from data_pipelines_spark.operators.partitioning import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 # ---------------------------------------------------------------------------
 # flagship: events table as a CDC stream → lake MERGE → final state
 # ---------------------------------------------------------------------------
@@ -540,13 +550,13 @@ def sim_topk_lsh(spark, sf):
 
 def lang_id_documents(spark, sf):
     """Stopword-ratio argmax language ID (JVM higher-order functions only)."""
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
     return d.select("doc_id", lang_id(F.col("text")).alias("guess"))
 
 
 def text_tokens_quality(spark, sf):
     """Token counts (whitespace + BPE-ish regex) and punctuation ratio."""
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
     simple_pattern = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
     return d.select(
         "doc_id",
@@ -564,7 +574,7 @@ def doc_fingerprint(spark, sf):
     the xxhash64 variant, same plan shape)."""
     from data_pipelines_spark.extract.textqa import fingerprint_hex
 
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
     return d.select("doc_id", fingerprint_hex(F.col("text"), hash_fn="md5").alias("fp"))
 
 
@@ -720,7 +730,7 @@ def p4_substring_flags(spark, sf):
 
 def text_quality_score(spark, sf):
     """Composite [0,1] document quality score (length/punct/stopword/case)."""
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
     return d.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("quality"))
 
 
@@ -769,7 +779,7 @@ def x1_extract_profile(spark, sf):
     from data_pipelines_spark.extract.html import extract_page_fields
     from data_pipelines_spark.gen.pagegen import profile_page
 
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents").select("doc_id"))
     i = F.col("doc_id")
     fields = extract_page_fields(profile_page(i).cast("binary")).alias("f")
     out = d.select("doc_id", fields)
@@ -798,7 +808,7 @@ def x2_extract_bouts(spark, sf):
     from data_pipelines_spark.extract.html import extract_bouts
     from data_pipelines_spark.gen.pagegen import bouts_page
 
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents").select("doc_id"))
     i = F.col("doc_id")
     bouts = extract_bouts(bouts_page(i).cast("binary"))
     ex = d.select("doc_id", F.posexplode(bouts).alias("pos", "b"))
@@ -820,7 +830,7 @@ def x3_url_harvest(spark, sf):
     from data_pipelines_spark.extract.html import harvest_new_urls
     from data_pipelines_spark.gen.pagegen import bouts_page
 
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents").select("doc_id"))
     i = F.col("doc_id")
     pages = d.select("doc_id", bouts_page(i).cast("binary").alias("html"))
     # seen set: every harvested opponent id divisible by 7 (pre-registered)
@@ -845,7 +855,7 @@ def x4_page_quarantine(spark, sf):
     from data_pipelines_spark.extract.html import page_validation_reason
     from data_pipelines_spark.gen.pagegen import quarantine_page, quarantine_url
 
-    d = _t(spark, sf, "documents")
+    d = _par(_t(spark, sf, "documents").select("doc_id"))
     i = F.col("doc_id")
     return d.select(
         "doc_id",

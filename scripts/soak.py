@@ -50,16 +50,17 @@ def main() -> None:
     # regenerates its slice in parallel, playing the role of the source read.
     changes = change_stream(spark, n_events=n_events, n_keys=n_events // 8, seed=42)
     work = tempfile.mkdtemp(prefix="soak_")
-    # change_filter stays off here: with deletes in the stream its documented
-    # caveat (a skipped no-op does not advance the stored sequence) would make
-    # strict checksum equality vs the full-LWW oracle unprovable; the filter
-    # has its own equivalence test on a deleteless stream (tests/test_replay).
+    # change_filter ON, deletes ON: hash-unchanged re-scrapes become seq-bump
+    # deltas that advance the stored sequence, so the filtered replay is
+    # checksum-EQUAL to the single-pass LWW oracle even with out-of-order
+    # deletes in the stream — the soak proves the bump design at scale.
     pipe = CdcPipeline(
         spark,
         PipelineConfig(
             table_root=os.path.join(work, "t"),
             n_buckets=64,
             decode=True,
+            change_filter=True,
         ),
     )
     t0 = time.time()
@@ -80,8 +81,9 @@ def main() -> None:
 
     md = f"""# SOAK — sustained ingest at {n_events:,} events
 
-`python scripts/soak.py {n_events} {n_batches} {cpus}` — full default path
-(single-shuffle dedup → Arrow decode UDFs → delta MERGE → tombstoned
+`python scripts/soak.py {n_events} {n_batches} {cpus}` — full path with the
+change filter ON (hash-unchanged re-scrapes → seq-bump deltas →
+single-shuffle dedup → Arrow decode UDFs → delta MERGE → tombstoned
 deletes → staggered compaction) on local[{cpus}], {n_batches} microbatches,
 n_buckets=64, ~{n_events // 8:,} distinct keys, skewed/out-of-order/
 duplicated stream (seed 42).
@@ -99,8 +101,9 @@ duplicated stream (seed 42).
 | snapshot chain length | {pipe.table.current_version()} |
 
 The checksum equality is the replay-equivalence criterion at soak scale:
-batch slicing, duplicate deliveries, compaction and tombstone handling did
-not change the final state vs a single-pass LWW over the whole log.
+batch slicing, duplicate deliveries, seq-bump change filtering with
+out-of-order deletes, compaction and tombstone handling did not change the
+final state vs a single-pass LWW over the whole log.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SOAK.md"), "w") as f:
