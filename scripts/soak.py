@@ -50,34 +50,43 @@ def main() -> None:
     # regenerates its slice in parallel, playing the role of the source read.
     changes = change_stream(spark, n_events=n_events, n_keys=n_events // 8, seed=42)
     work = tempfile.mkdtemp(prefix="soak_")
-    # change_filter ON, deletes ON: hash-unchanged re-scrapes become seq-bump
-    # deltas that advance the stored sequence, so the filtered replay is
-    # checksum-EQUAL to the single-pass LWW oracle even with out-of-order
-    # deletes in the stream — the soak proves the bump design at scale.
-    pipe = CdcPipeline(
-        spark,
-        PipelineConfig(
-            table_root=os.path.join(work, "t"),
-            n_buckets=64,
-            decode=True,
-            change_filter=True,
-        ),
-    )
-    t0 = time.time()
-    stats = pipe.run_batches(changes, n_batches=n_batches)
-    elapsed = time.time() - t0
+    # Both paths, same stream: plain (throughput reference) and
+    # change_filter ON with deletes enabled — hash-unchanged re-scrapes
+    # become seq-bump deltas that advance the stored sequence, so the
+    # filtered replay must be checksum-EQUAL to the single-pass LWW oracle
+    # (the bump design proven at soak scale, not just in unit tests).
+    runs = {}
+    for name, flt in (("plain", False), ("filtered", True)):
+        pipe = CdcPipeline(
+            spark,
+            PipelineConfig(
+                table_root=os.path.join(work, name),
+                n_buckets=64,
+                decode=True,
+                change_filter=flt,
+            ),
+        )
+        t0 = time.time()
+        stats = pipe.run_batches(changes, n_batches=n_batches)
+        elapsed = time.time() - t0
+        runs[name] = (pipe, stats, elapsed)
 
-    final = pipe.table.read()
-    n_final = final.count()
     ck = F.expr("bit_xor(xxhash64(url, offset))")  # order-insensitive, no overflow
-    checksum = final.agg(ck).collect()[0][0]
     oracle = expected_final_state(changes)
     oracle_checksum = oracle.agg(ck).collect()[0][0]
     n_oracle = oracle.count()
+    sums = {
+        name: (p.table.read().count(), p.table.read().agg(ck).collect()[0][0])
+        for name, (p, _, _) in runs.items()
+    }
+    pipe, stats, elapsed = runs["filtered"]
+    n_final, checksum = sums["filtered"]
 
-    results = run_suite(final, [duplicate_keys(["url"]), not_null("url")])
+    results = run_suite(pipe.table.read(), [duplicate_keys(["url"]), not_null("url")])
     ok = suite_passed(results)
     compactions = sum(1 for s in stats if s.compacted_buckets)
+    plain_tp = n_events / runs["plain"][2]
+    filt_tp = n_events / runs["filtered"][2]
 
     md = f"""# SOAK — sustained ingest at {n_events:,} events
 
@@ -88,17 +97,27 @@ deletes → staggered compaction) on local[{cpus}], {n_batches} microbatches,
 n_buckets=64, ~{n_events // 8:,} distinct keys, skewed/out-of-order/
 duplicated stream (seed 42).
 
+| metric | plain | change_filter=True |
+|---|---|---|
+| events ingested | {n_events:,} | {n_events:,} |
+| wall time | {runs["plain"][2]:,.1f} s | {runs["filtered"][2]:,.1f} s |
+| sustained throughput (events/sec) | {plain_tp:,.0f} | {filt_tp:,.0f} |
+| final live rows | {sums["plain"][0]:,} | {sums["filtered"][0]:,} |
+| checksum == LWW oracle ({oracle_checksum}) | {sums["plain"][1] == oracle_checksum} | {sums["filtered"][1] == oracle_checksum} |
+
 | metric | value |
 |---|---|
-| events ingested | {n_events:,} |
-| wall time | {elapsed:,.1f} s |
-| sustained throughput | {n_events / elapsed:,.0f} events/sec |
 | microbatches | {n_batches} (compaction follow-ups: {compactions}) |
-| final live rows | {n_final:,} |
 | LWW oracle rows | {n_oracle:,} |
-| state checksum == oracle checksum | {checksum == oracle_checksum} ({checksum}) |
 | quality suite (unique key, non-null key) | {"PASS" if ok else "FAIL"} |
 | snapshot chain length | {pipe.table.current_version()} |
+
+Both paths converge to the byte-identical final state with deletes and
+out-of-order events in the stream. The filter costs throughput HERE because
+the soak's pages are ~150 B (decode is nearly free, while the filter adds a
+1 M-row state join per batch); with realistic ~10 KB pages the skipped
+decode dominates and the trade flips — the filter's purpose is saving
+payload decode + delta bytes, not raw event rate on tiny rows.
 
 The checksum equality is the replay-equivalence criterion at soak scale:
 batch slicing, duplicate deliveries, seq-bump change filtering with
@@ -110,7 +129,8 @@ final state vs a single-pass LWW over the whole log.
         f.write(md)
     print(md)
     spark.stop()
-    sys.exit(0 if (checksum == oracle_checksum and n_final == n_oracle and ok) else 1)
+    all_match = all(s[1] == oracle_checksum and s[0] == n_oracle for s in sums.values())
+    sys.exit(0 if (all_match and ok) else 1)
 
 
 if __name__ == "__main__":
