@@ -83,3 +83,79 @@ def test_lww_latest_matches_pandas_model(spark, rows):
     assert got == model
     # exactly one survivor per key
     assert len(got) == len({u for u, *_ in data})
+
+
+def _model_resolve_bumps(rows):
+    """Pure-Python model of lww_resolve_bumps: rows are
+    (key, seq, payload, content_hash, deleted, bump)."""
+    out = {}
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    for key, rs in by_key.items():
+        w = max(rs, key=lambda r: r[1])
+        if not w[5]:  # not a bump: plain LWW
+            out[key] = (w[1], w[2], w[3], w[4])
+            continue
+        content = [r for r in rs if not r[5] and not r[4]]
+        # newest content row matching the bump's observed hash, else newest
+        match = [r for r in content if r[3] == w[3]]
+        pick = max(match, key=lambda r: r[1]) if match else (
+            max(content, key=lambda r: r[1]) if content else None
+        )
+        if pick is None:
+            out[key] = (w[1], None, None, True)  # unmaterializable → tombstone
+        else:
+            out[key] = (w[1], pick[2], pick[3], False)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # key
+            st.integers(0, 20),                     # payload id (content)
+            st.sampled_from(["U", "U", "U", "D", "B"]),  # op mix
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_lww_resolve_bumps_matches_model(spark, events):
+    """Bump-aware resolution equals an independent Python model on random
+    (key, op, payload) sequences — incl. bump-vs-delete ordering, multiple
+    bumps, hash-matched materialization and fallbacks."""
+    from data_pipelines_spark.operators.lww import lww_resolve_bumps
+
+    rows = []
+    for seq, (key, pay, op) in enumerate(events):
+        h = f"h{pay % 5}"  # small hash space → plenty of matches AND misses
+        rows.append(
+            (
+                f"k{key}",
+                seq,
+                None if op in ("D", "B") else f"p{pay}",
+                h if op != "D" else None,
+                op == "D",
+                op == "B",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "url string, offset long, payload string, content_hash string, "
+        "_deleted boolean, _bump boolean",
+    )
+    got = {
+        r.url: (r.offset, r.payload, r.content_hash, r._deleted)
+        for r in lww_resolve_bumps(
+            df, "url", ("offset",), bump_col="_bump",
+            deleted_col="_deleted", hash_col="content_hash",
+        ).collect()
+    }
+    want = _model_resolve_bumps(rows)
+    # model payload/hash for tombstone winners mirror the stored row values
+    norm = {
+        k: (v[0], v[1], v[2], v[3]) for k, v in want.items()
+    }
+    assert got == norm
