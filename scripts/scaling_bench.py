@@ -110,6 +110,7 @@ def _run_single(cpus: int, n_events: int, n_buckets: int) -> dict:
             "BENCH_BUCKETS": str(n_buckets),
             "BENCH_CDC_ONLY": "1",
             "BENCH_WARMUP": "1",
+            "BENCH_CDC_TRIALS": "1",  # run_once already does best-of-3
         }
     )
     out = subprocess.run(
