@@ -607,13 +607,17 @@ def _bouts_one(html: bytes | str | None) -> list[dict]:
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     out: list[dict] = []
+    last_kept = False  # notes attach only to the IMMEDIATELY preceding bout
     for tbl in _DATATABLE_RE.findall(html):
         for row in _TR_RE.findall(tbl):
             if "<th" in row:
+                last_kept = False
                 continue  # header rows
             if _COLSPAN_RE.search(row):
-                # note row: referee/judges attach to the bout above it
-                if out:
+                # note row: referee/judges attach to the bout right above it
+                # — never across a rejected row (that note belongs to the
+                # rejected bout, not to an earlier unrelated one)
+                if out and last_kept:
                     referee, judges = _parse_note_row(row)
                     if referee and out[-1]["referee_name"] is None:
                         out[-1]["referee_name"] = referee
@@ -622,6 +626,7 @@ def _bouts_one(html: bytes | str | None) -> list[dict]:
                 continue
             cells = _TD_RE.findall(row)
             if not cells:
+                last_kept = False
                 continue
             b: dict = {f.name: None for f in BOUT_SCHEMA.elementType.fields}
             b["judges"] = []
@@ -669,7 +674,8 @@ def _bouts_one(html: bytes | str | None) -> list[dict]:
             if m:
                 b["scorecards_link"] = f"https://boxrec.com{m.group(1)}"
             b["titles"] = [_clean(t) or slug for slug, t in _TITLELINK_RE.findall(row)]
-            if b["bout_date"] and b["opponent_name"]:
+            last_kept = bool(b["bout_date"] and b["opponent_name"])
+            if last_kept:
                 out.append(b)
     return out
 

@@ -398,10 +398,15 @@ class LakeTable:
             for fe in files
         )
         hash_col = "content_hash"
+        drop_hash_after = False
         if columns is not None:
             need = {self.key, *self.seq_cols, *columns}
-            if has_bumps:
-                need.add(hash_col)  # bump materialization joins on the hash
+            if has_bumps and hash_col not in need:
+                # bump materialization joins on the hash; the column is
+                # dropped again below so the projection the caller asked
+                # for never flaps with un-compacted bump state
+                need.add(hash_col)
+                drop_hash_after = True
             target = T.StructType([f for f in target.fields if f.name in need])
         has_bumps = has_bumps and hash_col in [f.name for f in target.fields]
         groups: dict[tuple[int, str], list[str]] = {}
@@ -452,6 +457,8 @@ class LakeTable:
                     df, self.key, self.seq_cols,
                     bump_col=BUMP_COL, deleted_col=DELETED_COL, hash_col=hash_col,
                 )
+                if drop_hash_after:
+                    df = df.drop(hash_col)
             else:
                 from data_pipelines_spark.operators.lww import lww_latest
 
@@ -700,12 +707,32 @@ class LakeTable:
         take_new = F.col(f"n.{self.key}").isNotNull() & (
             F.col(f"c.{self.key}").isNull() | (n_seq >= c_seq)
         )
-        out_cols = [
-            F.when(take_new, F.col(f"n.{f_.name}")).otherwise(F.col(f"c.{f_.name}")).alias(f_.name)
-            for f_ in table_schema.fields
-        ]
+        # seq-bump winners (op='B', payload-free) advance the sequence but
+        # KEEP the current row's payload — without this branch a winning
+        # bump would overwrite content with its NULLs (and the COW rewrite
+        # would make that loss permanent). An unmaterializable bump (no
+        # current row, or current is a tombstone) resolves to a tombstone,
+        # matching lww_resolve_bumps on the merge-on-read path.
+        take_bump = take_new & (F.col("n.op") == F.lit("B"))
+        out_cols = []
+        for f_ in table_schema.fields:
+            if f_.name in self.seq_cols:
+                col = F.when(take_new, F.col(f"n.{f_.name}")).otherwise(
+                    F.col(f"c.{f_.name}")
+                )
+            else:
+                col = (
+                    F.when(take_bump, F.col(f"c.{f_.name}"))
+                    .when(take_new, F.col(f"n.{f_.name}"))
+                    .otherwise(F.col(f"c.{f_.name}"))
+                )
+            out_cols.append(col.alias(f_.name))
         out_cols.append(
-            F.when(take_new, F.col("n.op") == F.lit("D"))
+            F.when(
+                take_bump,
+                F.coalesce(F.col(f"c.{DELETED_COL}"), F.lit(True)),
+            )
+            .when(take_new, F.col("n.op") == F.lit("D"))
             .otherwise(F.coalesce(F.col(f"c.{DELETED_COL}"), F.lit(False)))
             .alias(DELETED_COL)
         )

@@ -496,6 +496,7 @@ def embedding_near_dup_lsh(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dups at scale: sign-LSH bucket blocking + exact verify.
 
@@ -515,7 +516,17 @@ def embedding_near_dup_lsh(
     )
 
     v = F.col(vec_col).cast("array<double>")
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # one-row probe for the vector dimension (pass ``dim`` to skip the
+        # driver job); empty/all-NULL input yields an empty pair set
+        probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if probe is None:
+            spark = df.sparkSession
+            return spark.createDataFrame(
+                [], f"a {df.schema[id_col].dataType.simpleString()}, "
+                    f"b {df.schema[id_col].dataType.simpleString()}, cosine double"
+            )
+        dim = len(probe[0])
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),

@@ -32,9 +32,17 @@ def preserve_identity(
     missing = [c for c in preserve if c not in existing.columns]
     if missing:
         raise ValueError(f"existing side lacks identity columns: {missing}")
-    ex = existing.select(
-        F.col(key),
-        *[F.col(c).alias(f"_ex_{c}") for c in preserve],
+    # the identity table is a unique url → identity mapping by contract;
+    # enforce one row per key deterministically (lexicographic max of the
+    # preserved tuple) so an un-deduped historical read can never fan out
+    # incoming rows through the join
+    ex = (
+        existing.groupBy(key)
+        .agg(F.max(F.struct(*[F.col(c) for c in preserve])).alias("_id"))
+        .select(
+            F.col(key),
+            *[F.col(f"_id.{c}").alias(f"_ex_{c}") for c in preserve],
+        )
     )
     joined = incoming.join(F.broadcast(ex), on=key, how="left")
     out_cols = []

@@ -79,50 +79,60 @@ def lww_resolve_bumps(
       correct;
     - otherwise ``w`` stands as-is (plain LWW).
 
-    Cost: two partial-aggregated ``max_by`` groupings plus one join on
-    (key, hash) for bump-winner keys only — and the whole path is engaged
-    only while un-compacted bump deltas exist (compaction materializes
-    bumps back into plain rows).
+    Physical shape: ONE scan of the input. The first aggregation groups by
+    (key, content_hash) — a bump therefore lands in the SAME group as the
+    content rows it hash-matches, so the per-group content winner IS the
+    bump's exact materialization; the second aggregation reduces the small
+    per-(key, hash) winner set to one row per key. No joins, no repeated
+    subtree evaluation (Spark re-executes repeated DataFrame references),
+    both aggregations partial-aggregate map-side.
     """
     payload = [c for c in df.columns if c != key]
     seq = _seq_struct(seq_cols)
     is_content = (~F.col(bump_col)) & (~F.col(deleted_col))
     pay = F.struct(*payload)
-    agg = df.groupBy(key).agg(
-        F.max_by(pay, seq).alias("_w"),
-        F.max_by(F.when(is_content, pay), F.when(is_content, seq)).alias("_cw"),
+    # level 1: per (key, hash-group) — deletes carry NULL hash and group
+    # under the sentinel; bumps share their matched content rows' group
+    grouped = df.groupBy(
+        F.col(key), F.coalesce(F.col(hash_col), F.lit("\x00~")).alias("_h")
+    ).agg(
+        F.max_by(pay, seq).alias("_wh"),
+        F.max_by(F.when(is_content, pay), F.when(is_content, seq)).alias("_chh"),
     )
-    out_cols = [c for c in df.columns if c != bump_col]
 
-    plain = agg.where(~F.col(f"_w.{bump_col}")).select(
-        key, *[F.col(f"_w.{c}").alias(c) for c in payload if c != bump_col]
-    )
+    def seq_of(s):
+        return F.struct(*[s[c] for c in seq_cols])
 
-    by_hash = (
-        df.where(is_content)
-        .groupBy(F.col(key).alias("_k2"), F.col(hash_col).alias("_h2"))
-        .agg(F.max_by(pay, seq).alias("_ch"))
+    # level 2: per key — overall winner (with its own group's content
+    # winner riding along = the hash-matched materialization) + the
+    # cross-group newest content row as the fallback
+    per_key = grouped.groupBy(key).agg(
+        F.max_by(
+            F.struct(F.col("_wh").alias("w"), F.col("_chh").alias("m")),
+            seq_of(F.col("_wh")),
+        ).alias("_t"),
+        F.max_by(
+            F.col("_chh"),
+            F.when(F.col("_chh").isNotNull(), seq_of(F.col("_chh"))),
+        ).alias("_cw"),
     )
-    bumped = agg.where(F.col(f"_w.{bump_col}"))
-    joined = bumped.join(
-        by_hash,
-        on=(bumped[key] == F.col("_k2"))
-        & (F.col(f"_w.{hash_col}") == F.col("_h2")),
-        how="left",
-    )
-    content = F.coalesce(F.col("_ch"), F.col("_cw"))
-    resolved_cols = [F.col(key)]
+    w = F.col("_t.w")
+    content = F.coalesce(F.col("_t.m"), F.col("_cw"))
+    out_cols = [F.col(key)]
     for c in payload:
         if c == bump_col:
             continue
         if c in seq_cols:
-            resolved_cols.append(F.col(f"_w.{c}").alias(c))
+            out_cols.append(w[c].alias(c))
         elif c == deleted_col:
-            resolved_cols.append(content.isNull().alias(c))
+            out_cols.append(
+                F.when(w[bump_col], content.isNull()).otherwise(w[c]).alias(c)
+            )
         else:
-            resolved_cols.append(content[c].alias(c))
-    resolved = joined.select(*resolved_cols)
-    return plain.unionByName(resolved).select(*out_cols)
+            out_cols.append(
+                F.when(w[bump_col], content[c]).otherwise(w[c]).alias(c)
+            )
+    return per_key.select(*out_cols)
 
 
 def lww_latest_window(

@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 class CheckResult:
     name: str
     passed: bool
+    #: offender count; when ``capped`` is True this is the scan cap, not the
+    #: true total (the gate only needs zero-or-not — see ``run_suite``)
     offending_rows: int
     sample: list[dict]
+    capped: bool = False
 
 
 Check = tuple[str, Callable[[DataFrame], DataFrame]]
@@ -61,6 +64,7 @@ def run_suite(df: DataFrame, checks: Sequence[Check], sample_size: int = 5) -> l
                 passed=agg["n"] == 0,
                 offending_rows=agg["n"],
                 sample=[r.asDict(recursive=True) for r in agg["sample"]],
+                capped=agg["n"] >= count_cap,
             )
         )
     return results

@@ -292,3 +292,26 @@ def test_page_validation_chain(spark):
     assert got[8] == "not_boxer_page"
     assert got[9] is None
     assert got[10] == "bad_url"
+
+
+def test_note_row_not_attached_across_rejected_bout(spark):
+    """A note row following a REJECTED bout row must not attach its
+    referee/judges to an earlier unrelated bout."""
+    page = """
+    <html><body><table class="dataTable">
+    <tr><td>2024-01-10</td><td></td>
+        <td><a class="personLink" href="/en/box-pro/1">Opp A</a></td>
+        <td></td><td></td><td>Arena</td><td class="boutResult">W</td></tr>
+    <tr><td>no parseable date</td><td></td><td>no opponent link</td>
+        <td></td><td></td><td>X</td><td class="boutResult">L</td></tr>
+    <tr><td colspan="7">referee: Wrong Guy | judge: Nope 1-0</td></tr>
+    </table></body></html>
+    """
+    b = (
+        spark.createDataFrame([(1, page.encode())], "id int, html binary")
+        .select(F.explode(extract_bouts(F.col("html"))).alias("b"))
+        .select("b.*")
+        .collect()
+    )
+    assert len(b) == 1
+    assert b[0].referee_name is None and b[0].judges == []
