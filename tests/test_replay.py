@@ -229,3 +229,35 @@ def test_bump_defeats_out_of_order_delete(spark, tmp_root):
     # a delete NEWER than the bump must still win
     pipe.process_batch(batch([(11, "D", u, ts(11), None, None)]), 3)
     assert pipe.table.read().count() == 0
+
+
+def test_change_filter_with_mid_stream_schema_evolution(spark, tmp_root):
+    """Bump deltas and additive schema evolution compose: the filtered
+    replay still equals the unfiltered one when the stream grows a column
+    mid-flight (bump rows NULL-fill evolved columns; alignment backfills)."""
+    import os
+
+    from data_pipelines_spark.gen.changegen import change_stream
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    changes = change_stream(
+        spark, n_events=3000, n_keys=250, seed=13, evolve_at=0.5
+    ).persist()
+    outs = {}
+    for name, flag in [("plain", False), ("filtered", True)]:
+        pipe = CdcPipeline(
+            spark,
+            PipelineConfig(
+                table_root=os.path.join(tmp_root, f"ev_{name}"),
+                n_buckets=4,
+                change_filter=flag,
+            ),
+        )
+        pipe.run_batches(changes, n_batches=3)
+        outs[name] = pipe.table.read().select(
+            "url", "warc_ts", "offset", F.sha2("html", 256).alias("h"),
+            F.to_json("meta").alias("meta_json"),  # maps can't join set ops
+        )
+    a, b = outs["plain"], outs["filtered"]
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    changes.unpersist()
