@@ -863,6 +863,32 @@ def x4_page_quarantine(spark, sf):
     )
 
 
+def text_repetition(spark, sf):
+    """Gopher-family repetition signals (top-word share, duplicate bigram/
+    trigram fractions) — integer-ratio exact, JVM-side."""
+    from data_pipelines_spark.extract.textqa import dup_ngram_fraction, top_word_share
+
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        F.round(top_word_share(F.col("text")), 4).alias("top_word_share"),
+        F.round(dup_ngram_fraction(F.col("text"), 2), 4).alias("dup_bigram_frac"),
+        F.round(dup_ngram_fraction(F.col("text"), 3), 4).alias("dup_trigram_frac"),
+    )
+
+
+def gopher_quality(spark, sf):
+    """Gopher/MassiveText-style first-failure quality rejection chain
+    (word count, word length, punctuation, top-word domination, duplicate
+    bigrams); NULL reason = keep."""
+    from data_pipelines_spark.extract.textqa import gopher_quality_reason
+
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
+    return d.select(
+        "doc_id", gopher_quality_reason(F.col("text")).alias("reason")
+    )
+
+
 def k8_sanitize_export(spark, sf):
     """K8 sink-boundary sanitization (lake/publish.sanitize_for_export):
     booleans -> int, binary -> hex at the serving-store boundary
@@ -981,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_page_quarantine": x4_page_quarantine,
         "m1_media_plans": m1_media_plans,
         "k8_sanitize_export": k8_sanitize_export,
+        "text_repetition": text_repetition,
+        "gopher_quality": gopher_quality,
     }
 
 
@@ -1742,6 +1770,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat('https://boxrec.com/en/box-pro/',
                           CAST(oid AS VARCHAR)) AS url
             FROM oids WHERE oid % 7 <> 0
+        """,
+        "text_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, ws,
+                     list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                                    i -> array_to_string(ws[i:i+1], ' ')) AS g2,
+                     list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                    i -> array_to_string(ws[i:i+2], ' ')) AS g3
+              FROM w
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(ws) > 0 THEN
+                     list_max(list_transform(list_distinct(ws),
+                       t -> len(list_filter(ws, e -> e = t))))::double / len(ws)
+                     ELSE 0 END, 4) AS top_word_share,
+                   round((len(g2) - len(list_distinct(g2)))::double
+                         / len(g2), 4) AS dup_bigram_frac,
+                   round((len(g3) - len(list_distinct(g3)))::double
+                         / len(g3), 4) AS dup_trigram_frac
+            FROM g
+        """,
+        "gopher_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ws
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, ws, len(ws) AS n,
+                     list_sum(list_transform(ws, t -> len(t)))::double AS chars,
+                     CASE WHEN len(text) > 0
+                          THEN len(regexp_replace(text,
+                               '[^.,;:!?''"()\\[\\]-]', '', 'g'))::double / len(text)
+                          ELSE 0 END AS punct,
+                     CASE WHEN len(ws) > 0 THEN
+                       list_max(list_transform(list_distinct(ws),
+                         t -> len(list_filter(ws, e -> e = t))))::double / len(ws)
+                       ELSE 0 END AS topshare,
+                     (len(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
+                                         i -> array_to_string(ws[i:i+1], ' ')))
+                      - len(list_distinct(
+                          list_transform(generate_series(1, greatest(len(ws)-1, 1)),
+                                         i -> array_to_string(ws[i:i+1], ' ')))))::double
+                     / len(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
+                                          i -> array_to_string(ws[i:i+1], ' '))) AS dupbg
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN n < 40 OR n > 100000 THEN 'word_count'
+                        WHEN chars / n < 2.0 OR chars / n > 12.0 THEN 'word_length'
+                        WHEN punct > 0.25 THEN 'punctuation'
+                        WHEN topshare > 0.20 THEN 'top_word'
+                        WHEN dupbg > 0.60 THEN 'dup_bigrams'
+                   END AS reason
+            FROM m
         """,
         "k8_sanitize_export": """
             SELECT doc_id,

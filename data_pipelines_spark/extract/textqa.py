@@ -119,6 +119,71 @@ def quality_score(col: Column, lang: str = "en") -> Column:
     return (length_ok + punct_ok + sw_ok + case_ok + mwl_ok) / F.lit(5.0)
 
 
+def top_word_share(col: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent word — the
+    MassiveText/Gopher repetition signal family (public rule set): pages
+    dominated by one token are boilerplate. Pure integer-ratio Column
+    expression (count of max word / total words), so it is exactly
+    reproducible in any SQL engine."""
+    w = words(col)
+    n = F.size(w)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda t: F.size(F.filter(w, lambda e: e == t)),
+        )
+    )
+    return F.when(n > 0, top / n).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats: 1 − distinct/total —
+    the Gopher duplicate-n-gram rule. Integer-ratio exact."""
+    w = words(col)
+    k = F.size(w) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0))
+
+
+def gopher_quality_reason(
+    col: Column,
+    min_words: int = 40,
+    max_words: int = 100_000,
+    mwl_lo: float = 2.0,
+    mwl_hi: float = 12.0,
+    max_punct: float = 0.25,
+    max_top_word: float = 0.20,
+    max_dup_bigram: float = 0.60,
+) -> Column:
+    """First-failure-wins document rejection reason, NULL = keep.
+
+    The Gopher/MassiveText-style quality rule chain (public rule family)
+    as one JVM CASE expression: word-count bounds, mean-word-length
+    bounds, punctuation share, single-word domination, duplicate-bigram
+    share. Every predicate is a ratio of integers, so the chain is
+    byte-exactly reproducible in the DuckDB oracle.
+    """
+    w = words(col)
+    n = F.size(w)
+    total_chars = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    return (
+        F.when((n < min_words) | (n > max_words), F.lit("word_count"))
+        .when(
+            (total_chars / n < mwl_lo) | (total_chars / n > mwl_hi),
+            F.lit("word_length"),
+        )
+        .when(punct_ratio(col) > max_punct, F.lit("punctuation"))
+        .when(top_word_share(col) > max_top_word, F.lit("top_word"))
+        .when(dup_ngram_fraction(col, 2) > max_dup_bigram, F.lit("dup_bigrams"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def char_shingles(col: Column, k: int = 8) -> Column:
     """Character k-gram shingles (for fingerprinting), JVM-side."""
     from data_pipelines_spark.functions.normalize import normalized_text

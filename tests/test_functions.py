@@ -244,3 +244,40 @@ def test_preserve_identity(spark):
     }
     assert got["u1"] == ("minted-slug-1", "Fresh One")  # slug kept, name filled
     assert got["u2"] == ("fresh-slug-2", "Fresh Two")   # unseen: all fresh
+
+
+def test_gopher_quality_and_repetition(spark):
+    """Gopher rule chain + repetition signals on adversarial docs."""
+    from data_pipelines_spark.extract.textqa import (
+        dup_ngram_fraction,
+        gopher_quality_reason,
+        top_word_share,
+    )
+
+    docs = [
+        (1, "short doc"),                                   # word_count
+        (2, " ".join(["spam"] * 80)),                       # top_word (1.0)
+        (3, " ".join("ab" * 20 for _ in range(80))),        # word_length (40 chars/word)
+        (4, " ".join(f"w{i}" for i in range(80)) + " !!??.. ,,;;;; :::: !!!! ???? ...."),
+        (5, " ".join(f"unique{i} filler{i} blob{i}" for i in range(30))),  # keep
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: r.reason
+        for r in df.select(
+            "doc_id", gopher_quality_reason(F.col("text")).alias("reason")
+        ).collect()
+    }
+    assert got[1] == "word_count"
+    assert got[2] == "top_word"
+    assert got[3] == "word_length"
+    assert got[5] is None
+    rep = (
+        df.where(F.col("doc_id") == 2)
+        .select(
+            top_word_share(F.col("text")).alias("t"),
+            dup_ngram_fraction(F.col("text"), 2).alias("d"),
+        )
+        .collect()[0]
+    )
+    assert rep.t == 1.0 and rep.d > 0.95
