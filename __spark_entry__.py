@@ -613,6 +613,33 @@ def sim_topk_ivf(spark, sf):
     )
 
 
+def sim_batch_topk(spark, sf):
+    """Batch-serving ANN: exact cosine top-5 for every query in a query
+    set (vec_id %% 100 == 1), ranked per query."""
+    from data_pipelines_spark.operators.similarity import batch_topk
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = batch_topk(e, queries, k=5)
+    return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def sim_batch_lsh_topk(spark, sf):
+    """Batch ANN with sign-LSH bucket pruning: per-query probe expansion +
+    bucket equi-join, exact rank inside candidates. Oracle replays buckets
+    from plane literals and the Hamming-probe join in SQL."""
+    from data_pipelines_spark.operators.similarity import batch_lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = batch_lsh_topk(e, queries, k=5, n_planes=8, multiprobe=1)
+    return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
 def f4_bout_id_gen(spark, sf):
     """F4/W3 unique per-group id: `{key}_bout_{i}` with positional index."""
     from pyspark.sql import Window as W
@@ -988,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
+        "sim_batch_topk": sim_batch_topk,
+        "sim_batch_lsh_topk": sim_batch_lsh_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "f4_bout_id_gen": f4_bout_id_gen,
@@ -1190,6 +1219,71 @@ SELECT a, b,
 FROM s
 WHERE (CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END)
       >= {threshold}
+"""
+
+
+
+def _batch_topk_oracle(k: int = 5) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 100 = 1
+), s AS (
+  SELECT q_id, vec_id,
+         list_reduce(list_transform(generate_series(1, len(e)),
+                                    i -> e[i] * qe[i]), (x, y) -> x + y) AS dot,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y)) AS na,
+         sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS nq
+  FROM v CROSS JOIN q
+), r AS (
+  SELECT q_id, vec_id,
+         CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END AS cos,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY (CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END)
+                    DESC, vec_id) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, round(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _batch_lsh_topk_oracle(k: int = 5, n_planes: int = 8, multiprobe: int = 1) -> str:
+    rows = _planes_values_sql(n_planes)
+    return f"""
+WITH planes(b, p) AS (VALUES
+      {rows}
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings
+), bk AS (
+  SELECT vec_id, e,
+         CAST(sum(CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(e)), i -> e[i] * p[i]),
+                 (x, y) -> x + y) > 0
+               THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id, e
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, bucket AS qb FROM bk WHERE vec_id % 100 = 1
+), s AS (
+  SELECT q.q_id, c.vec_id,
+         list_reduce(list_transform(generate_series(1, len(c.e)),
+                                    i -> c.e[i] * qe[i]), (x, y) -> x + y) AS dot,
+         sqrt(list_reduce(list_transform(c.e, x -> x * x), (x, y) -> x + y)) AS na,
+         sqrt(list_reduce(list_transform(qe, x -> x * x), (x, y) -> x + y)) AS nq
+  FROM bk c JOIN q ON bit_count(xor(c.bucket, q.qb)) <= {multiprobe}
+), r AS (
+  SELECT q_id, vec_id,
+         CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END AS cos,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY (CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END)
+                    DESC, vec_id) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, round(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
 """
 
 
@@ -1894,5 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "doc_fingerprint": _fingerprint_oracle(k=8, sketch=16),
         "sim_topk_lsh": _lsh_topk_oracle(n_planes=8, multiprobe=2, k=10),
+        "sim_batch_topk": _batch_topk_oracle(k=5),
+        "sim_batch_lsh_topk": _batch_lsh_topk_oracle(k=5, n_planes=8, multiprobe=1),
         "sim_topk_ivf": _ivf_topk_oracle(n_centroids=16, sample_mod=37, nprobe=4, k=10),
     }

@@ -71,3 +71,36 @@ def test_media_features_feed_similarity(spark):
     q = feats.where(F.col("vec_id") == 0).first().embedding
     top = brute_force_topk(feats, q, k=3).collect()
     assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+
+
+def test_batch_topk_and_lsh_recall(spark):
+    """Batch ANN: the exact batch ranks agree with single-query topk, and
+    the LSH-pruned batch keeps a sane recall floor per query."""
+    from data_pipelines_spark.operators.similarity import (
+        batch_lsh_topk,
+        batch_topk,
+        brute_force_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = batch_topk(e, queries, k=5)
+    got = {
+        (r.q_id, r.rank): r.vec_id for r in exact.collect()
+    }
+    # per-query agreement with the single-query operator
+    q0 = queries.orderBy("q_id").first()
+    single = brute_force_topk(e, q0.embedding, k=5).collect()
+    assert [got[(q0.q_id, i + 1)] for i in range(5)] == [r.vec_id for r in single]
+
+    approx = batch_lsh_topk(e, queries, k=5, n_planes=8, multiprobe=2)
+    hits = {(r.q_id, r.vec_id) for r in approx.collect()}
+    exact_sets = {}
+    for (qid, _rank), vid in got.items():
+        exact_sets.setdefault(qid, set()).add(vid)
+    recalls = [
+        len({(qid, v) for v in vs} & hits) / len(vs) for qid, vs in exact_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe-2 recall floor
