@@ -43,6 +43,42 @@ def read_page_files(spark: SparkSession, glob_path: str) -> DataFrame:
     )
 
 
+def read_change_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Change-log tail in multiple wire formats.
+
+    ``parquet`` is the native binlog-segment layout; ``json`` accepts
+    JSON-lines segments where the ``html`` payload is base64 text (JSON has
+    no binary type — the reference's scraper receives page bodies base64-
+    encoded the same way, ``boxing/scrapers/boxrec/boxer.py:98-105``) and
+    decodes it to the engine's binary column; ``csv`` likewise. Identical
+    downstream pipeline regardless of wire format.
+    """
+    reader = spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "parquet":
+        return reader.schema(schema).parquet(path)
+    # text formats: html arrives base64; swap the column type in the schema
+    from pyspark.sql import types as T
+
+    wire_fields = [
+        T.StructField(f.name, T.StringType() if f.name == "html" else f.dataType, True)
+        for f in schema.fields
+    ]
+    wire = T.StructType(wire_fields)
+    if fmt == "json":
+        df = reader.schema(wire).json(path)
+    elif fmt == "csv":
+        df = reader.schema(wire).option("header", True).csv(path)
+    else:
+        raise ValueError(fmt)
+    return df.withColumn("html", F.unbase64(F.col("html")))
+
+
 def due_work_scan(
     state: DataFrame,
     cutoff,

@@ -264,6 +264,7 @@ class CdcPipeline:
         max_files_per_trigger: int = 1,
         stateful_filter: bool = False,
         watermark: str = "30 minutes",
+        fmt: str = "parquet",
     ):
         """Tail the change-log directory as a file-source stream.
 
@@ -277,11 +278,16 @@ class CdcPipeline:
         MERGE: duplicates and stale updates are absorbed in the state store
         before they cost a shuffle, with per-key state expiring past the
         watermark. The merge's ledger remains the exactly-once boundary.
+
+        ``fmt`` selects the wire format of the log segments (parquet
+        native; json/csv with base64 page bodies — see
+        ``sources.read_change_stream``).
         """
-        stream = (
-            self.spark.readStream.schema(source_schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(source_dir)
+        from data_pipelines_spark.sources import read_change_stream
+
+        stream = read_change_stream(
+            self.spark, source_dir, source_schema, fmt=fmt,
+            max_files_per_trigger=max_files_per_trigger,
         )
         if stateful_filter:
             from data_pipelines_spark.streaming.stateful import streaming_lww_filter

@@ -41,3 +41,43 @@ def test_due_work_scan_nulls_first_then_stalest(spark):
     )
     got = [r.url for r in due_work_scan(state, dt.datetime(2025, 1, 15), limit=10).collect()]
     assert got == ["u2", "u3", "u1"]
+
+
+def test_json_change_stream_matches_parquet(spark, tmp_root):
+    """S2/S4 wire-format parity: the same change log delivered as JSON-lines
+    segments (base64 page bodies, the reference's Zyte wire shape) ingests
+    to the byte-identical final state as the native parquet binlog."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.gen.changegen import change_stream, write_change_log
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    changes = change_stream(spark, n_events=800, n_keys=120, seed=21).persist()
+    pq_dir = os.path.join(tmp_root, "log_pq")
+    js_dir = os.path.join(tmp_root, "log_js")
+    write_change_log(changes, pq_dir, n_segments=2)
+    (
+        changes.repartitionByRange(2, "offset")
+        .sortWithinPartitions("offset")
+        .withColumn("html", F.base64(F.col("html")))
+        .write.mode("overwrite")
+        .json(js_dir)
+    )
+    schema = spark.read.parquet(pq_dir).schema
+    states = {}
+    for name, fmt, d in [("pq", "parquet", pq_dir), ("js", "json", js_dir)]:
+        pipe = CdcPipeline(
+            spark, PipelineConfig(os.path.join(tmp_root, f"t_{name}"), n_buckets=4)
+        )
+        q = pipe.run_stream(d, os.path.join(tmp_root, f"ck_{name}"), schema, fmt=fmt)
+        q.awaitTermination()
+        states[name] = {
+            r.url: (r.offset, r.h)
+            for r in pipe.table.read()
+            .select("url", "offset", F.sha2("html", 256).alias("h"))
+            .collect()
+        }
+    assert states["pq"] == states["js"] and len(states["pq"]) > 0
+    changes.unpersist()
