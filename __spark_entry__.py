@@ -132,6 +132,28 @@ FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+def a9_throughput_report(spark, sf):
+    """A9 run-rate counters: the per-batch lineage/throughput report of a
+    3-batch CDC replay (rows in, upserts, deletes, offset span per commit).
+    The oracle predicts every number from the offset-range batch slicing +
+    per-batch LWW winners computed in SQL."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="a9_entry_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=8, decode=False),
+    )
+    pipe.run_batches(changes, n_batches=3)
+    return pipe.throughput_report().select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "rows_in",
+        "rows_upserted",
+        "rows_deleted",
+        "offset_min",
+        "offset_max",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return cdc_final_state(spark, "/root/testdata/sf0.001")
@@ -992,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_completeness": a5_completeness,
         "a6_array_consistency": a6_array_consistency,
         "a8_minmax_freshness": a8_minmax_freshness,
+        "a9_throughput_report": a9_throughput_report,
         "a10_distinct": a10_distinct,
         "a11_tumbling_window": a11_tumbling_window,
         "a12_session_window": a12_session_window,
@@ -1484,6 +1507,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, max(ts) AS max_ts, min(ts) AS min_ts,
                    round(max(value), 4) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "a9_throughput_report": """
+            WITH ch AS (
+              SELECT event_id AS off,
+                     CASE WHEN event_type='error' THEN 'D'
+                          WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+                     concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url,
+                     ts
+              FROM events
+            ), b AS (
+              SELECT min(off) AS lo, max(off) AS hi,
+                     greatest((max(off) - min(off) + 1) // 3, 1) AS step
+              FROM ch
+            ), sliced AS (
+              SELECT ch.*,
+                     CASE WHEN off < lo + step THEN 0
+                          WHEN off < lo + 2 * step THEN 1
+                          ELSE 2 END AS batch_id
+              FROM ch CROSS JOIN b
+            ), w AS (
+              SELECT batch_id, url, op, off,
+                     row_number() OVER (PARTITION BY batch_id, url
+                                        ORDER BY ts DESC, off DESC) AS rn
+              FROM sliced
+            )
+            SELECT batch_id,
+                   count(*) AS rows_in,
+                   CAST(count(*) - count(CASE WHEN op = 'D' THEN 1 END)
+                        AS BIGINT) AS rows_upserted,
+                   count(CASE WHEN op = 'D' THEN 1 END) AS rows_deleted,
+                   min(off) AS offset_min,
+                   max(off) AS offset_max
+            FROM w WHERE rn = 1
+            GROUP BY batch_id
         """,
         "a10_distinct": "SELECT DISTINCT user_id, event_type FROM events",
         "p2_quarantine": """
