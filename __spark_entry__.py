@@ -953,6 +953,43 @@ def k8_sanitize_export(spark, sf):
     return sanitize_for_export(typed)
 
 
+def x5_merge_levels(spark, sf):
+    """§3.1 pro/amateur pairing + merge (J3 pivot + amateur-wins coalesce +
+    has_amateur_record flag — ref ``to_staging_mirror_db.py:199-247``).
+    Amateur pages exist for even ids and are generated from a shifted id so
+    the oracle can tell whose value won the merge."""
+    from data_pipelines_spark.extract.html import (
+        extract_page_fields,
+        merge_competition_levels,
+    )
+    from data_pipelines_spark.gen.pagegen import profile_page
+
+    d = _par(_t(spark, sf, "documents").select("doc_id"))
+    i = F.col("doc_id")
+    pro = d.select(
+        i.alias("boxer_id"),
+        F.lit("professional").alias("level"),
+        extract_page_fields(profile_page(i).cast("binary")).alias("fields"),
+    )
+    am = d.where(i % 2 == 0).select(
+        i.alias("boxer_id"),
+        F.lit("amateur").alias("level"),
+        extract_page_fields(profile_page(i * 7 + 3).cast("binary")).alias("fields"),
+    )
+    out = merge_competition_levels(pro.unionByName(am))
+    r = F.col("record")
+    return out.select(
+        "boxer_id",
+        r["name"].alias("name"),
+        r["pro_wins"].alias("pro_wins"),
+        r["am_wins"].alias("am_wins"),
+        r["division_amateur"].alias("division_amateur"),
+        r["status_amateur"].alias("status_amateur"),
+        r["debut_date_amateur"].alias("debut_date_amateur"),
+        "has_amateur_record",
+    )
+
+
 def m1_media_plans(spark, sf):
     """Multimodal planning surface (extract/multimodal.py): image resize
     targets and video frame-sample fan-out computed JVM-side from the typed
@@ -1057,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_extract_bouts": x2_extract_bouts,
         "x3_url_harvest": x3_url_harvest,
         "x4_page_quarantine": x4_page_quarantine,
+        "x5_merge_levels": x5_merge_levels,
         "m1_media_plans": m1_media_plans,
         "k8_sanitize_export": k8_sanitize_export,
         "text_repetition": text_repetition,
@@ -1984,6 +2022,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS flag,
                    hex(lang::BLOB) AS payload
+            FROM documents
+        """,
+        "x5_merge_levels": """
+            SELECT doc_id AS boxer_id,
+                   concat('Boxer ', CAST(doc_id AS VARCHAR)) AS name,
+                   CAST(doc_id % 60 AS INT) AS pro_wins,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                        CAST(CASE WHEN doc_id % 2 = 0
+                                  THEN (7 * doc_id + 3) % 90
+                                  ELSE doc_id % 90 END AS INT)
+                   END AS am_wins,
+                   CASE WHEN doc_id % 3 = 0 THEN 'middleweight'
+                   END AS division_amateur,
+                   'inactive' AS status_amateur,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                        concat('1999-03-0',
+                               CAST(1 + (CASE WHEN doc_id % 2 = 0
+                                              THEN (7 * doc_id + 3) % 9
+                                              ELSE doc_id % 9 END) AS VARCHAR))
+                   END AS debut_date_amateur,
+                   (doc_id % 2 = 0) AS has_amateur_record
             FROM documents
         """,
         "m1_media_plans": """

@@ -739,6 +739,53 @@ def bouts_to_staging_json(boxer_id: Column, bouts: Column) -> Column:
     )
 
 
+#: the fields the amateur page owns in the merged record — the reference's
+#: amateur dict keys that ``.update()`` onto the pro record
+#: (``to_staging_mirror_db.py:216-238``)
+AMATEUR_FIELDS = [
+    f.name
+    for f in PAGE_FIELDS_SCHEMA.fields
+    if f.name.startswith("am_") or f.name.endswith("_amateur")
+]
+
+
+def merge_competition_levels(
+    df, id_col: str = "boxer_id", level_col: str = "level",
+    fields_col: str = "fields",
+):
+    """§3.1 pro/amateur pairing + merge: one combined record per boxer.
+
+    The reference groups lake rows by boxer, pairs the 'professional' and
+    'amateur' pages, extracts both, and dict-merges the amateur record onto
+    the pro one with a ``has_amateur_record`` flag
+    (``to_staging_mirror_db.py:199-247``). Spark-native form: the J3
+    ``pivot('level')`` pairing followed by column-level coalesce — the
+    amateur page wins for amateur-owned fields, the pro page for everything
+    else. One shuffle (the pivot groupBy), no ``applyInPandas`` needed.
+    """
+    p = (
+        df.groupBy(id_col)
+        .pivot(level_col, ["professional", "amateur"])
+        .agg(F.first(fields_col))
+    )
+    pro, am = F.col("professional"), F.col("amateur")
+    merged = F.struct(
+        *[
+            (
+                F.coalesce(am[f.name], pro[f.name])
+                if f.name in AMATEUR_FIELDS
+                else pro[f.name]
+            ).alias(f.name)
+            for f in PAGE_FIELDS_SCHEMA.fields
+        ]
+    )
+    return p.select(
+        F.col(id_col),
+        merged.alias("record"),
+        am.isNotNull().alias("has_amateur_record"),
+    )
+
+
 @F.pandas_udf(BOUT_SCHEMA)
 def extract_bouts(html: pd.Series) -> pd.Series:
     """Vectorized UDTF analog: page → array of bout structs; pair with

@@ -315,3 +315,46 @@ def test_note_row_not_attached_across_rejected_bout(spark):
     )
     assert len(b) == 1
     assert b[0].referee_name is None and b[0].judges == []
+
+
+def test_merge_competition_levels(spark):
+    """§3.1 merge semantics: amateur-owned fields come from the amateur
+    page when present; everything else from the pro page; flag set."""
+    from data_pipelines_spark.extract.html import (
+        extract_page_fields,
+        merge_competition_levels,
+    )
+
+    am_page = """
+    <html><head><title>BoxRec: Iron Fist</title></head><body>
+    <table class="profileTable">
+    <tr><td>amateur division</td><td>featherweight</td></tr>
+    <tr><td>amateur record</td><td>10-2-1 (5 KOs)</td></tr>
+    <tr><td>amateur status</td><td>inactive</td></tr>
+    </table></body></html>
+    """
+    rows = spark.createDataFrame(
+        [
+            (1, "professional", FULL_PROFILE.encode()),
+            (1, "amateur", am_page.encode()),
+            (2, "professional", FULL_PROFILE.encode()),
+        ],
+        "boxer_id int, level string, html binary",
+    ).select(
+        "boxer_id", "level", extract_page_fields(F.col("html")).alias("fields")
+    )
+    got = {
+        r.boxer_id: r
+        for r in merge_competition_levels(rows).collect()
+    }
+    r1, r2 = got[1], got[2]
+    assert r1.has_amateur_record and not r2.has_amateur_record
+    # amateur page wins the amateur family
+    assert r1.record.division_amateur == "featherweight"
+    assert (r1.record.am_wins, r1.record.am_losses, r1.record.am_draws) == (10, 2, 1)
+    assert r1.record.am_ko_wins == 5
+    # pro page still owns everything else
+    assert r1.record.name == "Iron Fist" and r1.record.pro_wins == 30
+    # no amateur page: pro page's own amateur extractions stand
+    assert r2.record.division_amateur == "light heavyweight"
+    assert r2.record.am_wins == 84
