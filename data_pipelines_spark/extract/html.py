@@ -762,6 +762,13 @@ def merge_competition_levels(
     ``pivot('level')`` pairing followed by column-level coalesce — the
     amateur page wins for amateur-owned fields, the pro page for everything
     else. One shuffle (the pivot groupBy), no ``applyInPandas`` needed.
+
+    Deliberate deviation, documented: the reference's literal
+    ``pro_data.update(amateur_data)`` (``:224-226``) overwrites EVERY key —
+    including ``wins_pro``/``name``/``bouts`` — with the amateur page's
+    extraction, contradicting its own comment ("Amateur extractors already
+    have _amateur suffix"). This engine implements the comment's stated
+    intent: only the amateur-owned field family merges over.
     """
     p = (
         df.groupBy(id_col)
@@ -783,6 +790,103 @@ def merge_competition_levels(
         F.col(id_col),
         merged.alias("record"),
         am.isNotNull().alias("has_amateur_record"),
+    )
+
+
+def build_staging_records(
+    pages, url_col: str = "url", html_col: str = "html"
+) -> "DataFrame":
+    """The reference's §3.1 load path (steps 3-6) as ONE declarative plan:
+
+    id + competition level from the URL (F8/F9) → wide-struct and bout
+    extraction, one UDF pass each (the orchestrator analog) → pro/amateur
+    pivot + amateur-family merge with ``has_amateur_record`` (J3) → slug
+    (F5), NULL-guarded derived totals (A7,
+    ``to_staging_mirror_db.py:170,181``), and the bout list flattened to
+    the loader's camelCase objects with positional unique ids (F4/W3) —
+    the 45-column ``boxers`` staging shape, nested array instead of
+    JSON-in-TEXT. Bout history comes from the pro page (amateur fallback).
+    """
+    from data_pipelines_spark.functions.normalize import normalize_id, slugify
+
+    boxer_id = normalize_id(
+        F.regexp_extract(F.col(url_col), r"/box-(?:pro|am)/(\d+)", 1)
+    )
+    level = F.when(F.col(url_col).contains("box-am"), F.lit("amateur")).otherwise(
+        F.lit("professional")
+    )
+    extracted = pages.select(
+        boxer_id.alias("boxer_id"),
+        level.alias("level"),
+        extract_page_fields(F.col(html_col)).alias("fields"),
+        extract_bouts(F.col(html_col)).alias("bouts"),
+    )
+    p = (
+        extracted.groupBy("boxer_id")
+        .pivot("level", ["professional", "amateur"])
+        .agg(F.first("fields").alias("f"), F.first("bouts").alias("b"))
+    )
+    pro, am = F.col("professional_f"), F.col("amateur_f")
+    rec = {
+        f.name: (
+            F.coalesce(am[f.name], pro[f.name])
+            if f.name in AMATEUR_FIELDS
+            else pro[f.name]
+        )
+        for f in PAGE_FIELDS_SCHEMA.fields
+    }
+
+    def total(w, l, d):
+        return F.when(
+            w.isNotNull() & l.isNotNull() & d.isNotNull(), w + l + d
+        ).cast("int")
+
+    bouts = F.coalesce(F.col("professional_b"), F.col("amateur_b"))
+    return p.select(
+        F.col("boxer_id").alias("boxrecId"),
+        slugify(rec["name"]).alias("slug"),
+        rec["name"].alias("name"),
+        rec["birth_name"].alias("birthName"),
+        rec["nicknames"].alias("nicknames"),
+        rec["avatar_image"].alias("avatarImage"),
+        rec["residence"].alias("residence"),
+        rec["birth_place"].alias("birthPlace"),
+        rec["birth_date"].alias("dateOfBirth"),
+        rec["gender"].alias("gender"),
+        rec["nationality"].alias("nationality"),
+        rec["height_cm"].alias("height"),
+        rec["reach_cm"].alias("reach"),
+        rec["stance"].alias("stance"),
+        rec["promoters"].alias("promoters"),
+        rec["trainers"].alias("trainers"),
+        rec["managers"].alias("managers"),
+        rec["gym"].alias("gym"),
+        rec["debut_date_pro"].alias("proDebutDate"),
+        rec["division"].alias("proDivision"),
+        rec["pro_wins"].alias("proWins"),
+        rec["pro_ko_wins"].alias("proWinsByKnockout"),
+        rec["pro_losses"].alias("proLosses"),
+        rec["pro_ko_losses"].alias("proLossesByKnockout"),
+        rec["pro_draws"].alias("proDraws"),
+        rec["status"].alias("proStatus"),
+        total(rec["pro_wins"], rec["pro_losses"], rec["pro_draws"]).alias(
+            "proTotalBouts"
+        ),
+        rec["rounds_pro"].alias("proTotalRounds"),
+        rec["debut_date_amateur"].alias("amateurDebutDate"),
+        rec["division_amateur"].alias("amateurDivision"),
+        rec["am_wins"].alias("amateurWins"),
+        rec["am_ko_wins"].alias("amateurWinsByKnockout"),
+        rec["am_losses"].alias("amateurLosses"),
+        rec["am_ko_losses"].alias("amateurLossesByKnockout"),
+        rec["am_draws"].alias("amateurDraws"),
+        rec["status_amateur"].alias("amateurStatus"),
+        total(rec["am_wins"], rec["am_losses"], rec["am_draws"]).alias(
+            "amateurTotalBouts"
+        ),
+        rec["rounds_amateur"].alias("amateurTotalRounds"),
+        F.col("amateur_f").isNotNull().alias("hasAmateurRecord"),
+        bouts_to_staging_json(F.col("boxer_id"), bouts).alias("bouts"),
     )
 
 

@@ -358,3 +358,35 @@ def test_merge_competition_levels(spark):
     # no amateur page: pro page's own amateur extractions stand
     assert r2.record.division_amateur == "light heavyweight"
     assert r2.record.am_wins == 84
+
+
+def test_build_staging_records_end_to_end(spark):
+    """§3.1 composed: URL-keyed pro+amateur pages → the 40-column camelCase
+    staging shape with merged record, derived totals, slug, nested bouts."""
+    from data_pipelines_spark.extract.html import build_staging_records
+
+    pro_with_bouts = FULL_PROFILE.replace(
+        "</body></html>",
+        BOUTS_RICH.split("<html><body>")[1].split("</body></html>")[0]
+        + "</body></html>",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://boxrec.com/en/box-pro/000777", pro_with_bouts.encode()),
+            ("https://boxrec.com/en/box-am/000777", FULL_PROFILE.encode()),
+            ("https://boxrec.com/en/box-pro/42", FULL_PROFILE.encode()),
+        ],
+        "url string, html binary",
+    )
+    got = {r.boxrecId: r for r in build_staging_records(pages).collect()}
+    r = got["777"]  # leading zeros normalized (F3)
+    assert r.slug == "iron-fist" and r.name == "Iron Fist"
+    assert r.proWins == 30 and r.proTotalBouts == 33  # 30+2+1, NULL-guarded
+    assert r.amateurTotalBouts == 84 + 6 + 2
+    assert r.hasAmateurRecord is True
+    assert len(r.bouts) == 1
+    b = r.bouts[0]
+    assert b.boxerId == "777" and b.boutId == "777_bout_0"
+    assert b.opponentName == "Conor McGregor" and b.titleFight is True
+    r2 = got["42"]
+    assert r2.hasAmateurRecord is False and r2.proTotalBouts == 33
