@@ -185,3 +185,36 @@ def row_count_reconciliation(source: DataFrame, target: DataFrame) -> bool:
     """K6: publish verification — source vs target row counts
     (``deploy/preview.py:172-207``)."""
     return source.count() == target.count()
+
+
+def date_string_not_after(col: str, bound: str) -> Check:
+    """F13 on TEXT dates (the reference stores dates as yyyy-MM-dd strings,
+    ``queries.py:199-207``): lexicographic compare is chronological for
+    that format."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.where(F.col(col).isNotNull() & (F.col(col) > bound))
+
+    return (f"future_{col}", fn)
+
+
+def staging_validation_suite(divisions: DataFrame, as_of: str = "2026-01-01"):
+    """The reference's post-load data-quality suite over the staging shape
+    (``boxing/database/validators/queries.py:244-280``): key/slug
+    uniqueness, required fields, nested-bout vs scalar consistency (A6),
+    derived totals (A7), division FK membership (J4), date/height sanity
+    (F13) — every check a zero-offender predicate over
+    ``build_staging_records`` output."""
+    return [
+        duplicate_keys(["boxrecId"]),
+        duplicate_keys(["slug"]),
+        not_null("boxrecId"),
+        not_null("name"),
+        array_scalar_consistency(
+            "bouts", lambda b: b["result"] == "W", "proWins"
+        ),
+        derived_total("proTotalBouts", ["proWins", "proLosses", "proDraws"]),
+        in_range("height", 120, 250),
+        dimension_membership(divisions, "proDivision", ["name", "slug", "short_name"]),
+        date_string_not_after("proDebutDate", as_of),
+    ]

@@ -94,3 +94,34 @@ def due_work_scan(
         .orderBy(F.col(checked_col).asc_nulls_first(), F.col(key))
     )
     return out.limit(limit) if limit is not None else out
+
+
+#: the 17 standard boxing weight divisions (public data; the reference seeds
+#: the same set — ``boxing/database/seed_divisions.py:18-36``)
+DIVISIONS = [
+    ("minimumweight", "Minimumweight", "minimum", 105),
+    ("light-flyweight", "Light Flyweight", "light fly", 108),
+    ("flyweight", "Flyweight", "fly", 112),
+    ("super-flyweight", "Super Flyweight", "super fly", 115),
+    ("bantamweight", "Bantamweight", "bantam", 118),
+    ("super-bantamweight", "Super Bantamweight", "super bantam", 122),
+    ("featherweight", "Featherweight", "feather", 126),
+    ("super-featherweight", "Super Featherweight", "super feather", 130),
+    ("lightweight", "Lightweight", "light", 135),
+    ("super-lightweight", "Super Lightweight", "super light", 140),
+    ("welterweight", "Welterweight", "welter", 147),
+    ("super-welterweight", "Super Welterweight", "super welter", 154),
+    ("middleweight", "Middleweight", "middle", 160),
+    ("super-middleweight", "Super Middleweight", "super middle", 168),
+    ("light-heavyweight", "Light Heavyweight", "light heavy", 175),
+    ("cruiserweight", "Cruiserweight", "cruiser", 200),
+    ("heavyweight", "Heavyweight", "heavy", 201),
+]
+
+
+def seed_divisions(spark: SparkSession) -> DataFrame:
+    """S8 dimension seed: the static divisions table (17 rows, broadcast-
+    sized) — the engine analog of the reference's seeded dimension."""
+    return spark.createDataFrame(
+        DIVISIONS, "slug string, name string, short_name string, weight_limit_lbs int"
+    )

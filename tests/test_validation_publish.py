@@ -131,3 +131,38 @@ def test_media_plans_jvm_side(spark):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00", "image/png")
+
+
+def test_staging_validation_suite(spark):
+    """§3.3 parity: the composed staging suite flags exactly the planted
+    defects (bout/proWins inconsistency) and passes the healthy checks."""
+    from data_pipelines_spark.extract.html import build_staging_records
+    from data_pipelines_spark.operators.validation import (
+        run_suite,
+        staging_validation_suite,
+    )
+    from data_pipelines_spark.sources import seed_divisions
+    from tests.test_extract_full_surface import BOUTS_RICH, FULL_PROFILE
+
+    pro = FULL_PROFILE.replace(
+        "</body></html>",
+        BOUTS_RICH.split("<html><body>")[1].split("</body></html>")[0]
+        + "</body></html>",
+    )
+    pages = spark.createDataFrame(
+        [("https://boxrec.com/en/box-pro/777", pro.encode())],
+        "url string, html binary",
+    )
+    staging = build_staging_records(pages)
+    results = {
+        r.name: r for r in run_suite(staging, staging_validation_suite(seed_divisions(spark)))
+    }
+    # planted defect: 1 'W' in bouts vs proWins=30 → A6 flags it
+    assert not results["consistency_bouts_proWins"].passed
+    # everything else about this record is healthy
+    for name in (
+        "duplicate_boxrecId", "duplicate_slug", "null_boxrecId", "null_name",
+        "derived_proTotalBouts", "range_height", "membership_proDivision",
+        "future_proDebutDate",
+    ):
+        assert results[name].passed, name
