@@ -105,6 +105,26 @@ def _is_widening(old: T.DataType, new: T.DataType) -> bool:
     return (old.typeName(), new.typeName()) in _WIDENINGS
 
 
+def _as_nullable(dt: T.DataType) -> T.DataType:
+    """Recursively drop NOT NULL constraints (struct/array/map included).
+
+    Table schemas are stored fully nullable: parquet round trips lose
+    nullability anyway, and a batch whose inferred schema carries non-null
+    inner fields (e.g. struct aliases built from literals) would otherwise
+    make the read-side ``_align`` cast fail with DATATYPE_MISMATCH when
+    casting the (nullable) file schema to the (non-null) table schema.
+    """
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _as_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
+
+
 class LakeTable:
     """A keyed, snapshot-versioned Parquet table.
 
@@ -314,6 +334,7 @@ class LakeTable:
         ``validators/schema_validator.py:25-72``): additive migrations pass,
         incompatible ones are refused before any data moves.
         """
+        batch_schema = _as_nullable(batch_schema)
         current = self.schema_from_snap(snap)
         if current is None:
             return batch_schema, True
