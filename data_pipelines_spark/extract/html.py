@@ -777,20 +777,27 @@ def merge_competition_levels(
     )
     pro, am = F.col("professional"), F.col("amateur")
     merged = F.struct(
-        *[
-            (
-                F.coalesce(am[f.name], pro[f.name])
-                if f.name in AMATEUR_FIELDS
-                else pro[f.name]
-            ).alias(f.name)
-            for f in PAGE_FIELDS_SCHEMA.fields
-        ]
+        *[c.alias(n) for n, c in _merged_record_cols(pro, am).items()]
     )
     return p.select(
         F.col(id_col),
         merged.alias("record"),
         am.isNotNull().alias("has_amateur_record"),
     )
+
+
+def _merged_record_cols(pro: Column, am: Column) -> dict[str, Column]:
+    """The single definition of the merge policy (amateur-owned family from
+    the amateur page, everything else from the pro page) shared by
+    ``merge_competition_levels`` and ``build_staging_records``."""
+    return {
+        f.name: (
+            F.coalesce(am[f.name], pro[f.name])
+            if f.name in AMATEUR_FIELDS
+            else pro[f.name]
+        )
+        for f in PAGE_FIELDS_SCHEMA.fields
+    }
 
 
 def build_staging_records(
@@ -804,8 +811,11 @@ def build_staging_records(
     (F5), NULL-guarded derived totals (A7,
     ``to_staging_mirror_db.py:170,181``), and the bout list flattened to
     the loader's camelCase objects with positional unique ids (F4/W3) —
-    the 45-column ``boxers`` staging shape, nested array instead of
-    JSON-in-TEXT. Bout history comes from the pro page (amateur fallback).
+    40 of the reference's 45 ``boxers`` columns, nested array instead of
+    JSON-in-TEXT (deliberately dropped: ``wikiUrl``, the ``bio`` CSV
+    side-input — attach via the J5 broadcast join — and the
+    created/updated/id bookkeeping the lake's commit metadata owns).
+    Bout history comes from the pro page (amateur fallback).
     """
     from data_pipelines_spark.functions.normalize import normalize_id, slugify
 
@@ -826,15 +836,7 @@ def build_staging_records(
         .pivot("level", ["professional", "amateur"])
         .agg(F.first("fields").alias("f"), F.first("bouts").alias("b"))
     )
-    pro, am = F.col("professional_f"), F.col("amateur_f")
-    rec = {
-        f.name: (
-            F.coalesce(am[f.name], pro[f.name])
-            if f.name in AMATEUR_FIELDS
-            else pro[f.name]
-        )
-        for f in PAGE_FIELDS_SCHEMA.fields
-    }
+    rec = _merged_record_cols(F.col("professional_f"), F.col("amateur_f"))
 
     def total(w, l, d):
         return F.when(

@@ -127,11 +127,24 @@ def top_word_share(col: Column) -> Column:
     reproducible in any SQL engine."""
     w = words(col)
     n = F.size(w)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(w),
-            lambda t: F.size(F.filter(w, lambda e: e == t)),
-        )
+    # max multiplicity via sort + run-length fold: O(n log n), not the
+    # O(distinct × n) a per-distinct-token count would cost — a 100k-word
+    # mostly-unique document must not melt an executor inside one row
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    top = F.aggregate(
+        F.array_sort(w),
+        acc0,
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return F.when(n > 0, top / n).otherwise(F.lit(0.0))
 

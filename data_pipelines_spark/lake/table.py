@@ -322,7 +322,12 @@ class LakeTable:
         sid = snap["current_schema_id"]
         if sid is None:
             return None
-        return T.StructType.fromJson(snap["schemas"][str(sid)])
+        # normalize BOTH sides of every schema comparison/alignment: tables
+        # written before nullability normalization may have persisted
+        # non-null inner fields, which would otherwise make the next merge
+        # raise a spurious SchemaEvolutionError against the (normalized)
+        # batch schema
+        return _as_nullable(T.StructType.fromJson(snap["schemas"][str(sid)]))
 
     def _evolve_schema(self, snap: dict, batch_schema: T.StructType) -> tuple[T.StructType, bool]:
         """Merge the batch schema into the table schema (additive + widening).

@@ -187,24 +187,22 @@ def row_count_reconciliation(source: DataFrame, target: DataFrame) -> bool:
     return source.count() == target.count()
 
 
-def date_string_not_after(col: str, bound: str) -> Check:
-    """F13 on TEXT dates (the reference stores dates as yyyy-MM-dd strings,
-    ``queries.py:199-207``): lexicographic compare is chronological for
-    that format."""
-
-    def fn(df: DataFrame) -> DataFrame:
-        return df.where(F.col(col).isNotNull() & (F.col(col) > bound))
-
-    return (f"future_{col}", fn)
-
-
-def staging_validation_suite(divisions: DataFrame, as_of: str = "2026-01-01"):
+def staging_validation_suite(divisions: DataFrame, as_of: str | None = None):
     """The reference's post-load data-quality suite over the staging shape
     (``boxing/database/validators/queries.py:244-280``): key/slug
     uniqueness, required fields, nested-bout vs scalar consistency (A6),
     derived totals (A7), division FK membership (J4), date/height sanity
     (F13) — every check a zero-offender predicate over
-    ``build_staging_records`` output."""
+    ``build_staging_records`` output.
+
+    ``as_of`` bounds the future-date check (yyyy-MM-dd string compare —
+    the staging dates are TEXT like the reference's); it defaults to
+    today's UTC date at suite construction, same snapshot-once discipline
+    as ``no_future_dates``."""
+    import datetime as _dt
+
+    if as_of is None:
+        as_of = _dt.datetime.now(_dt.timezone.utc).date().isoformat()
     return [
         duplicate_keys(["boxrecId"]),
         duplicate_keys(["slug"]),
@@ -216,5 +214,7 @@ def staging_validation_suite(divisions: DataFrame, as_of: str = "2026-01-01"):
         derived_total("proTotalBouts", ["proWins", "proLosses", "proDraws"]),
         in_range("height", 120, 250),
         dimension_membership(divisions, "proDivision", ["name", "slug", "short_name"]),
-        date_string_not_after("proDebutDate", as_of),
+        # date strings compare lexicographically == chronologically for
+        # yyyy-MM-dd; reuses the F13 helper with a string bound
+        no_future_dates("proDebutDate", as_of=as_of),
     ]

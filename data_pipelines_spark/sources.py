@@ -62,21 +62,45 @@ def read_change_stream(
     reader = spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
     if fmt == "parquet":
         return reader.schema(schema).parquet(path)
-    # text formats: html arrives base64; swap the column type in the schema
     from pyspark.sql import types as T
 
-    wire_fields = [
-        T.StructField(f.name, T.StringType() if f.name == "html" else f.dataType, True)
-        for f in schema.fields
-    ]
+    def _csv_unsafe(dt: T.DataType) -> bool:
+        return isinstance(dt, (T.MapType, T.ArrayType, T.StructType, T.BinaryType))
+
+    # text formats: binary payloads arrive base64; for CSV, complex columns
+    # (maps/arrays/structs from schema evolution) additionally travel as
+    # JSON text, since the CSV source cannot carry them natively
+    wire_fields = []
+    json_cols: list[str] = []
+    for f in schema.fields:
+        if f.name == "html" or isinstance(f.dataType, T.BinaryType):
+            wire_fields.append(T.StructField(f.name, T.StringType(), True))
+        elif fmt == "csv" and _csv_unsafe(f.dataType):
+            wire_fields.append(T.StructField(f.name, T.StringType(), True))
+            json_cols.append(f.name)
+        else:
+            wire_fields.append(T.StructField(f.name, f.dataType, True))
     wire = T.StructType(wire_fields)
     if fmt == "json":
         df = reader.schema(wire).json(path)
     elif fmt == "csv":
-        df = reader.schema(wire).option("header", True).csv(path)
+        # multiLine: base64() emits MIME-chunked text with embedded
+        # newlines, so quoted fields span physical lines (costs per-file
+        # parallelism — yet another reason parquet is the native format)
+        df = (
+            reader.schema(wire)
+            .option("header", True)
+            .option("multiLine", True)
+            .csv(path)
+        )
     else:
         raise ValueError(fmt)
-    return df.withColumn("html", F.unbase64(F.col("html")))
+    for f in schema.fields:
+        if f.name == "html" or isinstance(f.dataType, T.BinaryType):
+            df = df.withColumn(f.name, F.unbase64(F.col(f.name)))
+        elif f.name in json_cols:
+            df = df.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))
+    return df
 
 
 def due_work_scan(

@@ -81,3 +81,43 @@ def test_json_change_stream_matches_parquet(spark, tmp_root):
         }
     assert states["pq"] == states["js"] and len(states["pq"]) > 0
     changes.unpersist()
+
+
+def test_csv_change_stream_with_evolved_schema(spark, tmp_root):
+    """CSV wire format carries complex columns (the evolved meta map) as
+    JSON text and round-trips them — the CSV source can't hold maps
+    natively, so this pins the from_json decode path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_spark.gen.changegen import change_stream
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    changes = change_stream(
+        spark, n_events=400, n_keys=60, seed=33, evolve_at=0.5
+    ).persist()
+    schema = changes.schema
+    csv_dir = os.path.join(tmp_root, "log_csv")
+    (
+        changes.repartitionByRange(2, "offset")
+        .sortWithinPartitions("offset")
+        .withColumn("html", F.base64(F.col("html")))
+        .withColumn("meta", F.to_json(F.col("meta")))
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(csv_dir)
+    )
+    pipe = CdcPipeline(
+        spark, PipelineConfig(os.path.join(tmp_root, "t_csv"), n_buckets=4)
+    )
+    q = pipe.run_stream(
+        csv_dir, os.path.join(tmp_root, "ck_csv"), schema, fmt="csv"
+    )
+    q.awaitTermination()
+    out = pipe.table.read()
+    assert out.count() > 0
+    # evolved map column survives the CSV wire round trip
+    evolved = out.where(F.col("meta").isNotNull()).select("meta").first()
+    assert evolved is not None and "crawler" in evolved.meta
+    changes.unpersist()
