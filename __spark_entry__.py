@@ -610,6 +610,17 @@ def dedup_embedding_cosine(spark, sf):
     )
 
 
+def dedup_clusters(spark, sf):
+    """Near-dup clustering: connected components (min-label propagation)
+    over the exact SimHash pair set -> canonical id per member. Oracle
+    recomputes the same components with a recursive CTE."""
+    from data_pipelines_spark.operators.dedup import near_dup_clusters
+
+    d = _t(spark, sf, "documents")
+    pairs = simhash_near_dup_pairs(d, max_hamming=3, hash_fn="md5")
+    return near_dup_clusters(pairs).select("id", "cluster")
+
+
 def dedup_embedding_lsh(spark, sf):
     """Embedding near-dup at scale: sign-LSH hyperplane bucket blocking +
     exact cosine verify inside buckets (no label column needed). Oracle
@@ -1072,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_clusters": dedup_clusters,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
@@ -1214,6 +1226,41 @@ SELECT a.doc_id AS a, b.doc_id AS b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+
+
+def _dedup_clusters_oracle(max_hamming: int = 3) -> str:
+    """Connected components over the md5-SimHash pair set via recursive CTE
+    (min reachable label per node == the propagation fixpoint)."""
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_transform(
+           string_split_regex({_NORM_SQL}, ' '),
+           t -> ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT) AS hs
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(0, 59), b ->
+           CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                THEN (1::BIGINT << b) ELSE 0 END)) AS simhash
+  FROM tok
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+), e AS (
+  SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p
+), nodes AS (
+  SELECT DISTINCT src AS id FROM e
+), r(node, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+)
+SELECT node AS id, min(lbl) AS cluster FROM r GROUP BY node
 """
 
 
@@ -2102,6 +2149,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(threshold=0.9, n=3),
         "dedup_embedding_lsh": _embedding_lsh_oracle(threshold=0.3, n_planes=8),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
+        "dedup_clusters": _dedup_clusters_oracle(max_hamming=3),
         "doc_fingerprint": _fingerprint_oracle(k=8, sketch=16),
         "sim_topk_lsh": _lsh_topk_oracle(n_planes=8, multiprobe=2, k=10),
         "sim_batch_topk": _batch_topk_oracle(k=5),

@@ -475,6 +475,85 @@ def simhash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (the step after pair finding: keep one per cluster)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over verified dup pairs → (id, cluster) with
+    cluster = the smallest member id (the canonical document).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node adopts the minimum label among itself and its neighbors;
+    converged when a round changes nothing. Rounds needed = graph diameter
+    — for near-dup clusters (dense cliques from pairwise verification,
+    chains only from ``max_bucket`` fallbacks) that is small; ``max_iter``
+    bounds the worst case. Each round is two shuffles (edge join + min
+    aggregation) over the PAIR graph only — corpus size never enters.
+
+    The convergence probe costs one small count per round; labels are
+    re-persisted per round so the loop's lineage stays flat (no
+    exponentially deep plans).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("cluster").alias("_nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
+                    ).alias("cluster"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.cluster") != F.col("o.cluster"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Drop every non-canonical member of each near-dup cluster: the
+    corpus-level outcome of the dedup family (anti-join on the non-canonical
+    id set — one broadcastable join over the corpus)."""
+    clusters = near_dup_clusters(pairs, max_iter=max_iter)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

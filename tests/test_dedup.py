@@ -217,3 +217,27 @@ def test_embedding_lsh_blocking_no_false_positives(spark):
     assert set(got) == set(want)          # exactly the bucket-sharing pairs
     for p, c in got.items():
         assert abs(c - want[p]) < 1e-9    # exact verify, no false positives
+
+
+def test_near_dup_clusters_and_canonical(spark):
+    """Connected components over a hand-built pair graph (two clusters +
+    a chain) and the corpus-level keep-canonical anti-join."""
+    from data_pipelines_spark.operators.dedup import (
+        dedup_keep_canonical,
+        near_dup_clusters,
+    )
+
+    # cluster {1,2,3} (chain 1-2, 2-3), cluster {7,9}; 5 untouched
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "a long, b long")
+    got = {
+        r.id: r.cluster for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_keep_canonical(corpus, pairs).collect()
+    )
+    assert kept == [1, 5, 7]  # canonical per cluster + untouched docs
