@@ -3,9 +3,10 @@
 ``entry(spark)`` runs the flagship CDC replay (events table reinterpreted as
 a change stream → LakeTable MERGE → final state). ``queries()`` exposes every
 implemented operator from SURVEY.md §2 plus the training-data operator family
-over the driver's synthetic tables; ``oracle_sql()`` gives the DuckDB
-equivalent for each SQL-expressible one (omitted only for ops whose hash
-internals aren't reproducible in SQL — xxhash64/blake2b-based sketches).
+over the driver's synthetic tables; ``oracle_sql()`` gives a DuckDB equality
+oracle for EVERY entry — LSH/ANN/sketch/cluster structures are replayed in
+SQL (md5-based hashes, plane literals, fold-order float parity, recursive
+CTEs) rather than skipped.
 
 Column-name contract: every computed column is aliased identically on both
 sides; double-valued computed columns are rounded identically on both sides.
