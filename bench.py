@@ -139,11 +139,20 @@ def main() -> None:
         "x1_extract_profile",
         "x4_page_quarantine",
     ]
+    # best-of-N per query, same as the ingest: a single draw on this shared
+    # host can absorb a 2x neighbor stall (round-2's dedup_exact "+57%" was
+    # exactly that — unattributable with a single-shot sweep)
+    query_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "2"))
     for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, query_trials)):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = time.time() - t0
+            if best is None or el < best:
+                best = el
+        results[name] = round(best, 3)
 
     # headline value = ONE ingest (the best trial) + the query sweep —
     # comparable across rounds regardless of how many de-noising trials ran
@@ -161,6 +170,11 @@ def main() -> None:
             "final_rows": final_rows,
             "cpus": n_cpus,
             "trials": max(1, cdc_trials),
+        },
+        "protocol": {
+            "ingest_trials": max(1, cdc_trials),
+            "query_trials": max(1, query_trials),
+            "note": "per-entry best-of-N on a shared host (see CLAUDE.md)",
         },
     }
     shutil.rmtree(work, ignore_errors=True)

@@ -483,17 +483,25 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over verified dup pairs → (id, cluster) with
     cluster = the smallest member id (the canonical document).
 
-    Min-label propagation: every node starts labeled with itself; each
-    round a node adopts the minimum label among itself and its neighbors;
-    converged when a round changes nothing. Rounds needed = graph diameter
-    — for near-dup clusters (dense cliques from pairwise verification,
-    chains only from ``max_bucket`` fallbacks) that is small; ``max_iter``
-    bounds the worst case. Each round is two shuffles (edge join + min
-    aggregation) over the PAIR graph only — corpus size never enters.
+    Min-label propagation WITH pointer jumping (label doubling): every node
+    starts labeled with itself; each round a node first adopts the minimum
+    label among itself and its neighbors (the *hook*), then shortcuts its
+    label through the label's own label — ``cluster ← label(cluster)`` (the
+    *jump*). The jump roughly doubles the distance a label travels per
+    round, so convergence needs O(log diameter) rounds, not O(diameter):
+    a 1M-link chain (the pathology the ``max_bucket`` fallback in
+    :func:`minhash_lsh_candidates` manufactures from boilerplate buckets)
+    converges in ~20 rounds instead of 1M. Labels only decrease and every
+    label is a member node id, so the fixpoint is the per-component min.
 
-    The convergence probe costs one small count per round; labels are
-    re-persisted per round so the loop's lineage stays flat (no
-    exponentially deep plans).
+    Fails loud: raises ``RuntimeError`` if labels still changed at
+    ``max_iter`` — silently returning half-propagated labels would make
+    :func:`dedup_keep_canonical` keep multiple "canonical" copies of one
+    cluster with no warning. Each round is three bounded shuffles (edge
+    join + min aggregation + the jump self-join) over the PAIR graph only —
+    corpus size never enters. Labels are eagerly localCheckpoint'ed per
+    round so the loop's lineage stays flat (the jump's double self-reference
+    would otherwise double the logical plan every round).
     """
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -501,12 +509,18 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    # eager localCheckpoint per round, NOT persist: the jump references the
+    # round's frame twice, so lineage would DOUBLE per round (persist caches
+    # data but keeps the full logical plan — a 12-round loop built a 2 GiB
+    # plan string before this was a checkpoint). Checkpointing truncates the
+    # plan to the materialized blocks; each round starts from a flat scan.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    changed = 0
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -514,7 +528,10 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("cluster").alias("_nmin"))
             )
-            new_labels = (
+            # hook: adopt the min of self and neighbor labels. Checkpointed
+            # because the jump references it twice (Spark has no automatic
+            # plan-subtree reuse across joins — see repo notes).
+            hooked = (
                 labels.join(neighbor_min, "id", "left")
                 .select(
                     "id",
@@ -522,7 +539,23 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                         F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
                     ).alias("cluster"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
+            )
+            # jump: cluster ← min(cluster, label(cluster)). Every cluster
+            # value is a node id present in `hooked`, so the left join
+            # always matches; coalesce guards the degenerate empty side.
+            jump_side = hooked.select(
+                F.col("id").alias("_jid"), F.col("cluster").alias("_jcl")
+            )
+            new_labels = (
+                hooked.join(jump_side, hooked.cluster == jump_side._jid, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster"), F.coalesce(F.col("_jcl"), F.col("cluster"))
+                    ).alias("cluster"),
+                )
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -531,10 +564,19 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 .limit(1)
                 .count()
             )
+            hooked.unpersist()
             labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            labels.unpersist()
+            raise RuntimeError(
+                f"near_dup_clusters did not converge within max_iter={max_iter} "
+                "rounds — component diameter exceeds 2^max_iter (pathological "
+                "pair graph?); raise max_iter rather than consuming "
+                "half-propagated cluster labels"
+            )
         return labels
     finally:
         edges.unpersist()

@@ -85,14 +85,26 @@ def random_hyperplane_bucket(
     return bucket
 
 
+def _flip_masks(n_planes: int, multiprobe: int) -> list[int]:
+    """Every XOR mask with popcount ≤ ``multiprobe`` — C(n_planes, ≤m) masks.
+
+    XOR-ing a bucket with this set enumerates exactly its Hamming-≤m
+    neighborhood, WITHOUT materializing the 2^n_planes bucket space (the
+    round-2 batch path filtered ``sequence(0, 2^planes−1)`` per query row —
+    fine at 8 planes, 16M array elements per row at 24).
+    """
+    from itertools import combinations
+
+    masks = [0]
+    for m in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), m):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def _probe_buckets(query_bucket: int, n_planes: int, multiprobe: int) -> list[int]:
     """The query's bucket plus every bucket within ``multiprobe`` bit flips."""
-    out = {query_bucket}
-    frontier = {query_bucket}
-    for _ in range(multiprobe):
-        frontier = {b ^ (1 << i) for b in frontier for i in range(n_planes)}
-        out |= frontier
-    return sorted(out)
+    return sorted({query_bucket ^ m for m in _flip_masks(n_planes, multiprobe)})
 
 
 def lsh_topk(
@@ -176,10 +188,12 @@ def batch_lsh_topk(
 ) -> DataFrame:
     """Batch ANN with sign-LSH pruning: corpus and queries bucket with the
     same hyperplanes; each query expands to its Hamming-≤-multiprobe probe
-    buckets JVM-side (``filter(sequence(0, 2^planes-1))``) and candidates
-    come from a plain equi-join on the bucket — shuffle-or-broadcast
-    joinable at any scale, then exact cosine rank inside candidates. Work
-    drops by ~(probed/2^planes) versus the exact batch scan.
+    buckets by XOR against the C(n_planes, ≤multiprobe) flip masks (a
+    driver-side constant array — scales in planes like the single-query
+    path, never the 2^planes bucket space) and candidates come from a
+    plain equi-join on the bucket — shuffle-or-broadcast joinable at any
+    scale, then exact cosine rank inside candidates. Work drops by
+    ~(probed/2^planes) versus the exact batch scan.
     """
     if dim is None:
         probe = corpus.where(F.col(vec_col).isNotNull()).select(vec_col).first()
@@ -202,10 +216,11 @@ def batch_lsh_topk(
         qv.alias("_qv"),
         random_hyperplane_bucket(qv, planes).alias("_qb"),
     )
+    masks = _flip_masks(n_planes, multiprobe)
     probes = F.explode(
-        F.filter(
-            F.sequence(F.lit(0).cast("long"), F.lit((1 << n_planes) - 1).cast("long")),
-            lambda b: F.bit_count(b.bitwiseXOR(F.col("_qb"))) <= multiprobe,
+        F.transform(
+            F.array(*[F.lit(m).cast("long") for m in masks]),
+            lambda m: m.bitwiseXOR(F.col("_qb")),
         )
     ).alias("_bkt")
     q_probed = F.broadcast(q.select("q_id", "_qv", probes))

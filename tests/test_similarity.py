@@ -104,3 +104,38 @@ def test_batch_topk_and_lsh_recall(spark):
         len({(qid, v) for v in vs} & hits) / len(vs) for qid, vs in exact_sets.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.5  # multiprobe-2 recall floor
+
+
+def test_batch_lsh_scales_in_planes(spark):
+    """n_planes=20: probe expansion is C(20,≤1)=21 masks per query, not a
+    2^20-element array per query row (the round-2 formulation). Must
+    complete fast and return only true cosines within the probed buckets."""
+    from data_pipelines_spark.operators.similarity import (
+        _flip_masks,
+        _fold_dot,
+        _hyperplanes,
+        batch_lsh_topk,
+    )
+
+    assert len(_flip_masks(20, 1)) == 21
+    assert len(_flip_masks(8, 2)) == 1 + 8 + 28
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = batch_lsh_topk(e, queries, k=5, n_planes=20, multiprobe=1).collect()
+    assert out and all(r.rank <= 5 for r in out)
+
+    # every returned candidate really is within Hamming ≤ 1 of its query's
+    # bucket (recomputed driver-side with the same fold-order dot)
+    dim = len(queries.first().embedding)
+    planes = _hyperplanes(dim, 20, 42)
+
+    def bucket(v):
+        return sum(1 << b for b, p in enumerate(planes) if _fold_dot(v, p) > 0)
+
+    vecs = {r.vec_id: r.embedding for r in e.collect()}
+    for r in out:
+        d = bin(bucket(vecs[r.q_id]) ^ bucket(vecs[r.vec_id])).count("1")
+        assert d <= 1
