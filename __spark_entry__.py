@@ -1002,6 +1002,49 @@ def x5_merge_levels(spark, sf):
     )
 
 
+def x6_staging_records(spark, sf):
+    """Full 45-column staging composition (ref ``to_staging_mirror_db.py``
+    INSERT, ``:125-139``): pro+amateur pages through build_staging_records
+    with the J5 bio CSV side-input (CSV-over-extracted precedence, ``:75``),
+    the harvested boxrecWikiUrl, the page boxrecUrl, and deterministic
+    created/updated stamps. The oracle predicts the new columns plus the
+    merge/derived ones from the page-generation arithmetic."""
+    from data_pipelines_spark.extract.html import build_staging_records
+    from data_pipelines_spark.gen.pagegen import profile_page
+
+    d = _par(_t(spark, sf, "documents").select("doc_id"))
+    i = F.col("doc_id")
+    wiki = F.when(
+        i % 4 != 1,
+        F.concat(
+            F.lit('<a href="/wiki/index.php?title=Human:'),
+            i.cast("string"),
+            F.lit('">wiki</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    pro = d.select(
+        F.concat(F.lit("https://boxrec.com/en/box-pro/"), i.cast("string")).alias("url"),
+        F.concat(profile_page(i), wiki).cast("binary").alias("html"),
+    )
+    am = d.where(i % 2 == 0).select(
+        F.concat(F.lit("https://boxrec.com/en/box-am/"), i.cast("string")).alias("url"),
+        profile_page(i * 7 + 3).cast("binary").alias("html"),
+    )
+    bio = d.where(i % 5 == 0).select(
+        i.cast("string").alias("boxrec_id"),
+        F.concat(F.lit("Bio "), i.cast("string")).alias("bio"),
+    )
+    out = build_staging_records(
+        pro.unionByName(am), bio=bio, as_of="2024-01-01 00:00:00"
+    )
+    assert len(out.columns) == 45, len(out.columns)  # the full INSERT shape
+    return out.select(
+        "boxrecId", "boxrecUrl", "boxrecWikiUrl", "slug", "name", "bio",
+        "proWins", "proTotalBouts", "amateurWins", "hasAmateurRecord",
+        "createdAt",
+    )
+
+
 def m1_media_plans(spark, sf):
     """Multimodal planning surface (extract/multimodal.py): image resize
     targets and video frame-sample fan-out computed JVM-side from the typed
@@ -1043,6 +1086,25 @@ def m1_media_plans(spark, sf):
         )
     )
     return img.unionByName(vid)
+
+
+def m2_media_decode(spark, sf):
+    """REAL media decode end-to-end (extract/multimodal.py): deterministic
+    BMP/WAV payloads derived from doc_id, byte-encoded by a pandas UDF,
+    decoded by the stdlib codecs behind mapInPandas, reduced to exact
+    integer stats the oracle predicts from the pixel/sample formula without
+    parsing any container format."""
+    from data_pipelines_spark.extract.multimodal import (
+        media_decode_stats,
+        synth_decodable_media,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    media = synth_decodable_media(_par(d))
+    return media_decode_stats(media).select(
+        "media_id", "kind", "width", "height", "sample_rate",
+        "n_samples", "sum0", "sum1", "sum2",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1108,7 +1170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_url_harvest": x3_url_harvest,
         "x4_page_quarantine": x4_page_quarantine,
         "x5_merge_levels": x5_merge_levels,
+        "x6_staging_records": x6_staging_records,
         "m1_media_plans": m1_media_plans,
+        "m2_media_decode": m2_media_decode,
         "k8_sanitize_export": k8_sanitize_export,
         "text_repetition": text_repetition,
         "gopher_quality": gopher_quality,
@@ -2093,6 +2157,31 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 2 = 0) AS has_amateur_record
             FROM documents
         """,
+        "x6_staging_records": """
+            SELECT CAST(doc_id AS VARCHAR) AS "boxrecId",
+                   concat('https://boxrec.com/en/box-pro/',
+                          CAST(doc_id AS VARCHAR)) AS "boxrecUrl",
+                   CASE WHEN doc_id % 4 != 1 THEN
+                        concat('https://boxrec.com/wiki/index.php?title=Human:',
+                               CAST(doc_id AS VARCHAR))
+                   END AS "boxrecWikiUrl",
+                   concat('boxer-', CAST(doc_id AS VARCHAR)) AS slug,
+                   concat('Boxer ', CAST(doc_id AS VARCHAR)) AS name,
+                   CASE WHEN doc_id % 5 = 0 THEN
+                        concat('Bio ', CAST(doc_id AS VARCHAR))
+                   END AS bio,
+                   CAST(doc_id % 60 AS INT) AS "proWins",
+                   CAST(doc_id % 60 + doc_id % 8 + doc_id % 5 AS INT)
+                     AS "proTotalBouts",
+                   CASE WHEN doc_id % 3 = 0 THEN
+                        CAST(CASE WHEN doc_id % 2 = 0
+                                  THEN (7 * doc_id + 3) % 90
+                                  ELSE doc_id % 90 END AS INT)
+                   END AS "amateurWins",
+                   (doc_id % 2 = 0) AS "hasAmateurRecord",
+                   TIMESTAMP '2024-01-01 00:00:00' AS "createdAt"
+            FROM documents
+        """,
         "m1_media_plans": """
             WITH m AS (
               SELECT doc_id AS media_id,
@@ -2117,6 +2206,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, kind, CAST(NULL AS INT), CAST(NULL AS INT),
                    CAST((d - 1) // 1000 + 1 AS INT)
             FROM m WHERE kind = 'video'
+        """,
+        # the decoded-stats oracle never parses BMP/WAV: payload bytes are a
+        # pure function of doc_id, so it predicts the decoder's output from
+        # the pixel/sample formula directly (integer sums — exact equality)
+        "m2_media_decode": """
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                     4 + doc_id % 13 AS w,
+                     3 + doc_id % 7 AS h,
+                     50 + doc_id % 40 AS n
+              FROM documents
+            )
+            SELECT doc_id AS media_id, kind,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(NULL AS INT) AS sample_rate,
+                   CAST(w * h AS BIGINT) AS n_samples,
+                   CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                     list_transform(generate_series(0, w - 1), x ->
+                       (doc_id * 31 + y * w + x * 3 + 0) % 256)))) AS BIGINT) AS sum0,
+                   CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                     list_transform(generate_series(0, w - 1), x ->
+                       (doc_id * 31 + y * w + x * 3 + 7) % 256)))) AS BIGINT) AS sum1,
+                   CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+                     list_transform(generate_series(0, w - 1), x ->
+                       (doc_id * 31 + y * w + x * 3 + 14) % 256)))) AS BIGINT) AS sum2
+            FROM m WHERE kind = 'image'
+            UNION ALL
+            SELECT doc_id, kind, CAST(NULL AS INT), CAST(NULL AS INT),
+                   CAST(8000 AS INT), CAST(n AS BIGINT),
+                   CAST(list_sum(list_transform(generate_series(0, n - 1), i ->
+                     abs((doc_id * 7 + i * 13) % 2048 - 1024))) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM m WHERE kind = 'audio'
         """,
         "x4_page_quarantine": """
             SELECT doc_id,

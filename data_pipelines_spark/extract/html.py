@@ -801,7 +801,8 @@ def _merged_record_cols(pro: Column, am: Column) -> dict[str, Column]:
 
 
 def build_staging_records(
-    pages, url_col: str = "url", html_col: str = "html"
+    pages, url_col: str = "url", html_col: str = "html",
+    bio=None, as_of: str | None = None,
 ) -> "DataFrame":
     """The reference's §3.1 load path (steps 3-6) as ONE declarative plan:
 
@@ -811,11 +812,25 @@ def build_staging_records(
     (F5), NULL-guarded derived totals (A7,
     ``to_staging_mirror_db.py:170,181``), and the bout list flattened to
     the loader's camelCase objects with positional unique ids (F4/W3) —
-    40 of the reference's 45 ``boxers`` columns, nested array instead of
-    JSON-in-TEXT (deliberately dropped: ``wikiUrl``, the ``bio`` CSV
-    side-input — attach via the J5 broadcast join — and the
-    created/updated/id bookkeeping the lake's commit metadata owns).
-    Bout history comes from the pro page (amateur fallback).
+    the FULL 45-column ``boxers`` shape of the reference INSERT
+    (``to_staging_mirror_db.py:125-139``), nested array instead of
+    JSON-in-TEXT for ``bouts``. Bout history comes from the pro page
+    (amateur fallback).
+
+    - ``boxrecUrl``: the pro page's URL (amateur fallback) — the
+      reference's ``pro_data['url'] = pro_url`` (``:215``).
+    - ``boxrecWikiUrl``: harvested JVM-side from the page's
+      ``/wiki/index.php?title=Human:`` anchor (the reference lists an
+      ``extract_boxrec_wiki_url`` extractor but ships no implementation;
+      the wiki-link shape comes from ``fields/avatar_image.py:34``).
+    - ``bio``: the J5 broadcast side-input with CSV-over-extracted
+      precedence (``:75`` — ``self.bio_data.get(id, extracted)``); pass a
+      (boxrec_id, bio) DataFrame. The reference ships no page-level bio
+      extractor either, so the extracted fallback is NULL.
+    - ``createdAt``/``updatedAt``: the reference stamps
+      ``datetime.now()`` (``:184-185``); this engine is replay-
+      deterministic by invariant, so the caller passes ``as_of``
+      explicitly (NULL timestamps when omitted).
     """
     from data_pipelines_spark.functions.normalize import normalize_id, slugify
 
@@ -825,17 +840,43 @@ def build_staging_records(
     level = F.when(F.col(url_col).contains("box-am"), F.lit("amateur")).otherwise(
         F.lit("professional")
     )
+    wiki_path = F.regexp_extract(
+        F.col(html_col).cast("string"),
+        r'href="(/wiki/index\.php\?title=Human:\d+)"', 1,
+    )
     extracted = pages.select(
         boxer_id.alias("boxer_id"),
         level.alias("level"),
         extract_page_fields(F.col(html_col)).alias("fields"),
         extract_bouts(F.col(html_col)).alias("bouts"),
+        F.col(url_col).alias("page_url"),
+        F.when(
+            wiki_path != "", F.concat(F.lit("https://boxrec.com"), wiki_path)
+        ).alias("wiki_url"),
     )
     p = (
         extracted.groupBy("boxer_id")
         .pivot("level", ["professional", "amateur"])
-        .agg(F.first("fields").alias("f"), F.first("bouts").alias("b"))
+        .agg(
+            F.first("fields").alias("f"),
+            F.first("bouts").alias("b"),
+            F.first("page_url").alias("u"),
+            F.first("wiki_url", ignorenulls=True).alias("w"),
+        )
     )
+    if bio is not None:
+        p = p.join(
+            F.broadcast(
+                bio.select(
+                    F.col("boxrec_id").alias("boxer_id"),
+                    F.col("bio").alias("_bio_csv"),
+                )
+            ),
+            "boxer_id",
+            "left",
+        )
+    else:
+        p = p.withColumn("_bio_csv", F.lit(None).cast("string"))
     rec = _merged_record_cols(F.col("professional_f"), F.col("amateur_f"))
 
     def total(w, l, d):
@@ -844,8 +885,17 @@ def build_staging_records(
         ).cast("int")
 
     bouts = F.coalesce(F.col("professional_b"), F.col("amateur_b"))
+    stamp = (
+        F.lit(as_of).cast("timestamp")
+        if as_of is not None
+        else F.lit(None).cast("timestamp")
+    )
     return p.select(
         F.col("boxer_id").alias("boxrecId"),
+        F.coalesce(F.col("professional_u"), F.col("amateur_u")).alias("boxrecUrl"),
+        F.coalesce(F.col("professional_w"), F.col("amateur_w")).alias(
+            "boxrecWikiUrl"
+        ),
         slugify(rec["name"]).alias("slug"),
         rec["name"].alias("name"),
         rec["birth_name"].alias("birthName"),
@@ -859,6 +909,9 @@ def build_staging_records(
         rec["height_cm"].alias("height"),
         rec["reach_cm"].alias("reach"),
         rec["stance"].alias("stance"),
+        # CSV wins; the extracted fallback is NULL because the reference
+        # ships no bio page-extractor (orchestrator never sets the key)
+        F.col("_bio_csv").alias("bio"),
         rec["promoters"].alias("promoters"),
         rec["trainers"].alias("trainers"),
         rec["managers"].alias("managers"),
@@ -889,6 +942,8 @@ def build_staging_records(
         rec["rounds_amateur"].alias("amateurTotalRounds"),
         F.col("amateur_f").isNotNull().alias("hasAmateurRecord"),
         bouts_to_staging_json(F.col("boxer_id"), bouts).alias("bouts"),
+        stamp.alias("createdAt"),
+        stamp.alias("updatedAt"),
     )
 
 

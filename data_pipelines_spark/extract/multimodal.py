@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side architecture is real and tested — schemas, partition-aware
-``mapInPandas`` batch iteration, Arrow batch shapes, deterministic fake
-features — while the actual media decoding is stubbed behind
-``NotImplementedError`` / a deterministic fake, because no image/audio codec
-libraries exist in this container (per the build brief). Swapping the stub
-for PIL/torchaudio changes one function body, not the plan shape.
+``mapInPandas`` batch iteration, Arrow batch shapes — and the decode path is
+REAL for the two formats stdlib can handle: uncompressed 24-bpp BMP
+(``struct``) and 16-bit PCM WAV (``wave``), exercised end-to-end by
+:func:`media_decode_stats`. Compressed formats (JPEG/PNG/MP3/H.264) stay
+behind ``NotImplementedError`` because no codec libraries exist in this
+container (per the build brief); swapping that branch for PIL/torchaudio
+changes one dispatch arm, not the plan shape.
 
 Design rules for 100 TB of media:
 
@@ -51,11 +53,128 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 64
 
 
+# ---------------------------------------------------------------------------
+# stdlib codecs: uncompressed BMP (struct) and PCM WAV (wave module).
+# These make the decode path REAL end-to-end for the two formats that need
+# no external codec libraries; compressed formats (JPEG/PNG/MP3/H.264) stay
+# behind NotImplementedError — that boundary genuinely requires PIL/ffmpeg.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bpp BMP.
+
+    Standard layout: 14-byte file header + 40-byte BITMAPINFOHEADER, rows
+    bottom-up, BGR byte order, each row padded to a 4-byte boundary.
+    """
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp expects an (H, W, 3) uint8 array")
+    h, w = px.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += px[y, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed 24-bpp BMP → (width, height, (H, W, 3) RGB).
+
+    Handles both bottom-up (positive height, the common case) and top-down
+    (negative height) row orders; rejects compressed / non-24-bpp files —
+    that's the PIL boundary, not this decoder's.
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_sig, _fsize, _r1, _r2, data_offset) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, w, h_raw, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bpp BMP is decodable without codec "
+            f"libraries (got bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h_raw > 0
+    h = abs(h_raw)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = (h - 1 - i) if bottom_up else i
+        row = np.frombuffer(payload, dtype=np.uint8, count=row_bytes,
+                            offset=data_offset + i * stride)
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return w, h, out
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode a mono int16 sample array as a PCM WAV (stdlib ``wave``)."""
+    import io
+    import wave
+
+    s = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV → (sample_rate, mono int16 samples). Multi-channel
+    input is downmixed by taking channel 0 (deterministic, no float math)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width != 2:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is decodable here (got sample width {width})"
+        )
+    s = np.frombuffer(frames, dtype=np.int16)
+    if n_ch > 1:
+        s = s[::n_ch]
+    return rate, s
+
+
 def real_decode(payload: bytes, mime: str):
-    """The codec boundary. Container has no media libraries — see module doc."""
+    """The codec boundary: stdlib-decodable formats are decoded for real.
+
+    - ``image/bmp`` → (width, height, (H, W, 3) uint8 RGB)
+    - ``audio/wav`` / ``audio/x-wav`` → (sample_rate, int16 samples)
+
+    Compressed formats still raise — PIL/ffmpeg/torchaudio are not in this
+    environment, and pretending to decode them would be worse than failing.
+    """
+    m = (mime or "").lower()
+    if m == "image/bmp":
+        return decode_bmp(payload)
+    if m in ("audio/wav", "audio/x-wav"):
+        return decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires codec libraries (PIL/ffmpeg/torchaudio) "
-        "not present in this environment; use fake_features for plumbing"
+        f"decoding {mime!r} requires codec libraries (PIL/ffmpeg/torchaudio) "
+        "not present in this environment; BMP/WAV decode for real, other "
+        "kinds use fake_features for plumbing"
     )
 
 
@@ -153,4 +272,117 @@ def synth_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
             payload.alias("payload"),
             meta.alias("media_meta"),
         )
+    )
+
+
+#: media_decode_stats output — integer channel sums, not float means, so
+#: the result is exact and bit-reproducible by a SQL oracle
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),  # pixels (image) / frames (audio)
+        T.StructField("sum0", T.LongType()),  # R sum / sum |sample|
+        T.StructField("sum1", T.LongType()),  # G sum / NULL
+        T.StructField("sum2", T.LongType()),  # B sum / NULL
+    ]
+)
+
+
+def media_decode_stats(df: DataFrame, batch_hint: int = 4096) -> DataFrame:
+    """REAL decode → per-media stats, via ``mapInPandas`` Arrow batches.
+
+    Images (BMP): (width, height, n_pixels, per-channel RGB sums).
+    Audio (WAV): (sample_rate, n_frames, sum of absolute sample values).
+    Sums are integers so downstream checks are exact. Input is column-pruned
+    to (media_id, kind, mime, payload); payload bytes never leave the
+    executor. This is the same plan shape as :func:`extract_media_features`
+    with the stub swapped for :func:`real_decode`.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, mime, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["mime"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                if kind == "image":
+                    w, h, px = real_decode(b, mime)
+                    s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    rows.append((mid, kind, w, h, None, w * h,
+                                 int(s[0]), int(s[1]), int(s[2])))
+                elif kind == "audio":
+                    rate, samples = real_decode(b, mime)
+                    rows.append((mid, kind, None, None, rate, len(samples),
+                                 int(np.abs(samples.astype(np.int64)).sum()),
+                                 None, None))
+                else:  # video and friends stay behind the codec boundary
+                    rows.append((mid, kind, None, None, None, None,
+                                 None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODE_STATS_SCHEMA.fields]
+            )
+
+    pruned = df.select(
+        "media_id", "kind", F.col("media_meta.mime").alias("mime"), "payload"
+    )
+    return pruned.mapInPandas(op, DECODE_STATS_SCHEMA)
+
+
+def synth_decodable_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP/WAV media derived from an id column — every byte of
+    every payload is a pure function of the id, so a SQL oracle can predict
+    the decoded stats without ever parsing a container format.
+
+    Even ids → ``image`` with a (4 + id%13) × (3 + id%7) BMP whose pixel
+    channel values are ``(id*31 + y*w + x*3 + ch*7) % 256``; odd ids →
+    ``audio`` with (50 + id%40) frames of ``((id*7 + i*13) % 2048) − 1024``
+    at 8 kHz. Payload bytes are built in the same Arrow batches that carry
+    the ids (one pandas UDF, no driver loop).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 4 + mid % 13, 3 + mid % 7
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [(mid * 31 + yy * w + xx * 3 + ch * 7) % 256 for ch in range(3)],
+                        axis=2,
+                    ).astype(np.uint8)
+                    rows.append(
+                        (mid, "image", encode_bmp(px),
+                         {"mime": "image/bmp", "width": w, "height": h,
+                          "duration_ms": None, "sample_rate": None})
+                    )
+                else:
+                    n = 50 + mid % 40
+                    i = np.arange(n, dtype=np.int64)
+                    s = ((mid * 7 + i * 13) % 2048 - 1024).astype(np.int16)
+                    rows.append(
+                        (mid, "audio", encode_wav(s, 8000),
+                         {"mime": "audio/x-wav", "width": None, "height": None,
+                          "duration_ms": int(n * 1000 / 8000), "sample_rate": 8000})
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "media_meta"]
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        op, out_schema
     )

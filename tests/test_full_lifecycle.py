@@ -21,14 +21,51 @@ from data_pipelines_spark.operators.validation import (
 from data_pipelines_spark.sources import seed_divisions
 
 
+#: the reference INSERT's full column list (to_staging_mirror_db.py:125-139)
+#: + hasAmateurRecord (kept in pro_data, :229/:234) — 45 columns
+STAGING_COLUMNS = [
+    "boxrecId", "boxrecUrl", "boxrecWikiUrl", "slug", "name",
+    "birthName", "nicknames", "avatarImage", "residence", "birthPlace",
+    "dateOfBirth", "gender", "nationality", "height", "reach", "stance",
+    "bio", "promoters", "trainers", "managers", "gym",
+    "proDebutDate", "proDivision", "proWins", "proWinsByKnockout",
+    "proLosses", "proLossesByKnockout", "proDraws", "proStatus",
+    "proTotalBouts", "proTotalRounds",
+    "amateurDebutDate", "amateurDivision", "amateurWins",
+    "amateurWinsByKnockout", "amateurLosses", "amateurLossesByKnockout",
+    "amateurDraws", "amateurStatus", "amateurTotalBouts",
+    "amateurTotalRounds", "hasAmateurRecord", "bouts",
+    "createdAt", "updatedAt",
+]
+
+
 @pytest.fixture(scope="module")
 def staging(spark):
     i = F.col("id")
+    wiki = F.concat(
+        F.lit('<a href="/wiki/index.php?title=Human:'),
+        i.cast("string"), F.lit('">wiki</a>'),
+    )
     pages = spark.range(40).select(
         F.concat(F.lit("https://boxrec.com/en/box-pro/"), i.cast("string")).alias("url"),
-        profile_page(i).cast("binary").alias("html"),
+        F.concat(profile_page(i), wiki).cast("binary").alias("html"),
     )
-    return build_staging_records(pages)
+    bio = spark.range(40).where(i % 3 == 0).select(
+        i.cast("string").alias("boxrec_id"),
+        F.concat(F.lit("Bio "), i.cast("string")).alias("bio"),
+    )
+    return build_staging_records(pages, bio=bio, as_of="2026-01-01 00:00:00")
+
+
+def test_staging_has_full_45_column_shape(staging):
+    """Column-for-column parity with the reference INSERT, same order."""
+    assert staging.columns == STAGING_COLUMNS
+    rows = {r.boxrecId: r for r in staging.collect()}
+    assert rows["3"].bio == "Bio 3" and rows["1"].bio is None
+    assert rows["2"].boxrecUrl == "https://boxrec.com/en/box-pro/2"
+    assert rows["2"].boxrecWikiUrl == "https://boxrec.com/wiki/index.php?title=Human:2"
+    assert str(rows["0"].createdAt) == "2026-01-01 00:00:00"
+    assert rows["0"].createdAt == rows["0"].updatedAt
 
 
 def test_full_lifecycle_gated_publish(spark, tmp_root, staging):

@@ -129,8 +129,81 @@ def test_media_plans_jvm_side(spark):
 
 
 def test_real_decode_is_explicit_stub():
+    """Compressed formats still fail loud — that boundary needs PIL/ffmpeg."""
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00", "image/png")
+
+
+def test_bmp_roundtrip_exact():
+    """encode_bmp → decode_bmp is lossless, including non-multiple-of-4 row
+    widths (the BMP 4-byte row-padding case)."""
+    import numpy as np
+
+    from data_pipelines_spark.extract.multimodal import decode_bmp, encode_bmp
+
+    for w, h in [(4, 3), (5, 2), (7, 5), (1, 1)]:
+        rng = np.random.RandomState(w * 100 + h)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        gw, gh, got = decode_bmp(encode_bmp(px))
+        assert (gw, gh) == (w, h)
+        assert (got == px).all()
+
+
+def test_bmp_top_down_rows():
+    """Negative header height = top-down row order; decoder must honor it."""
+    import struct
+
+    import numpy as np
+
+    from data_pipelines_spark.extract.multimodal import decode_bmp, encode_bmp
+
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = bytearray(encode_bmp(px))
+    # flip height sign and reverse the row blocks → same logical image
+    (h,) = struct.unpack_from("<i", payload, 22)
+    struct.pack_into("<i", payload, 22, -h)
+    row = 4 * 3  # w*3, already 4-byte aligned
+    body = payload[54:]
+    payload[54:] = body[row:] + body[:row]
+    _, _, got = decode_bmp(bytes(payload))
+    assert (got == px).all()
+
+
+def test_wav_roundtrip_and_dispatch():
+    import numpy as np
+
+    from data_pipelines_spark.extract.multimodal import decode_wav, encode_wav
+
+    s = (np.arange(200, dtype=np.int64) * 37 % 2048 - 1024).astype(np.int16)
+    rate, got = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (got == s).all()
+    # dispatch through the codec boundary
+    r2, g2 = real_decode(encode_wav(s, 16000), "audio/x-wav")
+    assert r2 == 16000 and (g2 == s).all()
+
+
+def test_media_decode_stats_end_to_end(spark):
+    """Generate → decode → stats inside Spark (mapInPandas), checked against
+    a driver-side replay of the pixel/sample formula."""
+    from data_pipelines_spark.extract.multimodal import (
+        media_decode_stats,
+        synth_decodable_media,
+    )
+
+    ids = spark.range(20).selectExpr("id AS doc_id")
+    got = {r.media_id: r for r in media_decode_stats(synth_decodable_media(ids)).collect()}
+    assert len(got) == 20
+    for mid in range(20):
+        r = got[mid]
+        if mid % 2 == 0:
+            w, h = 4 + mid % 13, 3 + mid % 7
+            assert (r.kind, r.width, r.height, r.n_samples) == ("image", w, h, w * h)
+            want0 = sum((mid * 31 + y * w + x * 3) % 256 for y in range(h) for x in range(w))
+            assert r.sum0 == want0
+        else:
+            n = 50 + mid % 40
+            assert (r.kind, r.sample_rate, r.n_samples) == ("audio", 8000, n)
+            assert r.sum0 == sum(abs((mid * 7 + i * 13) % 2048 - 1024) for i in range(n))
 
 
 def test_staging_validation_suite(spark):
