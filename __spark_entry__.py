@@ -647,6 +647,19 @@ def sim_topk_ivf(spark, sf):
     )
 
 
+def sim_topk_ivf_kmeans(spark, sf):
+    """IVF-probed ANN with ONE deterministic Lloyd refinement of the
+    scramble-sampled centroids (driver-side over a bounded sample, fixed
+    fold order). The oracle replays seed selection, the sample assignment,
+    the ordered-fold centroid means, and the final probe + ranking in SQL."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    assigned, cents = ivf_assign(e, n_centroids=16, lloyd_iters=1)
+    return ivf_topk(assigned, cents, q, k=10, nprobe=4).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def sim_batch_topk(spark, sf):
     """Batch-serving ANN: exact cosine top-5 for every query in a query
     set (vec_id %% 100 == 1), ranked per query."""
@@ -1150,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
+        "sim_topk_ivf_kmeans": sim_topk_ivf_kmeans,
         "sim_batch_topk": sim_batch_topk,
         "sim_batch_lsh_topk": sim_batch_lsh_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1500,18 +1514,61 @@ LIMIT {k}
 
 
 def _ivf_topk_oracle(
-    n_centroids: int = 16, sample_mod: int = 37, nprobe: int = 4, k: int = 10
+    n_centroids: int = 16, sample_mod: int = 37, nprobe: int = 4, k: int = 10,
+    lloyd_iters: int = 0, sample_size: int | None = None,
 ) -> str:
     """Replay of the IVF structure in SQL: multiplicative-scramble centroid
     sample, dot/||c|| argmax assignment with the same tie-break, fold-order
-    cosine probe selection, exact ranking inside probed clusters."""
+    cosine probe selection, exact ranking inside probed clusters. With
+    ``lloyd_iters > 0`` it also replays the engine's deterministic k-means
+    refinement: assign the scramble-ordered sample to the current centroids,
+    then per-centroid element-wise means folded in ascending vec_id order
+    (``list_reduce`` folds left-to-right exactly like the engine's loop);
+    empty centroids keep their position."""
     scr = f"((vec_id * 2654435761) % 4294967296) % {sample_mod}"
+    n_sample = max(n_centroids, sample_size or 16 * n_centroids)
+    refine = ""
+    final_c = "c0"
+    if lloyd_iters:
+        refine = f""", s AS (
+  SELECT vec_id, e FROM v ORDER BY {scr}, vec_id LIMIT {n_sample}
+)"""
+        for t in range(1, lloyd_iters + 1):
+            prev = f"c{t - 1}"
+            refine += f""", kn{t} AS (
+  SELECT cid, ce,
+         greatest(sqrt(list_reduce(list_transform(ce, x -> x * x),
+                                   (x, y) -> x + y)), 1e-12) AS cnorm
+  FROM {prev}
+), ka{t} AS (
+  SELECT s.vec_id, s.e, cid,
+         row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             list_reduce(list_transform(generate_series(1, len(s.e)),
+                                        i -> s.e[i] * ce[i]), (x, y) -> x + y)
+               / cnorm DESC,
+             cid ASC) AS rn
+  FROM s CROSS JOIN kn{t}
+), km{t} AS (
+  SELECT cid, list(e ORDER BY vec_id) AS vs, count(*)::double AS n
+  FROM ka{t} WHERE rn = 1 GROUP BY cid
+), c{t} AS (
+  SELECT c.cid,
+         CASE WHEN m.cid IS NULL THEN c.ce
+              ELSE list_transform(generate_series(1, len(c.ce)), d ->
+                     list_reduce(list_transform(m.vs, vv -> vv[d]),
+                                 (x, y) -> x + y) / m.n)
+         END AS ce
+  FROM {prev} c LEFT JOIN km{t} m USING (cid)
+)"""
+        final_c = f"c{lloyd_iters}"
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings
-), c AS (
+), c0 AS (
   SELECT row_number() OVER (ORDER BY {scr}, vec_id) - 1 AS cid, e AS ce
   FROM v ORDER BY {scr}, vec_id LIMIT {n_centroids}
+){refine}, c AS (
+  SELECT cid, ce FROM {final_c}
 ), cn AS (
   SELECT cid, ce,
          greatest(sqrt(list_reduce(list_transform(ce, x -> x * x),
@@ -2279,4 +2336,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_batch_topk": _batch_topk_oracle(k=5),
         "sim_batch_lsh_topk": _batch_lsh_topk_oracle(k=5, n_planes=8, multiprobe=1),
         "sim_topk_ivf": _ivf_topk_oracle(n_centroids=16, sample_mod=37, nprobe=4, k=10),
+        "sim_topk_ivf_kmeans": _ivf_topk_oracle(
+            n_centroids=16, sample_mod=37, nprobe=4, k=10, lloyd_iters=1
+        ),
     }

@@ -751,7 +751,7 @@ AMATEUR_FIELDS = [
 
 def merge_competition_levels(
     df, id_col: str = "boxer_id", level_col: str = "level",
-    fields_col: str = "fields",
+    fields_col: str = "fields", mode: str = "amateur_fields",
 ):
     """§3.1 pro/amateur pairing + merge: one combined record per boxer.
 
@@ -759,16 +759,22 @@ def merge_competition_levels(
     'amateur' pages, extracts both, and dict-merges the amateur record onto
     the pro one with a ``has_amateur_record`` flag
     (``to_staging_mirror_db.py:199-247``). Spark-native form: the J3
-    ``pivot('level')`` pairing followed by column-level coalesce — the
-    amateur page wins for amateur-owned fields, the pro page for everything
-    else. One shuffle (the pivot groupBy), no ``applyInPandas`` needed.
+    ``pivot('level')`` pairing followed by column-level coalesce. One
+    shuffle (the pivot groupBy), no ``applyInPandas`` needed.
 
-    Deliberate deviation, documented: the reference's literal
-    ``pro_data.update(amateur_data)`` (``:224-226``) overwrites EVERY key —
-    including ``wins_pro``/``name``/``bouts`` — with the amateur page's
-    extraction, contradicting its own comment ("Amateur extractors already
-    have _amateur suffix"). This engine implements the comment's stated
-    intent: only the amateur-owned field family merges over.
+    Two merge policies, selectable by ``mode``:
+
+    - ``"amateur_fields"`` (default): only the amateur-owned field family
+      (``am_*`` / ``*_amateur``) merges over; the pro page wins everything
+      else. This implements the intent the reference's comment states
+      ("Amateur extractors already have _amateur suffix").
+    - ``"reference"``: the reference's literal ``pro_data.update(
+      amateur_data)`` (``:224-226``) — EVERY field the amateur page
+      extracted non-NULL overwrites the pro value (the orchestrator drops
+      None values before the update, ``orchestrator.py:86-89``, so the
+      Spark analog is an all-field ``coalesce(amateur, pro)``). Provided
+      so a migration user can reproduce the reference's behavior exactly,
+      even where its code contradicts its own comment.
     """
     p = (
         df.groupBy(id_col)
@@ -777,7 +783,7 @@ def merge_competition_levels(
     )
     pro, am = F.col("professional"), F.col("amateur")
     merged = F.struct(
-        *[c.alias(n) for n, c in _merged_record_cols(pro, am).items()]
+        *[c.alias(n) for n, c in _merged_record_cols(pro, am, mode).items()]
     )
     return p.select(
         F.col(id_col),
@@ -786,10 +792,21 @@ def merge_competition_levels(
     )
 
 
-def _merged_record_cols(pro: Column, am: Column) -> dict[str, Column]:
-    """The single definition of the merge policy (amateur-owned family from
-    the amateur page, everything else from the pro page) shared by
-    ``merge_competition_levels`` and ``build_staging_records``."""
+def _merged_record_cols(
+    pro: Column, am: Column, mode: str = "amateur_fields"
+) -> dict[str, Column]:
+    """The single definition of the merge policy shared by
+    ``merge_competition_levels`` and ``build_staging_records`` — see the
+    former's docstring for the two modes."""
+    if mode not in ("amateur_fields", "reference"):
+        raise ValueError(
+            f"mode must be 'amateur_fields' or 'reference', got {mode!r}"
+        )
+    if mode == "reference":
+        return {
+            f.name: F.coalesce(am[f.name], pro[f.name])
+            for f in PAGE_FIELDS_SCHEMA.fields
+        }
     return {
         f.name: (
             F.coalesce(am[f.name], pro[f.name])

@@ -235,34 +235,94 @@ def batch_lsh_topk(
     )
 
 
+def lloyd_refine(
+    sample_rows: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    iters: int,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd iterations over a bounded sample, driver-side.
+
+    Assignment uses the SAME score and tie-break as the distributed argmax
+    (``fold_dot(v, c) / max(||c||, 1e-12)``, ties to the smaller centroid
+    id), and each centroid update is an element-wise mean folded over the
+    members in ascending vec_id order from 0.0 — every float op has a fixed
+    order, so a SQL oracle replays the refinement bit-for-bit
+    (``list_reduce`` folds left-to-right like this loop). Empty centroids
+    keep their previous position.
+    """
+    import math
+
+    cents = {ci: [float(x) for x in cv] for ci, cv in centroids}
+    for _ in range(iters):
+        norms = {
+            ci: max(math.sqrt(_fold_dot(cv, cv)), 1e-12) for ci, cv in cents.items()
+        }
+        members: dict[int, list[tuple[int, list[float]]]] = {ci: [] for ci in cents}
+        for vid, v in sample_rows:
+            best, best_score = None, None
+            for ci in sorted(cents):
+                s = _fold_dot(v, cents[ci]) / norms[ci]
+                if best is None or s > best_score:  # tie keeps the smaller cid
+                    best, best_score = ci, s
+            members[best].append((vid, v))
+        for ci, ms in members.items():
+            if not ms:
+                continue
+            ms.sort(key=lambda t: t[0])
+            n = float(len(ms))
+            new = []
+            for d in range(len(cents[ci])):
+                s = 0.0
+                for _vid, v in ms:
+                    s += float(v[d])
+                new.append(s / n)
+            cents[ci] = new
+    return [(ci, cents[ci]) for ci in sorted(cents)]
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_mod: int = 37,
+    lloyd_iters: int = 0,
+    sample_size: int | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Pick deterministic coarse centroids and assign every vector to its
     nearest one (broadcast argmin — no shuffle of the corpus).
 
-    Centroids are the first ``n_centroids`` vectors by a hash-ordered sample
-    (deterministic, no RNG on data) — a pragmatic stand-in for k-means that
-    keeps the whole structure reproducible. The ordering hash is a Knuth
+    Centroids seed from the first ``n_centroids`` vectors by a hash-ordered
+    sample (deterministic, no RNG on data). The ordering hash is a Knuth
     multiplicative scramble ``(id * 2654435761) mod 2^32 mod sample_mod`` —
     plain integer arithmetic any engine reproduces (the correctness oracle
-    rebuilds the same centroid set in SQL). Returns (assigned_df, centroids).
+    rebuilds the same centroid set in SQL). With ``lloyd_iters > 0`` the
+    seeds are refined by that many k-means iterations over a bounded
+    deterministic sample (the first ``sample_size`` vectors by the same
+    scramble order, default ``16 * n_centroids``) — driver-side with fixed
+    fold order, so the oracle replays it exactly and recall approaches a
+    trained coarse quantizer without losing reproducibility. Returns
+    (assigned_df, centroids).
     """
     scramble = F.pmod(
         F.pmod(F.col("cid_src") * F.lit(2654435761), F.lit(4294967296)),
         F.lit(sample_mod),
     )
+    n_sample = (
+        max(n_centroids, sample_size or 16 * n_centroids) if lloyd_iters else n_centroids
+    )
     sample = (
         df.select(F.col(id_col).alias("cid_src"), F.col(vec_col).cast("array<double>").alias("cv"))
         .orderBy(scramble, F.col("cid_src"))
-        .limit(n_centroids)
+        .limit(n_sample)
         .collect()
     )
-    centroids = [(i, [float(x) for x in r.cv]) for i, r in enumerate(sample)]
+    centroids = [
+        (i, [float(x) for x in r.cv]) for i, r in enumerate(sample[:n_centroids])
+    ]
+    if lloyd_iters:
+        rows = [(int(r.cid_src), [float(x) for x in r.cv]) for r in sample]
+        centroids = lloyd_refine(rows, centroids, lloyd_iters)
     v = F.col(vec_col).cast("array<double>")
     # cosine argmax with the row norm computed ONCE (not once per centroid)
     # and centroid norms folded in driver-side as literals — per row this is

@@ -360,6 +360,50 @@ def test_merge_competition_levels(spark):
     assert r2.record.am_wins == 84
 
 
+def test_merge_competition_levels_reference_mode(spark):
+    """mode='reference' reproduces the literal ``pro_data.update(
+    amateur_data)``: every field the amateur page extracted non-NULL
+    overwrites the pro value — including pro-owned ones like ``name`` —
+    while NULL amateur extractions leave the pro value standing (the
+    orchestrator drops None before the update)."""
+    import pytest
+
+    from data_pipelines_spark.extract.html import (
+        extract_page_fields,
+        merge_competition_levels,
+    )
+
+    am_page = """
+    <html><head><title>BoxRec: Amateur Alias</title></head><body>
+    <table class="profileTable">
+    <tr><td>amateur division</td><td>featherweight</td></tr>
+    </table></body></html>
+    """
+    rows = spark.createDataFrame(
+        [(1, "professional", FULL_PROFILE.encode()), (1, "amateur", am_page.encode())],
+        "boxer_id int, level string, html binary",
+    ).select(
+        "boxer_id", "level", extract_page_fields(F.col("html")).alias("fields")
+    )
+    default = merge_competition_levels(rows).collect()[0]
+    ref = merge_competition_levels(rows, mode="reference").collect()[0]
+    # default: pro page owns name; reference: amateur extraction wins it
+    assert default.record.name == "Iron Fist"
+    assert ref.record.name == "Amateur Alias"
+    # the reference's wins_pro extractor returns 0 (not None) on a page
+    # with no WLD table (wins_pro.py:33), so the literal update CLOBBERS
+    # the pro record's 30 with the amateur page's 0 — bug-for-bug fidelity
+    # is exactly what mode='reference' is for; the default mode keeps 30
+    assert default.record.pro_wins == 30 and ref.record.pro_wins == 0
+    # genuinely-None amateur extractions never clobber (orchestrator drops
+    # None keys before the update): residence stands from the pro page
+    assert ref.record.residence == default.record.residence is not None
+    assert ref.record.division_amateur == "featherweight"
+
+    with pytest.raises(ValueError, match="mode"):
+        merge_competition_levels(rows, mode="bogus").collect()
+
+
 def test_build_staging_records_end_to_end(spark):
     """§3.1 composed: URL-keyed pro+amateur pages → the 40-column camelCase
     staging shape with merged record, derived totals, slug, nested bouts."""

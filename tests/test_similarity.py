@@ -62,6 +62,41 @@ def test_ivf_recall_floor(spark, emb, query):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_lloyd_refinement_improves_quantization(spark):
+    """Deterministic k-means refinement beats sample-only centroids on a
+    fixture engineered so every scramble-sampled seed lands in ONE cluster
+    (the worst case for hash-ordered seeding). The k-means objective —
+    mean cosine of each vector to its assigned centroid — must improve
+    monotonically and substantially, and iterating must converge."""
+    from data_pipelines_spark.operators.similarity import _fold_cos, ivf_assign
+
+    dim, n = 8, 240
+    order = sorted(
+        range(n), key=lambda i: (((i * 2654435761) % 4294967296) % 37, i)
+    )
+    seed_ids = set(order[:4])
+    rows = []
+    for i in range(n):
+        j = 0 if i in seed_ids else i % 4  # seeds all in cluster 0
+        v = [0.0] * dim
+        v[j] = 1.0
+        v[(j + 1) % 4] = 0.3 * ((i * 37) % 100) / 100.0
+        v[4 + j] = ((i * 13) % 7) / 50.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def objective(lloyd):
+        assigned, cents = ivf_assign(df, n_centroids=4, lloyd_iters=lloyd)
+        cd = dict(cents)
+        got = assigned.select("embedding", "_centroid").collect()
+        return sum(_fold_cos(r.embedding, cd[r._centroid]) for r in got) / n
+
+    o0, o1, o2 = objective(0), objective(1), objective(2)
+    assert o1 > o0 + 0.3  # one iteration rescues the degenerate seeding
+    assert o2 >= o1       # and iterating never regresses the objective
+    assert o1 > 0.8
+
+
 def test_media_features_feed_similarity(spark):
     from data_pipelines_spark.extract.multimodal import extract_media_features, synth_media
 
