@@ -413,28 +413,43 @@ def f5_slug(spark, sf):
 
 
 def f6_date_normalization(spark, sf):
-    """F6 date normalization long tail: six deterministic format variants
-    (slashed, US slashed, month names, ordinal suffixes, two-digit years)
-    all normalize to the canonical yyyy-MM-dd the oracle computes directly
+    """F6 date normalization long tail: eight deterministic format variants
+    (slashed, US slashed, month names, ordinal suffixes, two-digit years,
+    period-abbreviated months, dotted day-first two-digit years) all
+    normalize to the canonical yyyy-MM-dd the oracle computes directly
     from the source date."""
     li = _t(spark, sf, "lineitem")
     d = F.col("l_shipdate")
     day_s = F.dayofmonth(d).cast("string")
     raw = (
-        F.when(F.col("l_linenumber") % 6 == 0, F.date_format(d, "yyyy/MM/dd"))
-        .when(F.col("l_linenumber") % 6 == 1, F.date_format(d, "MM/dd/yyyy"))
-        .when(F.col("l_linenumber") % 6 == 2, F.date_format(d, "MMM d yyyy"))
-        .when(F.col("l_linenumber") % 6 == 3, F.date_format(d, "d MMMM yyyy"))
+        F.when(F.col("l_linenumber") % 8 == 0, F.date_format(d, "yyyy/MM/dd"))
+        .when(F.col("l_linenumber") % 8 == 1, F.date_format(d, "MM/dd/yyyy"))
+        .when(F.col("l_linenumber") % 8 == 2, F.date_format(d, "MMM d yyyy"))
+        .when(F.col("l_linenumber") % 8 == 3, F.date_format(d, "d MMMM yyyy"))
         .when(
-            F.col("l_linenumber") % 6 == 4,
+            F.col("l_linenumber") % 8 == 4,
             F.concat(
                 F.date_format(d, "MMM"), F.lit(" "), day_s, F.lit("th "),
                 F.date_format(d, "yyyy"),
             ),
         )
-        .otherwise(
+        .when(
+            F.col("l_linenumber") % 8 == 5,
             F.concat(
                 F.month(d).cast("string"), F.lit("/"), day_s, F.lit("/"),
+                F.date_format(d, "yy"),
+            ),
+        )
+        .when(
+            F.col("l_linenumber") % 8 == 6,
+            F.concat(
+                F.date_format(d, "MMM"), F.lit(". "), day_s, F.lit(" "),
+                F.date_format(d, "yyyy"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                day_s, F.lit("."), F.month(d).cast("string"), F.lit("."),
                 F.date_format(d, "yy"),
             )
         )
@@ -1822,7 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f6_date_normalization": """
             SELECT l_orderkey, l_linenumber,
-                   CASE l_linenumber % 6
+                   CASE l_linenumber % 8
                         WHEN 0 THEN strftime(l_shipdate, '%Y/%m/%d')
                         WHEN 1 THEN strftime(l_shipdate, '%m/%d/%Y')
                         WHEN 2 THEN concat(strftime(l_shipdate, '%b'), ' ',
@@ -1834,8 +1849,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 4 THEN concat(strftime(l_shipdate, '%b'), ' ',
                                            CAST(day(l_shipdate) AS VARCHAR), 'th ',
                                            strftime(l_shipdate, '%Y'))
-                        ELSE concat(CAST(month(l_shipdate) AS VARCHAR), '/',
+                        WHEN 5 THEN concat(CAST(month(l_shipdate) AS VARCHAR), '/',
                                     CAST(day(l_shipdate) AS VARCHAR), '/',
+                                    strftime(l_shipdate, '%y'))
+                        WHEN 6 THEN concat(strftime(l_shipdate, '%b'), '. ',
+                                           CAST(day(l_shipdate) AS VARCHAR), ' ',
+                                           strftime(l_shipdate, '%Y'))
+                        ELSE concat(CAST(day(l_shipdate) AS VARCHAR), '.',
+                                    CAST(month(l_shipdate) AS VARCHAR), '.',
                                     strftime(l_shipdate, '%y'))
                    END AS raw_date,
                    strftime(l_shipdate, '%Y-%m-%d') AS norm_date

@@ -88,31 +88,56 @@ _DATE_FORMATS = [
 _YY_PIVOT = 2049
 
 
-def normalize_date(col: Column, base_year: Column | None = None) -> Column:
+def _past_pivot(ts: Column) -> Column:
+    """Two-digit years parse into 2000-2099; pull anything past the fixed
+    pivot back a century (dateparser's PREFER_DATES_FROM=past without a
+    wall clock)."""
+    return F.when(
+        ts.isNotNull() & (F.year(ts) > _YY_PIVOT),
+        F.make_date(F.year(ts) - 100, F.month(ts), F.day(ts)).cast("timestamp"),
+    ).otherwise(ts)
+
+
+def normalize_date(
+    col: Column, base_year: Column | None = None, day_first: bool = False
+) -> Column:
     """Arbitrary common date formats → 'yyyy-MM-dd' string; NULL if unparseable.
 
     Reference: ``boxing/transform/bout_data.py:9-47`` (``dateparser`` with
     PREFER_DATES_FROM=past). The JVM-side long tail covers: ISO and slashed/
-    dotted forms, month names (with or without commas), ordinal day suffixes
-    ("Aug 17th 1995"), two-digit years ("2/4/24" — past-preferring via a
-    fixed 2049 pivot), and year-less dates ("Aug 17") completed from
-    ``base_year``. Genuinely ambiguous leftovers fall to NULL rather than a
-    locale-dependent guess.
+    dotted forms, month names (with or without commas), abbreviated months
+    with trailing periods ("Aug. 17 1995", "Sept. 3 2001"), ordinal day
+    suffixes ("Aug 17th 1995"), two-digit years — slashed "2/4/24" and the
+    dotted day-first "17.8.95", both past-preferring via a fixed 2049
+    pivot — and year-less dates ("Aug 17") completed from ``base_year``.
+    ``day_first=True`` resolves the slashed all-numeric ambiguity the
+    European way ("04/02/2024" → Feb 4; dateparser's DATE_ORDER=DMY),
+    month-first otherwise. Genuinely ambiguous leftovers fall to NULL
+    rather than a locale-dependent guess.
     """
     cleaned = F.trim(F.regexp_replace(col, ",", " "))
     # strip ordinal suffixes on day numbers: 17th → 17 (dateparser accepts
     # them natively; JVM formats do not)
     cleaned = F.regexp_replace(cleaned, "(?<=\\d)(st|nd|rd|th)\\b", "")
+    # month-abbreviation periods ("Aug." → "Aug") and the four-letter
+    # "Sept" dateparser accepts but java.time does not
+    cleaned = F.regexp_replace(cleaned, "(?<=[A-Za-z])\\.", "")
+    cleaned = F.regexp_replace(cleaned, "(?i)\\bsept\\b", "Sep")
     cleaned = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
-    candidates = [F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in _DATE_FORMATS]
-    # two-digit year, month-first (the reference's en-locale dateparser
-    # order); 'yy' parses into 2000-2099, pivot pulls 20 5x-9x back a century
-    two = F.try_to_timestamp(cleaned, F.lit("M/d/yy"))
-    two = F.when(
-        two.isNotNull() & (F.year(two) > _YY_PIVOT),
-        F.make_date(F.year(two) - 100, F.month(two), F.day(two)).cast("timestamp"),
-    ).otherwise(two)
-    candidates.append(two)
+    slashed4 = "d/M/yyyy" if day_first else "MM/dd/yyyy"
+    fmts = [f for f in _DATE_FORMATS if f != "MM/dd/yyyy"] + [slashed4]
+    candidates = [F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in fmts]
+    # two-digit year, slashed: month-first in the reference's en locale,
+    # day-first under DATE_ORDER=DMY. The past-preferring pivot applies to
+    # two-digit candidates ONLY — an explicit four-digit year stands as-is.
+    candidates.append(
+        _past_pivot(
+            F.try_to_timestamp(cleaned, F.lit("d/M/yy" if day_first else "M/d/yy"))
+        )
+    )
+    # dotted two-digit year ("17.8.95") — dotted forms are day-first by
+    # convention in every locale that writes them
+    candidates.append(_past_pivot(F.try_to_timestamp(cleaned, F.lit("d.M.yy"))))
     if base_year is not None:
         with_year = F.concat_ws(" ", cleaned, base_year.cast("string"))
         candidates += [

@@ -189,6 +189,37 @@ def test_normalize_date_long_tail(spark):
     assert got == [want for _, want in cases]
 
 
+def test_normalize_date_dateparser_breadth(spark):
+    """Round-3 breadth (VERDICT r2 #7): period-abbreviated months incl.
+    'Sept', dotted two-digit day-first years, the day_first flag, and the
+    explicit-4-digit-year guard on the past pivot."""
+    from data_pipelines_spark.functions.normalize import normalize_date
+
+    cases = [
+        ("Aug. 17 1995", "1995-08-17"),   # month abbrev with period
+        ("Sept. 3 2001", "2001-09-03"),   # 4-letter abbrev java.time rejects
+        ("Sept 3rd, 2001", "2001-09-03"),
+        ("17.8.95", "1995-08-17"),        # dotted day-first two-digit year
+        ("1.2.34", "2034-02-01"),         # dotted, under the pivot
+        ("2095-01-01", "2095-01-01"),     # explicit 4-digit year: NO pivot
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "raw string")
+    got = [r.n for r in df.select(normalize_date(F.col("raw")).alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+    # day_first resolves the slashed all-numeric ambiguity the DMY way
+    amb = spark.createDataFrame([("04/02/2024",), ("4/2/95",)], "raw string")
+    mdy = [r.n for r in amb.select(normalize_date(F.col("raw")).alias("n")).collect()]
+    dmy = [
+        r.n
+        for r in amb.select(
+            normalize_date(F.col("raw"), day_first=True).alias("n")
+        ).collect()
+    ]
+    assert mdy == ["2024-04-02", "1995-04-02"]
+    assert dmy == ["2024-02-04", "1995-02-04"]
+
+
 def test_filename_codec_round_trip(spark):
     """F8 engine codec (ref filename_utils.py:10-41 + to_data_lake.py:33-69):
     encode → parse restores id/level/lang; wiki and off-domain handled."""
