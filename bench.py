@@ -138,6 +138,11 @@ def main() -> None:
         "f1_sha2_hash",
         "x1_extract_profile",
         "x4_page_quarantine",
+        "dedup_clusters",
+        "sim_batch_lsh_topk",
+        "sim_topk_ivf_kmeans",
+        "m2_media_decode",
+        "x6_staging_records",
     ]
     # best-of-N per query, same as the ingest: a single draw on this shared
     # host can absorb a 2x neighbor stall (round-2's dedup_exact "+57%" was
