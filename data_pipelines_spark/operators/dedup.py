@@ -514,12 +514,13 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # data but keeps the full logical plan — a 12-round loop built a 2 GiB
     # plan string before this was a checkpoint). Checkpointing truncates the
     # plan to the materialized blocks; each round starts from a flat scan.
-    labels = (
+    labels_ckpt = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster"))
         .localCheckpoint(eager=True)
     )
+    labels = labels_ckpt
     changed = 0
     try:
         for _ in range(max_iter):
@@ -528,13 +529,16 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("cluster").alias("_nmin"))
             )
-            # hook: adopt the min of self and neighbor labels. Checkpointed
-            # because the jump references it twice (Spark has no automatic
-            # plan-subtree reuse across joins — see repo notes).
+            # hook: adopt the min of self and neighbor labels, carrying the
+            # round's starting label so convergence is a flag on the row —
+            # no old-vs-new join needed. Checkpointed because the jump
+            # references it twice (Spark has no automatic plan-subtree
+            # reuse across joins — see repo notes).
             hooked = (
                 labels.join(neighbor_min, "id", "left")
                 .select(
                     "id",
+                    F.col("cluster").alias("_prev"),
                     F.least(
                         F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
                     ).alias("cluster"),
@@ -547,30 +551,29 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             jump_side = hooked.select(
                 F.col("id").alias("_jid"), F.col("cluster").alias("_jcl")
             )
+            final = F.least(
+                F.col("cluster"), F.coalesce(F.col("_jcl"), F.col("cluster"))
+            )
             new_labels = (
                 hooked.join(jump_side, hooked.cluster == jump_side._jid, "left")
                 .select(
                     "id",
-                    F.least(
-                        F.col("cluster"), F.coalesce(F.col("_jcl"), F.col("cluster"))
-                    ).alias("cluster"),
+                    final.alias("cluster"),
+                    (final != F.col("_prev")).alias("_chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.cluster") != F.col("o.cluster"))
-                .limit(1)
-                .count()
-            )
+            # convergence probe scans the just-materialized blocks only —
+            # no shuffle, no re-join against the previous round
+            changed = new_labels.where(F.col("_chg")).limit(1).count()
             hooked.unpersist()
-            labels.unpersist()
-            labels = new_labels
+            labels_ckpt.unpersist()
+            labels_ckpt = new_labels
+            labels = new_labels.select("id", "cluster")
             if changed == 0:
                 break
         if changed != 0:
-            labels.unpersist()
+            labels_ckpt.unpersist()
             raise RuntimeError(
                 f"near_dup_clusters did not converge within max_iter={max_iter} "
                 "rounds — component diameter exceeds 2^max_iter (pathological "
