@@ -146,3 +146,34 @@ def test_embedding_lsh_no_self_join_of_corpus(spark, entrymod):
     plan = _plan(entrymod.dedup_embedding_lsh(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_x6_staging_bio_join_broadcasts_one_udf_pass_per_branch(spark, entrymod):
+    """45-column staging: the bio CSV side-input joins broadcast (never a
+    shuffle of the staging side), and each page branch (pro / amateur) runs
+    its two extractors in ONE fused ArrowEvalPython node — two branches,
+    two nodes, no row Python."""
+    plan = _plan(entrymod.x6_staging_records(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_m2_decode_input_pruned_no_row_python(spark, entrymod):
+    """Real-decode path: mapInPandas only (Arrow batches), no row-at-a-time
+    Python, and the generated-media branch never re-scans extra document
+    columns (only doc_id reaches the generator)."""
+    plan = _formatted(entrymod.m2_media_decode(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert read_schema == "struct<doc_id:bigint>", read_schema
+
+
+def test_batch_lsh_probe_array_is_mask_sized(spark, entrymod):
+    """The probe expansion must be the C(n_planes, ≤multiprobe) mask array,
+    never a sequence over the full 2^n_planes bucket space (the plan would
+    carry `sequence(0, 255)` at the default 8 planes)."""
+    plan = _plan(entrymod.sim_batch_lsh_topk(spark, SF_DIR))
+    assert "sequence(" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # query side broadcast
+    assert "BatchEvalPython" not in plan
