@@ -1073,6 +1073,47 @@ def x6_staging_records(spark, sf):
     )
 
 
+def pii_redaction(spark, sf):
+    """PII scrub (functions/redact.py): emails / IPv4 / phone runs replaced
+    by typed placeholders, pure JVM regexp chain. Raw text with planted PII
+    is constructed from doc_id so the oracle applies the same RE2-safe rule
+    chain to the same input."""
+    from data_pipelines_spark.functions.redact import redact_pii
+
+    d = _par(_t(spark, sf, "documents").select("doc_id"))
+    i = F.col("doc_id")
+    raw = F.concat(
+        F.lit("reach user"), i.cast("string"),
+        F.lit("@example.com or call +1 (555) 010-"),
+        F.lpad(F.pmod(i, 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), F.pmod(i, 256).cast("string"),
+        F.lit(".1 about order #"), i.cast("string"),
+    )
+    return d.select("doc_id", raw.alias("raw"), redact_pii(raw).alias("redacted"))
+
+
+def dedup_lines(spark, sf):
+    """Cross-document line dedup (operators/dedup.py line_dedup): the
+    CCNet/RefinedWeb boilerplate pass. Multi-line docs constructed from
+    doc_id plant one every-doc banner, one 1-in-7 section line, and unique
+    content; lines present in ≥2 docs must vanish, order preserved."""
+    from data_pipelines_spark.operators.dedup import line_dedup
+
+    d = _par(_t(spark, sf, "documents").select("doc_id"))
+    i = F.col("doc_id")
+    raw = F.concat_ws(
+        "\n",
+        F.lit("SUBSCRIBE TO OUR NEWSLETTER"),
+        F.concat(F.lit("unique content for doc "), i.cast("string")),
+        F.concat(F.lit("section "), F.pmod(i, 7).cast("string")),
+        F.when(i % 3 == 0, F.concat(F.lit("rare line "), i.cast("string")))
+        .otherwise(F.concat(F.lit("tail "), F.pmod(i, 11).cast("string"))),
+        F.lit("COPYRIGHT FOOTER"),
+    )
+    docs = d.select("doc_id", raw.alias("text"))
+    return line_dedup(docs, min_docs=2)
+
+
 def m1_media_plans(spark, sf):
     """Multimodal planning surface (extract/multimodal.py): image resize
     targets and video frame-sample fan-out computed JVM-side from the typed
@@ -1205,6 +1246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k8_sanitize_export": k8_sanitize_export,
         "text_repetition": text_repetition,
         "gopher_quality": gopher_quality,
+        "pii_redaction": pii_redaction,
+        "dedup_lines": dedup_lines,
     }
 
 
@@ -1627,6 +1670,24 @@ FROM scored
 ORDER BY (CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END) DESC,
          vec_id
 LIMIT {k}
+"""
+
+
+def _pii_redaction_oracle() -> str:
+    """Same planted-PII construction + the shared RE2-safe rule chain
+    (functions/redact.py is the single definition of the rules)."""
+    from data_pipelines_spark.functions.redact import pii_rules_sql
+
+    raw = (
+        "concat('reach user', CAST(doc_id AS VARCHAR), "
+        "'@example.com or call +1 (555) 010-', "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+        "' from 10.0.', CAST(doc_id % 256 AS VARCHAR), "
+        "'.1 about order #', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+SELECT doc_id, {raw} AS raw, {pii_rules_sql(raw)} AS redacted
+FROM documents
 """
 
 
@@ -2234,6 +2295,37 @@ def oracle_sql() -> dict[str, str]:
                    END AS debut_date_amateur,
                    (doc_id % 2 = 0) AS has_amateur_record
             FROM documents
+        """,
+        "pii_redaction": _pii_redaction_oracle(),
+        "dedup_lines": """
+            WITH d AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       'SUBSCRIBE TO OUR NEWSLETTER',
+                       concat('unique content for doc ', CAST(doc_id AS VARCHAR)),
+                       concat('section ', CAST(doc_id % 7 AS VARCHAR)),
+                       CASE WHEN doc_id % 3 = 0
+                            THEN concat('rare line ', CAST(doc_id AS VARCHAR))
+                            ELSE concat('tail ', CAST(doc_id % 11 AS VARCHAR)) END,
+                       'COPYRIGHT FOOTER') AS raw
+              FROM documents
+            ), l AS (
+              SELECT doc_id, i AS pos, ls[i] AS line
+              FROM (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM d),
+                   UNNEST(generate_series(1, len(ls))) AS t(i)
+            ), c AS (
+              SELECT trim(line) AS tl, count(DISTINCT doc_id) AS nd
+              FROM l GROUP BY 1
+            ), k AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM l JOIN c ON trim(l.line) = c.tl
+              WHERE c.nd < 2
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+                     AS text
+            FROM d LEFT JOIN k USING (doc_id)
+            GROUP BY d.doc_id
         """,
         "x6_staging_records": """
             SELECT CAST(doc_id AS VARCHAR) AS "boxrecId",

@@ -599,6 +599,61 @@ def dedup_keep_canonical(
 
 
 # ---------------------------------------------------------------------------
+# cross-document line dedup (the CCNet/RefinedWeb boilerplate pass)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove every line that occurs (whitespace-trimmed) in ``min_docs``
+    or more distinct documents — navigation bars, cookie banners, footers —
+    and reassemble each document from its surviving lines in order. The
+    line-level dedup pass of CCNet / RefinedWeb-style web-corpus pipelines.
+
+    Plan shape at scale: explode to (doc, pos, line) → count distinct docs
+    per 64-bit trimmed-line hash (ONE shuffle on the hash, map-side partial
+    agg — document text never rides this exchange, only hashes) → anti-join
+    lines against the dup-hash set → order-preserving reassembly (one
+    groupBy per doc with an array_sort on (pos, line) structs). Documents
+    whose every line was boilerplate are kept with empty text, so row count
+    and keys are stable for downstream joins.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lhash", F.xxhash64(F.trim(F.col("line"))))
+    dup_hashes = (
+        lines.groupBy("lhash")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("lhash")
+    )
+    kept = lines.join(dup_hashes, "lhash", "left_anti")
+    reassembled = (
+        kept.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"))
+        .select(
+            "id",
+            F.concat_ws(
+                "\n", F.transform(F.col("ls"), lambda s: s["line"])
+            ).alias("_clean"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

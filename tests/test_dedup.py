@@ -261,6 +261,47 @@ def test_near_dup_clusters_long_chain_converges_logarithmically(spark):
     assert set(got.values()) == {0}  # one cluster, canonical = min id
 
 
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """CCNet/RefinedWeb-style line dedup: lines trimmed-equal across ≥2 docs
+    vanish, per-doc line order is preserved, all-boilerplate docs stay as
+    rows with empty text."""
+    from data_pipelines_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "BANNER\nalpha one\nshared section\nomega one\nFOOTER"),
+            (2, "BANNER\nalpha two\n  shared section  \nFOOTER"),  # trim-match
+            (3, "BANNER\nFOOTER"),  # nothing unique survives
+            (4, "solo line only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in line_dedup(docs, min_docs=2).collect()}
+    assert got[1] == "alpha one\nomega one"  # order kept, boilerplate gone
+    assert got[2] == "alpha two"
+    assert got[3] == ""                       # row kept, text emptied
+    assert got[4] == "solo line only"
+
+
+def test_pii_redaction_goldens(spark):
+    from pyspark.sql import functions as F2
+
+    from data_pipelines_spark.functions.redact import redact_pii
+
+    cases = [
+        ("mail me at jo.doe+x@sub.example.co.uk now",
+         "mail me at <EMAIL> now"),
+        ("server 192.168.001.1 rebooted", "server <IP> rebooted"),
+        ("call +44 (0) 7911 123-456 today", "call <PHONE> today"),
+        ("year 2024 and id 7 stay", "year 2024 and id 7 stay"),
+        ("a@b.io or 10.0.0.1 or 555-010-9999",
+         "<EMAIL> or <IP> or <PHONE>"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "raw string")
+    got = [r.o for r in df.select(redact_pii(F2.col("raw")).alias("o")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_near_dup_clusters_fails_loud_on_non_convergence(spark):
     """If labels still change at max_iter the operator raises instead of
     returning half-propagated labels (silent under-dedup at scale)."""
