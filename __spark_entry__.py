@@ -1114,6 +1114,36 @@ def dedup_lines(spark, sf):
     return line_dedup(docs, min_docs=2)
 
 
+def cap_per_domain(spark, sf):
+    """Domain balancing (operators/sampling.py): at most 30 docs per lang,
+    lowest doc_id wins — the data-mixing quota pass."""
+    from data_pipelines_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return cap_per_group(d, "lang", 30, "doc_id")
+
+
+def hash_sample_docs(spark, sf):
+    """Deterministic 13% down-sample via the Knuth id scramble — no rand(),
+    so replays and the oracle select the identical subset."""
+    from data_pipelines_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return hash_sample(d, "doc_id", percent=13)
+
+
+def decontaminate_docs(spark, sf):
+    """Benchmark decontamination (operators/sampling.py): word-5-gram
+    overlap flags against a benchmark set (docs with doc_id % 50 == 0 —
+    naturally 100%-contaminated positives plus organic collisions). The
+    corpus never shuffles: benchmark shingles broadcast."""
+    from data_pipelines_spark.operators.sampling import contamination_flags
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    return contamination_flags(_par(d), bench, n=5)
+
+
 def m1_media_plans(spark, sf):
     """Multimodal planning surface (extract/multimodal.py): image resize
     targets and video frame-sample fan-out computed JVM-side from the typed
@@ -1248,6 +1278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": gopher_quality,
         "pii_redaction": pii_redaction,
         "dedup_lines": dedup_lines,
+        "cap_per_domain": cap_per_domain,
+        "hash_sample": hash_sample_docs,
+        "decontaminate": decontaminate_docs,
     }
 
 
@@ -2295,6 +2328,37 @@ def oracle_sql() -> dict[str, str]:
                    END AS debut_date_amateur,
                    (doc_id % 2 = 0) AS has_amateur_record
             FROM documents
+        """,
+        "cap_per_domain": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 30
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 13
+        """,
+        "decontaminate": f"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex({_NORM_SQL}, ' ') AS ws
+              FROM documents
+            ), d AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(ws) - 4, 1)),
+                       i -> array_to_string(ws[i:i+4], ' '))) AS sh
+              FROM w
+            ), b AS (
+              SELECT list_distinct(flatten(list(sh))) AS bsh
+              FROM d WHERE doc_id % 50 = 0
+            )
+            SELECT d.doc_id,
+                   CAST(len(list_intersect(d.sh, b.bsh)) AS BIGINT) AS n_hits,
+                   len(list_intersect(d.sh, b.bsh)) > 0 AS contaminated
+            FROM d CROSS JOIN b
         """,
         "pii_redaction": _pii_redaction_oracle(),
         "dedup_lines": """

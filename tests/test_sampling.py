@@ -1,0 +1,56 @@
+"""Corpus-shaping operators: domain capping, deterministic sampling,
+benchmark decontamination (operators/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.sampling import (
+    cap_per_group,
+    contamination_flags,
+    decontaminate,
+    hash_sample,
+)
+
+
+def test_cap_per_group_keeps_lowest_keys(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 7 else "b") for i in range(10)], "doc_id long, g string"
+    )
+    got = sorted(
+        (r.g, r.doc_id) for r in cap_per_group(df, "g", 3, "doc_id").collect()
+    )
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 7), ("b", 8), ("b", 9)]
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    s1 = {r.doc_id for r in hash_sample(df, "doc_id", 13).collect()}
+    s2 = {r.doc_id for r in hash_sample(df, "doc_id", 13).collect()}
+    assert s1 == s2                      # replay-identical
+    assert 0.08 < len(s1) / 2000 < 0.18  # ~13%
+    # widening the rate is a superset — stable assignment, not a reshuffle
+    s_wide = {r.doc_id for r in hash_sample(df, "doc_id", 40).collect()}
+    assert s1 <= s_wide
+
+
+def test_contamination_flags_and_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content about markets today"),
+            (3, "quick brown fox jumps over something else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "we saw the quick brown fox jumps over the fence")],
+        "doc_id long, text string",
+    )
+    flags = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in contamination_flags(corpus, bench, n=5).collect()
+    }
+    assert flags[1][1] and flags[1][0] >= 1   # shares 'the quick brown fox jumps'
+    assert flags[3][1]                        # shares 'quick brown fox jumps over'
+    assert flags[2] == (0, False)
+    kept = sorted(r.doc_id for r in decontaminate(corpus, bench, n=5).collect())
+    assert kept == [2]
