@@ -155,6 +155,84 @@ def a9_throughput_report(spark, sf):
     )
 
 
+def cdc_table_changes(spark, sf):
+    """CDC-out snapshot diff (`LakeTable.changes`): replay the stream in 5
+    micro-batches, then diff the snapshot after batch 1 against the final
+    snapshot — net I/U/D per key, post-image for I/U, pre-image for D. The
+    oracle recomputes both LWW states (prefix of 2/5 offset slices vs all)
+    in SQL and full-outer-joins them."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_chg_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    st = pipe.run_batches(changes, n_batches=5)
+    ch = pipe.table.changes(st[1].committed_version)
+    return ch.select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+def cdc_change_log(spark, sf):
+    """CDC-out event log (`LakeTable.change_log`): replay 3 micro-batches,
+    then tail the row-level log of everything the merges applied — the
+    post-dedup batch winners with their arrival op, tagged by commit.
+    O(changes) scan of the range's delta files only. The oracle predicts
+    every row from the offset-range batch slicing + per-batch LWW in SQL."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_log_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    pipe.run_batches(changes, n_batches=3)
+    table = pipe.table
+    v2b = {v: b for b, v in table.ledger().items() if b in {"0", "1", "2"}}
+    batch_col = F.lit(None).cast("int")
+    for v, b in v2b.items():
+        batch_col = F.when(F.col("_commit_version") == v, F.lit(int(b))).otherwise(
+            batch_col
+        )
+    return table.change_log(0).select(
+        batch_col.alias("batch_id"),
+        "op",
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+    )
+
+
+def cdc_incremental_read(spark, sf):
+    """Freshness-bounded snapshot scan (`LakeTable.read(min_seq_ts=...)`):
+    replay 5 micro-batches, then read only the keys whose LWW winner is
+    newer than the bound — the incremental-consumer path. File-level ts
+    zone maps skip provably-cold files (tests/test_changes.py pins the
+    pruning); the oracle filters the SQL LWW winners by the same bound."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_inc_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    pipe.run_batches(changes, n_batches=5)
+    out = pipe.table.read(min_seq_ts="2024-01-16 00:00:00")
+    return out.select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return cdc_final_state(spark, "/root/testdata/sf0.001")
@@ -1209,6 +1287,9 @@ def m2_media_decode(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": cdc_final_state,
+        "cdc_table_changes": cdc_table_changes,
+        "cdc_change_log": cdc_change_log,
+        "cdc_incremental_read": cdc_incremental_read,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_latest_per_key": w1_latest_per_key,
         "s7_due_work_scan": s7_due_work_scan,
@@ -1727,6 +1808,86 @@ FROM documents
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": _CDC_ORACLE,
+        "cdc_table_changes": """
+            WITH ch AS (
+              SELECT event_id AS off,
+                     CASE WHEN event_type='error' THEN 'D'
+                          WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+                     concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url,
+                     ts AS warc_ts, value, props
+              FROM events
+            ), b AS (
+              SELECT min(off) AS lo,
+                     greatest((max(off) - min(off) + 1) // 5, 1) AS step
+              FROM ch
+            ), pre AS (
+              SELECT * FROM (
+                SELECT ch.*, row_number() OVER (PARTITION BY url
+                         ORDER BY warc_ts DESC, off DESC) AS rn
+                FROM ch CROSS JOIN b WHERE off < lo + 2 * step
+              ) WHERE rn = 1 AND op <> 'D'
+            ), post AS (
+              SELECT * FROM (
+                SELECT ch.*, row_number() OVER (PARTITION BY url
+                         ORDER BY warc_ts DESC, off DESC) AS rn
+                FROM ch
+              ) WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT coalesce(post.url, pre.url) AS url,
+                   CASE WHEN post.url IS NULL THEN pre.warc_ts ELSE post.warc_ts END AS warc_ts,
+                   CASE WHEN post.url IS NULL THEN pre.off ELSE post.off END AS log_offset,
+                   CASE WHEN post.url IS NULL THEN pre.value ELSE post.value END AS value,
+                   CASE WHEN post.url IS NULL THEN pre.props ELSE post.props END AS props,
+                   CASE WHEN pre.url IS NULL THEN 'I'
+                        WHEN post.url IS NULL THEN 'D' ELSE 'U' END AS change_type
+            FROM post FULL OUTER JOIN pre ON post.url = pre.url
+            WHERE pre.url IS NULL OR post.url IS NULL
+               OR post.warc_ts <> pre.warc_ts OR post.off <> pre.off
+        """,
+        "cdc_change_log": """
+            WITH ch AS (
+              SELECT event_id AS off,
+                     CASE WHEN event_type='error' THEN 'D'
+                          WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+                     concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url,
+                     ts AS warc_ts, value, props
+              FROM events
+            ), b AS (
+              SELECT min(off) AS lo,
+                     greatest((max(off) - min(off) + 1) // 3, 1) AS step
+              FROM ch
+            ), sliced AS (
+              SELECT ch.*,
+                     CASE WHEN off < lo + step THEN 0
+                          WHEN off < lo + 2 * step THEN 1
+                          ELSE 2 END AS batch_id
+              FROM ch CROSS JOIN b
+            ), w AS (
+              SELECT *, row_number() OVER (PARTITION BY batch_id, url
+                       ORDER BY warc_ts DESC, off DESC) AS rn
+              FROM sliced
+            )
+            SELECT CAST(batch_id AS INT) AS batch_id, op, url, warc_ts,
+                   off AS log_offset, value, props
+            FROM w WHERE rn = 1
+        """,
+        "cdc_incremental_read": """
+            WITH ch AS (
+              SELECT event_id AS off,
+                     CASE WHEN event_type='error' THEN 'D'
+                          WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+                     concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url,
+                     ts AS warc_ts, value, props
+              FROM events
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY url
+                       ORDER BY warc_ts DESC, off DESC) AS rn
+              FROM ch
+            )
+            SELECT url, warc_ts, off AS log_offset, value, props
+            FROM r WHERE rn = 1 AND op <> 'D'
+              AND warc_ts >= TIMESTAMP '2024-01-16 00:00:00'
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -65,6 +65,12 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer moved the snapshot pointer between read and commit."""
 
 
+class ChangeLogUnavailableError(RuntimeError):
+    """change_log() cannot reconstruct row-level deltas for this version
+    range (copy-on-write merge folded them into rewritten base files, or a
+    legacy commit lacks the operation tag). ``changes()`` always works."""
+
+
 class SchemaEvolutionError(ValueError):
     """Incompatible schema change (dropped column, narrowed/retyped column)."""
 
@@ -123,6 +129,23 @@ def _as_nullable(dt: T.DataType) -> T.DataType:
     if isinstance(dt, T.MapType):
         return T.MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
     return dt
+
+
+def _seq_bound(col):
+    """Canonical zone-map bound for a timestamp column: fixed-width session-TZ
+    (UTC) format with microseconds, so lexicographic compare == temporal
+    compare and JSON round-trips losslessly."""
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def _seq_bound_py(v) -> str | None:
+    """The driver-side twin of ``_seq_bound`` for datetimes read from parquet
+    footers / user arguments (naive datetimes are already session-TZ/UTC)."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    return f"{v:%Y-%m-%d %H:%M:%S}.{v.microsecond:06d}"
 
 
 class LakeTable:
@@ -395,6 +418,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_tombstones: bool = False,
         columns: list[str] | None = None,
+        min_seq_ts=None,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame.
 
@@ -407,6 +431,17 @@ class LakeTable:
         the parquet scans then read only those column chunks (the same
         column-pruning a pushed-down ``select`` would get), which keeps
         key/hash-only scans cheap at any table size.
+
+        ``min_seq_ts`` (str or datetime, session-TZ/UTC) returns only keys
+        whose LWW winner has ``seq_cols[0] >= min_seq_ts`` — the "rows fresh
+        since T" incremental-consumer scan. Files whose zone map proves
+        ``ts_max < min_seq_ts`` are skipped entirely (never scanned), which
+        is sound under LWW: the winner is the per-key sequence MAXIMUM, so a
+        skipped file can hold neither an emitted winner (its rows all fail
+        the predicate) nor a row that outranks one (every emitted row already
+        outranks everything below the bound). Skipping is disabled while
+        un-compacted seq-bump files exist (a kept bump may need a payload row
+        that lives below the bound); the row filter still applies.
         """
         snap = self._snapshot(version)
         target = self.schema_from_snap(snap)
@@ -434,12 +469,22 @@ class LakeTable:
                 need.add(hash_col)
                 drop_hash_after = True
             target = T.StructType([f for f in target.fields if f.name in need])
+        # zone-map file skipping for min_seq_ts (see docstring for the LWW
+        # soundness argument; bumps force the conservative full file set)
+        bound = _seq_bound_py(min_seq_ts)
+        skip_files = bound is not None and not has_bumps
         has_bumps = has_bumps and hash_col in [f.name for f in target.fields]
         groups: dict[tuple[int, str], list[str]] = {}
         for b, files in snap_files.items():
             if buckets is not None and int(b) not in buckets:
                 continue
             for fe in files:
+                if (
+                    skip_files
+                    and fe.get("ts_max") is not None
+                    and fe["ts_max"] < bound
+                ):
+                    continue
                 kind = fe.get("kind", "base")
                 groups.setdefault((fe["schema_id"], kind), []).append(
                     os.path.join(self.root, fe["path"])
@@ -491,6 +536,166 @@ class LakeTable:
                 df = lww_latest(df, self.key, self.seq_cols)
         if not include_tombstones:
             df = df.where(~F.col(DELETED_COL)).drop(DELETED_COL)
+        if bound is not None:
+            # post-resolution freshness predicate: the winner itself must be
+            # >= the bound (file skipping above is only an I/O optimization)
+            df = df.where(
+                F.col(self.seq_cols[0]) >= F.lit(bound).cast("timestamp")
+            )
+        return df
+
+    # ------------------------------------------------------------ change feed
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Net row-level change feed between two snapshots (CDC-out).
+
+        Snapshot-diff semantics (the general path — works across ANY commit
+        mix: merges, copy-on-write, compaction, vacuum, schema evolution):
+        full-outer-join the live states at the two versions on the key and
+        classify each key by its sequence tuple —
+
+        - ``I``: key live at ``to`` only (post-image emitted)
+        - ``U``: live at both, sequence advanced (post-image emitted; a
+          seq-bump re-scrape therefore shows as ``U`` with unchanged payload,
+          faithfully reporting the stored-sequence advance)
+        - ``D``: key live at ``from`` only (pre-image emitted)
+
+        No-op keys (identical sequence) are dropped. A key deleted and
+        re-inserted inside the range nets to ``U``; inserted-then-deleted
+        nets to nothing — net effect, not the event-by-event log (that is
+        ``change_log``). Columns added by schema evolution inside the range
+        are NULL-backfilled on the pre side. Cost: two (column-pruned,
+        zone-mapped) snapshot scans + one key-hash shuffle join — both sides
+        arrive bucket-clustered from the same layout, and AQE handles the
+        skewed-domain keys like any other join in the engine.
+        """
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        if self.schema(to_v) is None:
+            raise ValueError(f"snapshot v{to_v} has no schema (empty table)")
+        post = self.read(version=to_v)
+        if self.schema(from_version) is None:
+            pre = self.spark.createDataFrame([], post.schema)
+        else:
+            pre = self.read(version=from_version)
+        have = {f.name for f in pre.schema.fields}
+        pre = pre.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in post.schema.fields
+            ]
+        )
+        a, b = pre.alias("a"), post.alias("b")
+        joined = b.join(a, F.col(f"a.{self.key}") == F.col(f"b.{self.key}"), "full_outer")
+        a_seq = F.struct(*[F.col(f"a.{s}") for s in self.seq_cols])
+        b_seq = F.struct(*[F.col(f"b.{s}") for s in self.seq_cols])
+        ct = (
+            F.when(F.col(f"a.{self.key}").isNull(), F.lit("I"))
+            .when(F.col(f"b.{self.key}").isNull(), F.lit("D"))
+            .when(a_seq != b_seq, F.lit("U"))
+        )
+        out = [
+            F.when(ct == "D", F.col(f"a.{f.name}"))
+            .otherwise(F.col(f"b.{f.name}"))
+            .alias(f.name)
+            for f in post.schema.fields
+        ]
+        out.append(ct.alias("_change_type"))
+        return joined.select(*out).where(F.col("_change_type").isNotNull())
+
+    def change_log(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Event-level log of the changes applied in ``(from, to]`` — the
+        binlog-out surface a downstream CDC consumer tails.
+
+        O(changes in range), never O(table): reads ONLY the delta files
+        appended by merge commits in the range (identified from the per-commit
+        manifests), with each row tagged ``_commit_version``. Compaction,
+        tombstone vacuum and schema-update commits are physical/metadata
+        reorganizations — they contribute no rows and are skipped, so the log
+        stays available across the steady-state auto-compaction cadence.
+        Copy-on-write merges fold their changes into rewritten base files and
+        raise :class:`ChangeLogUnavailableError` (use :meth:`changes`).
+
+        Rows are the post-dedup batch contents: per-key LWW winners of each
+        batch with their arrival ``op`` (``I``/``U``/``D``/``B`` seq-bump).
+        Columns are aligned to the ``to`` snapshot's schema (NULL-backfill
+        for columns a file's writer schema predates). The files of expired
+        range snapshots may already be GC'd — expire retention bounds how far
+        back the log reaches, exactly like Iceberg's changelog reads.
+        """
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        final_schema = self.schema(to_v)
+        out_fields = [
+            T.StructField("_commit_version", T.LongType(), False),
+            T.StructField("op", T.StringType(), True),
+        ] + (list(final_schema.fields) if final_schema is not None else [])
+        prev_snap = self._snapshot(from_version)
+        prev_paths = {
+            os.path.normpath(fe["path"])
+            for fl in self._resolve_files(prev_snap).values()
+            for fe in fl
+        }
+        added: list[tuple[int, dict]] = []
+        for v in range(from_version + 1, to_v + 1):
+            snap_v = self._snapshot(v)
+            op = snap_v.get("operation")
+            cur_list = [fe for fl in self._resolve_files(snap_v).values() for fe in fl]
+            cur_paths = {os.path.normpath(fe["path"]) for fe in cur_list}
+            new = [fe for fe in cur_list if os.path.normpath(fe["path"]) not in prev_paths]
+            if op == "merge":
+                added.extend((v, fe) for fe in new)
+            elif op in ("compact", "vacuum", "schema-update"):
+                pass  # no logical deltas
+            elif op == "merge-cow":
+                raise ChangeLogUnavailableError(
+                    f"v{v} is a copy-on-write merge; row-level deltas were "
+                    "folded into rewritten base files — use changes()"
+                )
+            else:  # legacy snapshot without an operation tag: infer
+                if (prev_paths - cur_paths) or any(
+                    fe.get("kind", "base") != "delta" for fe in new
+                ):
+                    raise ChangeLogUnavailableError(
+                        f"v{v} predates commit-operation tagging and is not "
+                        "a pure delta append — use changes()"
+                    )
+                added.extend((v, fe) for fe in new)
+            prev_paths = cur_paths
+        if not added or final_schema is None:
+            return self.spark.createDataFrame([], T.StructType(out_fields))
+        groups: dict[tuple[int, int], list[str]] = {}
+        for v, fe in added:
+            groups.setdefault((v, fe["schema_id"]), []).append(
+                os.path.join(self.root, fe["path"])
+            )
+        snap_to = self._snapshot(to_v)
+        parts = []
+        for (v, sid), paths in sorted(groups.items()):
+            file_schema = self._phys_schema(
+                T.StructType.fromJson(snap_to["schemas"][str(sid)]), "delta"
+            )
+            part = self.spark.read.schema(file_schema).parquet(*paths)
+            have = {f.name for f in part.schema.fields}
+            cols = [F.lit(v).cast("long").alias("_commit_version"), F.col("op")]
+            cols += [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in final_schema.fields
+            ]
+            parts.append(part.select(*cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df
 
     # ------------------------------------------------------------------ merge
@@ -606,7 +811,7 @@ class LakeTable:
                     "tombstones": int(r["deletes"] or 0),
                 }
             if not affected:
-                return self._commit(snap, base_version, {}, stats, table_schema, append=False)
+                return self._commit(snap, base_version, {}, stats, table_schema, append=False, operation="merge-cow")
             return self._merge_cow(deduped, stats, base_version, snap, table_schema, affected)
         finally:
             deduped.unpersist()
@@ -627,9 +832,9 @@ class LakeTable:
         new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="delta")
         if not new_files:  # empty batch: ledger-only commit, no orphan dir
             shutil.rmtree(commit_dir, ignore_errors=True)
-            return self._commit(snap, base_version, {}, stats, table_schema, append=False)
+            return self._commit(snap, base_version, {}, stats, table_schema, append=False, operation="merge")
         self._delta_stats_from_footers(new_files, stats)
-        out = self._commit(snap, base_version, new_files, stats, table_schema, append=True)
+        out = self._commit(snap, base_version, new_files, stats, table_schema, append=True, operation="merge")
 
         # compaction policy: any bucket with too many delta files gets
         # rewritten (base+deltas -> new base) in a follow-up commit. The
@@ -664,6 +869,7 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         tie = self.seq_cols[-1]
+        ts = self.seq_cols[0]
 
         def one_file(args):
             b, fe = args
@@ -672,13 +878,26 @@ class LakeTable:
             names = [md.schema.column(i).name for i in range(md.num_columns)]
             op_idx = names.index("op") if "op" in names else None
             tie_idx = names.index(tie) if tie in names else None
+            ts_idx = names.index(ts) if ts != tie and ts in names else None
             lo = hi = None
+            ts_lo = ts_hi = None
             for rg in range(md.num_row_groups):
                 if tie_idx is not None:
                     st = md.row_group(rg).column(tie_idx).statistics
                     if st is not None and st.has_min_max:
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
+                if ts_idx is not None:
+                    st = md.row_group(rg).column(ts_idx).statistics
+                    if st is not None and st.has_min_max:
+                        ts_lo = st.min if ts_lo is None else min(ts_lo, st.min)
+                        ts_hi = st.max if ts_hi is None else max(ts_hi, st.max)
+            # per-file zone map on the first seq column (timestamps are
+            # written as TIMESTAMP_MICROS so footer stats exist) — lets
+            # read(min_seq_ts=...) skip whole files, see _acct_written
+            if ts_hi is not None and not isinstance(ts_hi, (int, float, str)):
+                fe["ts_min"] = _seq_bound_py(ts_lo)
+                fe["ts_max"] = _seq_bound_py(ts_hi)
             dead = 0
             if op_idx is not None:
                 ops = f.read(columns=["op"]).column(0)
@@ -768,8 +987,8 @@ class LakeTable:
         commit_dir = self._new_commit_dir(base_version)
         self._write_partitioned(result, commit_dir, len(affected))
         new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="base")
-        self._acct_written(commit_dir, stats, kind="base")
-        return self._commit(snap, base_version, new_files, stats, table_schema, append=False)
+        self._acct_written(commit_dir, stats, kind="base", new_files=new_files)
+        return self._commit(snap, base_version, new_files, stats, table_schema, append=False, operation="merge-cow")
 
     def _align_keep(self, df: DataFrame, phys: T.StructType) -> DataFrame:
         """Align a read() output (already has _deleted) to a physical schema."""
@@ -805,10 +1024,10 @@ class LakeTable:
         new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="base")
         for b in buckets:
             new_files.setdefault(str(b), [])
-        self._acct_written(commit_dir, stats, kind="base")
+        self._acct_written(commit_dir, stats, kind="base", new_files=new_files)
         for b in buckets:
             stats.per_bucket.setdefault(b, {"rows": 0, "tombstones": 0})
-        return self._commit(snap, base_version, new_files, stats, table_schema, append=False)
+        return self._commit(snap, base_version, new_files, stats, table_schema, append=False, operation="compact")
 
     # -------------------------------------------------------- write plumbing
 
@@ -849,25 +1068,64 @@ class LakeTable:
             new_files[b] = flist
         return new_files
 
-    def _acct_written(self, commit_dir: str, stats: MergeStats, kind: str) -> None:
+    def _acct_written(
+        self,
+        commit_dir: str,
+        stats: MergeStats,
+        kind: str,
+        new_files: dict[str, list[dict]] | None = None,
+    ) -> None:
         """Per-bucket row accounting by reading ONLY the files just written
-        (footer row counts + one small column — never re-runs the merge)."""
+        (footer row counts + one small column — never re-runs the merge).
+
+        When ``new_files`` is given, the same single pass also collects a
+        per-FILE min/max of the first sequence column and attaches it to the
+        manifest entries (``ts_min``/``ts_max`` zone maps) — ``read(
+        min_seq_ts=...)`` uses these to skip files that cannot contain fresh
+        rows. One extra aggregate in an already-running job; no new job.
+        """
         if not any(e.startswith(f"{_BUCKET_COL}=") for e in os.listdir(commit_dir)):
             return  # nothing written (e.g. vacuum emptied the table)
         dead = (
             F.col(DELETED_COL).cast("long") if kind == "base" else (F.col("op") == "D").cast("long")
         )
+        ts = self.seq_cols[0]
+        acct_df = self.spark.read.parquet(commit_dir)
+        track_ts = (
+            new_files is not None
+            and ts in acct_df.columns
+            and isinstance(acct_df.schema[ts].dataType, T.TimestampType)
+        )
+        file_key = F.input_file_name() if track_ts else F.lit("")
+        aggs = [F.count("*").alias("rows"), F.sum(dead).alias("dead")]
+        if track_ts:
+            aggs += [
+                _seq_bound(F.min(ts)).alias("ts_min"),
+                _seq_bound(F.max(ts)).alias("ts_max"),
+            ]
         acct = (
-            self.spark.read.parquet(commit_dir)
-            .groupBy(_BUCKET_COL)
-            .agg(F.count("*").alias("rows"), F.sum(dead).alias("dead"))
+            acct_df.groupBy(F.col(_BUCKET_COL), file_key.alias("_file"))
+            .agg(*aggs)
             .collect()
         )
+        by_path: dict[str, dict] = {}
+        if track_ts:
+            for files in new_files.values():
+                for fe in files:
+                    by_path[os.path.normpath(fe["path"])] = fe
+        per_b: dict[int, dict[str, int]] = {}
         for r in acct:
-            stats.per_bucket[int(r[_BUCKET_COL])] = {
-                "rows": r["rows"],
-                "tombstones": int(r["dead"] or 0),
-            }
+            p = per_b.setdefault(int(r[_BUCKET_COL]), {"rows": 0, "tombstones": 0})
+            p["rows"] += r["rows"]
+            p["tombstones"] += int(r["dead"] or 0)
+            if track_ts and r["ts_min"] is not None:
+                rel = os.path.normpath(
+                    os.path.relpath(r["_file"].removeprefix("file:"), self.root)
+                )
+                fe = by_path.get(rel)
+                if fe is not None:
+                    fe["ts_min"], fe["ts_max"] = r["ts_min"], r["ts_max"]
+        stats.per_bucket.update(per_b)
 
     def _next_schema_id(self, snap: dict, table_schema: T.StructType) -> int:
         for sid, sj in snap["schemas"].items():
@@ -883,10 +1141,16 @@ class LakeTable:
         stats: MergeStats,
         table_schema: T.StructType,
         append: bool,
+        operation: str = "merge",
     ) -> MergeStats:
         new_snap = json.loads(json.dumps(snap))  # deep copy
         new_snap["version"] = base_version + 1
         new_snap["parent"] = base_version
+        # commit kind (Iceberg snapshot `operation` analog): lets readers
+        # distinguish logical changes (merge / merge-cow) from physical
+        # reorganizations (compact / vacuum / schema-update) — change_log()
+        # relies on this to skip reorganizations instead of refusing them
+        new_snap["operation"] = operation
         schema_id = self._next_schema_id(snap, table_schema)
         new_snap["schemas"][str(schema_id)] = table_schema.jsonValue()
         new_snap["current_schema_id"] = schema_id
@@ -953,10 +1217,10 @@ class LakeTable:
         new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="base")
         for b in buckets:
             new_files.setdefault(str(b), [])
-        self._acct_written(commit_dir, stats, kind="base")
+        self._acct_written(commit_dir, stats, kind="base", new_files=new_files)
         for b in buckets:
             stats.per_bucket.setdefault(b, {"rows": 0, "tombstones": 0})
-        return self._commit(snap, base_version, new_files, stats, table_schema, append=False)
+        return self._commit(snap, base_version, new_files, stats, table_schema, append=False, operation="vacuum")
 
     def ledger(self) -> dict[str, int]:
         return dict(self._snapshot()["ledger"])
@@ -1034,7 +1298,7 @@ class LakeTable:
             return stats
         merged, changed = self._evolve_schema(snap, new_schema)
         stats.schema_evolved = changed
-        return self._commit(snap, base_version, {}, stats, merged, append=True)
+        return self._commit(snap, base_version, {}, stats, merged, append=True, operation="schema-update")
 
     def history(self) -> list[dict]:
         """Snapshot log (oldest→newest): version, parent, schema id, batch
@@ -1051,6 +1315,7 @@ class LakeTable:
                 {
                     "version": s["version"],
                     "parent": s["parent"],
+                    "operation": s.get("operation"),
                     "schema_id": s["current_schema_id"],
                     "batches": [b for b, ver in s["ledger"].items() if ver == s["version"]],
                     "stats": dict(s.get("stats", {})),

@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # int64 micros instead of legacy INT96: parquet footers then carry
+        # min/max statistics for timestamp columns, which the lake's
+        # per-file zone maps (read(min_seq_ts=...) file skipping) rely on
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
