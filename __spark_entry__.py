@@ -1222,6 +1222,21 @@ def decontaminate_docs(spark, sf):
     return contamination_flags(_par(d), bench, n=5)
 
 
+def shard_assignment(spark, sf):
+    """Token-budget corpus sharding (operators/sharding.py): documents
+    packed into 2000-token shards in deterministic md5(doc_id) order via a
+    distributed two-phase prefix sum (md5-prefix segments → per-segment
+    sums → driver prefix over 256 rows → within-segment window + offset) —
+    no single-partition global window. The oracle recomputes the identical
+    running total with one global SQL window."""
+    from data_pipelines_spark.operators.sharding import assign_shards
+
+    d = _par(_t(spark, sf, "documents")).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return assign_shards(d, 2000).select("doc_id", "n_tokens", "shard_id")
+
+
 def m1_media_plans(spark, sf):
     """Multimodal planning surface (extract/multimodal.py): image resize
     targets and video frame-sample fan-out computed JVM-side from the typed
@@ -1362,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_domain": cap_per_domain,
         "hash_sample": hash_sample_docs,
         "decontaminate": decontaminate_docs,
+        "shard_assignment": shard_assignment,
     }
 
 
@@ -2501,6 +2517,24 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 13
+        """,
+        "shard_assignment": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS ord
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY ord, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
+            FROM c
         """,
         "decontaminate": f"""
             WITH w AS (

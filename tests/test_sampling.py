@@ -54,3 +54,63 @@ def test_contamination_flags_and_decontaminate(spark):
     assert flags[2] == (0, False)
     kept = sorted(r.doc_id for r in decontaminate(corpus, bench, n=5).collect())
     assert kept == [2]
+
+
+# ------------------------------------------------------------------- sharding
+
+
+def _token_df(spark, n=400, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(5, 120)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_assign_shards_matches_global_cumsum(spark):
+    import hashlib
+
+    from data_pipelines_spark.operators.sharding import assign_shards
+
+    d = _token_df(spark)
+    got = {r.doc_id: r.shard_id for r in assign_shards(d, 1000).collect()}
+    loc = sorted(
+        (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id, r.n_tokens)
+        for r in d.collect()
+    )
+    cum, exp = 0, {}
+    for _o, k, t in loc:
+        exp[k] = cum // 1000
+        cum += t
+    assert got == exp
+
+
+def test_assign_shards_budget_and_determinism(spark):
+    from data_pipelines_spark.operators.sharding import assign_shards, shard_manifest
+
+    d = _token_df(spark)
+    s = assign_shards(d, 1000)
+    man = shard_manifest(s).orderBy("shard_id").collect()
+    max_doc = max(r.n_tokens for r in d.collect())
+    # never split a doc → overflow bounded by one document; non-final shards
+    # are filled to at least budget - max_doc; ids contiguous from 0
+    assert all(r.tokens <= 1000 + max_doc for r in man)
+    assert all(r.tokens >= 1000 - max_doc for r in man[:-1])
+    assert [r.shard_id for r in man] == list(range(len(man)))
+    again = assign_shards(d.repartition(17), 1000)
+    assert {(r.doc_id, r.shard_id) for r in s.collect()} == {
+        (r.doc_id, r.shard_id) for r in again.collect()
+    }
+
+
+def test_write_shards_roundtrip(spark, tmp_root):
+    import os
+
+    from data_pipelines_spark.operators.sharding import write_shards
+
+    d = _token_df(spark, n=120)
+    out = os.path.join(tmp_root, "shards")
+    write_shards(d, out, tokens_per_shard=1000)
+    back = spark.read.parquet(out)
+    assert back.count() == 120
+    assert back.select("shard_id").distinct().count() > 1
