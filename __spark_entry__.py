@@ -1237,6 +1237,48 @@ def shard_assignment(spark, sf):
     return assign_shards(d, 2000).select("doc_id", "n_tokens", "shard_id")
 
 
+def _docs_with_url(spark, sf):
+    """Documents with a deterministic synthetic URL (doc_id-derived host
+    with a subdomain prefix, so the suffix matcher is actually exercised)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("cdn.assets"), F.lit("m")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), sub, F.lit(".host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+def domain_blocklist(spark, sf):
+    """UT1-style domain blocklist (operators/sampling.py filter_domains):
+    config-sized list compiles to a pure arrays_overlap Column filter over
+    the host's dot-suffixes — zero joins, zero shuffles, pushes below
+    anything. A blocklist domain drops the exact host and every subdomain."""
+    from data_pipelines_spark.operators.sampling import filter_domains
+
+    d = _docs_with_url(spark, sf)
+    return filter_domains(d, ["host3.example.com", "host5.example.com"])
+
+
+def domain_blocklist_join(spark, sf):
+    """filter_domains with a DataFrame blocklist (the UT1 ~3M-domain shape):
+    broadcast suffix semi-join on the exploded host-suffix projection, then
+    an id-keyed anti-join back — corpus rows never shuffle."""
+    from data_pipelines_spark.operators.sampling import filter_domains
+
+    d = _docs_with_url(spark, sf)
+    bl = spark.createDataFrame(
+        [("host3.example.com",), ("host5.example.com",)], "domain string"
+    )
+    return filter_domains(d, bl, id_col="doc_id")
+
+
 def m1_media_plans(spark, sf):
     """Multimodal planning surface (extract/multimodal.py): image resize
     targets and video frame-sample fan-out computed JVM-side from the typed
@@ -1378,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": hash_sample_docs,
         "decontaminate": decontaminate_docs,
         "shard_assignment": shard_assignment,
+        "domain_blocklist": domain_blocklist,
+        "domain_blocklist_join": domain_blocklist_join,
     }
 
 
@@ -1800,6 +1844,28 @@ FROM scored
 ORDER BY (CASE WHEN na > 0 AND nq > 0 THEN dot / (na * nq) ELSE 0 END) DESC,
          vec_id
 LIMIT {k}
+"""
+
+
+# Independent recomputation of filter_domains semantics: extract the host
+# with the same URL regex, then label-wise suffix-match (exact host OR
+# '.<domain>'-suffixed subdomain) against the two blocked domains.
+_DOMAIN_BLOCKLIST_ORACLE = """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || ['www','cdn.assets','m'][CAST(doc_id % 3 AS INT) + 1]
+             || '.host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+             || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), h AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+      FROM u
+    )
+    SELECT doc_id, url FROM h
+    WHERE NOT (host = 'host3.example.com' OR host LIKE '%.host3.example.com'
+            OR host = 'host5.example.com' OR host LIKE '%.host5.example.com')
 """
 
 
@@ -2536,6 +2602,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
             FROM c
         """,
+        "domain_blocklist": _DOMAIN_BLOCKLIST_ORACLE,
+        "domain_blocklist_join": _DOMAIN_BLOCKLIST_ORACLE,
         "decontaminate": f"""
             WITH w AS (
               SELECT doc_id, string_split_regex({_NORM_SQL}, ' ') AS ws

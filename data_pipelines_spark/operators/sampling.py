@@ -12,6 +12,9 @@ exact subset):
   multiplicative scramble of the id (plain integer arithmetic any engine
   reproduces — the same scramble the IVF centroid sampler uses). Pure
   filter: no shuffle, pushes below joins.
+- :func:`filter_domains` — UT1-style domain blocklist/allowlist with
+  subdomain-suffix matching: a Column-only filter for config-sized lists,
+  a broadcast suffix join for multi-million-domain lists.
 - :func:`contamination_flags` / :func:`decontaminate` — benchmark
   decontamination: flag or drop corpus documents sharing any word n-gram
   with a benchmark/test set. The benchmark side is small by construction,
@@ -21,7 +24,7 @@ exact subset):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipelines_spark.operators.dedup import word_shingles
@@ -109,3 +112,70 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host of a URL (scheme://host[:port]/... → host)."""
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+
+
+def _host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host: a.b.example.com →
+    [a.b.example.com, b.example.com, example.com, com] — so a blocklist
+    entry matches the exact domain and every subdomain."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def filter_domains(
+    df: DataFrame,
+    blocklist,
+    url_col: str = "url",
+    id_col: str | None = None,
+    domain_col: str = "domain",
+    keep: bool = False,
+) -> DataFrame:
+    """Domain blocklist/allowlist filter — the UT1-style URL filtering pass
+    of a web-corpus pipeline.
+
+    A blocklist ``domain`` matches the exact host and every subdomain
+    (``example.com`` blocks ``a.b.example.com``). Rows with an unparseable
+    host never match. ``keep=True`` flips to allowlist semantics (keep ONLY
+    matching rows).
+
+    Two scale shapes, picked by the blocklist type:
+
+    - a Python sequence (config-sized lists) compiles to a pure
+      ``arrays_overlap`` Column filter — zero joins, zero shuffles, pushes
+      below anything;
+    - a DataFrame (UT1-sized lists, ~3M domains) broadcast-semi-joins the
+      exploded host-suffix projection (≤ label-count entries per row), then
+      semi/anti-joins the matched ``id_col`` set back. The corpus rows never
+      shuffle while the matched set is broadcastable (the typical blocklist
+      case — match rate is a few percent); AQE degrades to one corpus
+      shuffle only when the matched set itself is huge.
+    """
+    host = url_host(F.col(url_col))
+    sfx = _host_suffixes(host)
+    if not isinstance(blocklist, DataFrame):
+        domains = F.array(*[F.lit(str(d).lower()) for d in sorted(set(blocklist))])
+        # coalesce: a NULL url yields a NULL overlap — "never matches", same
+        # as the join path's anti-join, not a three-valued-logic row drop
+        hit = F.coalesce(F.arrays_overlap(sfx, domains), F.lit(False))
+        return df.where(hit if keep else ~hit)
+    if id_col is None:
+        raise ValueError("a DataFrame blocklist requires id_col")
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("_bl_domain")).distinct()
+    )
+    matched_ids = (
+        df.select(F.col(id_col), F.explode(sfx).alias("_sfx"))
+        .join(bl, F.col("_sfx") == F.col("_bl_domain"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(matched_ids, id_col, "left_semi" if keep else "left_anti")

@@ -177,3 +177,19 @@ def test_batch_lsh_probe_array_is_mask_sized(spark, entrymod):
     assert "sequence(" not in plan, plan
     assert "BroadcastHashJoin" in plan  # query side broadcast
     assert "BatchEvalPython" not in plan
+
+
+def test_domain_blocklist_list_path_is_pure_filter(spark, entrymod):
+    """Config-sized blocklists compile to an arrays_overlap Column filter:
+    no joins, no exchanges — the filter can push below anything."""
+    plan = _plan(entrymod.domain_blocklist(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_domain_blocklist_join_path_broadcasts(spark, entrymod):
+    """DataFrame blocklists (UT1-sized) must broadcast both the suffix
+    semi-join and the id anti-join back — the corpus never shuffles."""
+    plan = _plan(entrymod.domain_blocklist_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

@@ -56,6 +56,55 @@ def test_contamination_flags_and_decontaminate(spark):
     assert kept == [2]
 
 
+# ------------------------------------------------------------- domain filter
+
+
+def _url_df(spark):
+    rows = [
+        (1, "https://www.example.com/a"),          # exact-domain block
+        (2, "https://cdn.a.b.example.com/x?q=1"),  # deep subdomain block
+        (3, "https://example.org/a"),              # different TLD — kept
+        (4, "https://notexample.com/a"),           # suffix is label-wise, not string
+        (5, "HTTPS://WWW.EXAMPLE.COM:8443/b"),     # case + port
+        (6, "not a url at all"),                   # unparseable host — never matches
+        (7, "https://blocked.net/"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_filter_domains_list_path(spark):
+    from data_pipelines_spark.operators.sampling import filter_domains
+
+    df = _url_df(spark)
+    kept = sorted(
+        r.doc_id for r in filter_domains(df, ["example.com", "blocked.net"]).collect()
+    )
+    assert kept == [3, 4, 6]
+    allow = sorted(
+        r.doc_id
+        for r in filter_domains(df, ["example.com"], keep=True).collect()
+    )
+    assert allow == [1, 2, 5]
+
+
+def test_filter_domains_dataframe_path_matches_list(spark):
+    from data_pipelines_spark.operators.sampling import filter_domains
+
+    df = _url_df(spark)
+    bl = spark.createDataFrame(
+        [("EXAMPLE.COM",), ("blocked.net",)], "domain string"
+    )
+    got = sorted(
+        r.doc_id for r in filter_domains(df, bl, id_col="doc_id").collect()
+    )
+    assert got == [3, 4, 6]
+    allow = sorted(
+        r.doc_id
+        for r in filter_domains(df, bl, id_col="doc_id", keep=True).collect()
+    )
+    assert allow == [1, 2, 5, 7]
+
+
 # ------------------------------------------------------------------- sharding
 
 
