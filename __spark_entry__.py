@@ -634,6 +634,32 @@ def dedup_minhash_lsh(spark, sf):
     )
 
 
+def dedup_incremental(spark, sf):
+    """Incremental near-dup dedup on ingest (operators/incremental.py):
+    documents arrive in three id-ordered batches; each batch is signed ONCE
+    and probed against the persistent MinHash band store of everything seen
+    so far (earlier batches AND earlier ids in-batch), exact-verified at
+    Jaccard ≥ 0.9, then appended to the store. Because batches are
+    id-ordered and verification is exact, the kept set equals the global
+    non-recursive rule the oracle computes: doc d survives iff no doc with
+    a smaller id has Jaccard ≥ 0.9 against it."""
+    import tempfile
+
+    from data_pipelines_spark.operators.incremental import MinHashIndex
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = (hi + 2) // 3
+    idx = MinHashIndex(spark, tempfile.mkdtemp(prefix="mhidx_"), threshold=0.9)
+    parts = []
+    for b in range(3):
+        batch = d.where(
+            (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+        )
+        parts.append(idx.process_batch(batch, b).select("doc_id", "lang"))
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
 def dedup_simhash(spark, sf):
     """SimHash near-dup pairs (Hamming ≤ 3), md5 60-bit variant.
 
@@ -1382,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_incremental": dedup_incremental,
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
         "sim_topk_bruteforce": sim_topk_bruteforce,
@@ -2768,6 +2795,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_minhash_lsh": _minhash_oracle(threshold=0.9, n=3),
+        "dedup_incremental": f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(ws) - 2, 1)),
+             i -> array_to_string(ws[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, ' ') AS ws
+        FROM documents)
+), dropped AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::double /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
         "dedup_embedding_lsh": _embedding_lsh_oracle(threshold=0.3, n_planes=8),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "dedup_clusters": _dedup_clusters_oracle(max_hamming=3),

@@ -213,6 +213,17 @@ def minhash_lsh_candidates(
         .select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("bb"))
         .select("id", "bb.band", "bb.bucket")
     )
+    return bucket_pairs(banded, max_bucket=max_bucket)
+
+
+def bucket_pairs(banded: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Expand an (id, band, bucket) frame to distinct candidate pairs (a < b).
+
+    Shared by the whole-corpus candidates path and the incremental index's
+    within-batch pass. Buckets larger than ``max_bucket`` emit the id-sorted
+    adjacent chain instead of the quadratic pair set (see
+    :func:`minhash_lsh_candidates`).
+    """
     groups = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))

@@ -1,0 +1,318 @@
+"""Incremental near-dup dedup on ingest — the CDC-native MinHash index.
+
+The batch dedup family (:mod:`operators.dedup`) signs the WHOLE corpus per
+run; at 100 TB that is exactly the recompute an incremental pipeline exists
+to avoid. :class:`MinHashIndex` is the persistent side-structure: each new
+batch is shingled and signed ONCE (O(batch), never O(corpus)), probed
+against the stored band buckets of everything seen so far, exact-verified
+with true shingle Jaccard, and only then appended to the store.
+
+Semantics ("dedup against the seen set", the J7 rule lifted to near-dups):
+a new document is dropped iff its Jaccard similarity to ANY previously seen
+document — an earlier batch, or a smaller id within its own batch — meets
+the threshold. Every batch document (kept or dropped) joins the seen set,
+so the rule is order-deterministic and non-recursive: with id-ordered
+batches it reduces to "doc d survives iff no doc with a smaller id is a
+near-dup of d", which is what the SQL oracle recomputes globally.
+
+Scale shape (the 100 TB story):
+
+- per-batch compute is O(batch) signatures + one probe join. The probe
+  broadcasts the BATCH bands (small) against a scan of the store's band
+  table — a narrow (id, band, bucket) long table, ~100× less IO than
+  re-reading corpus text, column-pruned and embarrassingly parallel, no
+  shuffle of the store;
+- candidate verification never touches corpus text: the store keeps each
+  document's shingle array, and candidate ids (few) broadcast into a
+  partition-pruned point lookup (`spart = pmod(xxhash64(id), n_parts)` is a
+  partition column, so dynamic partition pruning skips non-candidate files);
+- every store write is partitioned by `batch_id` and committed with dynamic
+  partition overwrite + a ledger marker written LAST: a re-delivered or
+  crash-retried batch overwrites its own partitions and store reads filter
+  to ledger-committed batches, so the index is exactly-once like every
+  other commit path in this engine (lake/table.py ledger discipline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from data_pipelines_spark.operators.dedup import (
+    bucket_pairs,
+    lsh_bands,
+    minhash_signature,
+    word_shingles,
+)
+from data_pipelines_spark.operators.partitioning import ensure_parallelism
+
+
+class MinHashIndex:
+    """Persistent LSH signature store for incremental near-dup dedup.
+
+    Layout under ``root``::
+
+        bands/     batch_id=*/bpart=*/   (id, band, bucket)
+        shingles/  batch_id=*/spart=*/   (id, sh)
+        kept/      batch_id=*/           (id)
+        dups/      batch_id=*/           (id, seen_id, jaccard)
+        _ledger/<batch_id>.json          commit markers (written last)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        threshold: float = 0.9,
+        shingle_n: int = 3,
+        num_hashes: int = 64,
+        num_bands: int = 16,
+        seed: int = 42,
+        n_parts: int = 64,
+        max_bucket: int = 1000,
+        max_probe: int | None = 1000,
+        broadcast_probe: bool = True,
+    ):
+        if num_bands < 1 or num_hashes % num_bands != 0:
+            raise ValueError("num_hashes must be a positive multiple of num_bands")
+        self.spark = spark
+        self.root = root
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+        self.num_hashes = num_hashes
+        self.num_bands = num_bands
+        self.rows_per_band = num_hashes // num_bands
+        self.seed = seed
+        self.n_parts = n_parts
+        self.max_bucket = max_bucket
+        self.max_probe = max_probe
+        self.broadcast_probe = broadcast_probe
+        os.makedirs(os.path.join(root, "_ledger"), exist_ok=True)
+
+    # ------------------------------------------------------------- ledger
+
+    def _marker(self, batch_id) -> str:
+        return os.path.join(self.root, "_ledger", f"{batch_id}.json")
+
+    def committed_batches(self) -> list[str]:
+        d = os.path.join(self.root, "_ledger")
+        return sorted(f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json"))
+
+    def is_committed(self, batch_id) -> bool:
+        return os.path.exists(self._marker(str(batch_id)))
+
+    # ------------------------------------------------------------- reads
+
+    def _stored_schema(self, sub: str) -> StructType | None:
+        """Schema of a store sub-table as recorded at commit time. Markers
+        carry the write schemas so reads never depend on parquet-footer
+        inference — a committed batch may have written ZERO files (no dups,
+        empty batch) and dynamic partition overwrite emits no footers then."""
+        for batch_id in reversed(self.committed_batches()):
+            with open(self._marker(batch_id)) as f:
+                schemas = json.load(f).get("schemas", {})
+            if sub in schemas:
+                return StructType.fromJson(schemas[sub])
+        return None
+
+    def _read(self, sub: str, schema: StructType) -> DataFrame:
+        path = os.path.join(self.root, sub)
+        os.makedirs(path, exist_ok=True)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def _read_part(self, sub: str) -> DataFrame | None:
+        """Read a store sub-table, filtered to ledger-committed batches
+        (a crash-retried batch's partial files are invisible until its
+        marker lands — batch_id is a partition column, so the isin filter
+        is partition pruning, not a scan)."""
+        committed = self.committed_batches()
+        if not committed:
+            return None
+        schema = self._stored_schema(sub)
+        if schema is None:
+            return None
+        df = self._read(sub, schema)
+        return df.where(F.col("batch_id").cast("string").isin(committed))
+
+    def seen_bands(self) -> DataFrame | None:
+        return self._read_part("bands")
+
+    def seen_shingles(self) -> DataFrame | None:
+        return self._read_part("shingles")
+
+    def dup_log(self) -> DataFrame | None:
+        """(batch_id, id, seen_id, jaccard) of every drop decision so far."""
+        return self._read_part("dups")
+
+    # ------------------------------------------------------------- write
+
+    @staticmethod
+    def _overwrite(df: DataFrame, path: str, parts: list[str]) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(path)
+        )
+
+    # ------------------------------------------------------------- core
+
+    def process_batch(
+        self,
+        batch: DataFrame,
+        batch_id,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Dedup one batch against everything seen so far; returns the kept
+        rows of ``batch`` (all original columns). Idempotent per batch_id:
+        a re-delivered batch replays the recorded kept set, state unchanged.
+        """
+        batch_id = str(batch_id)
+        if self.is_committed(batch_id):
+            kept_ids = self._read("kept", self._stored_schema("kept")).where(
+                F.col("batch_id").cast("string") == batch_id
+            ).select(F.col("id").alias(id_col))
+            return batch.join(kept_ids, id_col, "left_semi")
+
+        # one pass: shingles → signature → exploded bands. Repartition BEFORE
+        # deriving shingles (a projection ahead of the exchange would run on
+        # the input partitioning — CLAUDE.md hard-won fact).
+        src = ensure_parallelism(
+            batch.select(F.col(id_col).alias("id"), F.col(text_col))
+        ).select("id", word_shingles(F.col(text_col), self.shingle_n).alias("sh"))
+        sh = src.persist()
+        bands = (
+            sh.select(
+                "id",
+                minhash_signature(F.col("sh"), self.num_hashes, self.seed).alias("sig"),
+            )
+            .select(
+                "id",
+                F.explode(
+                    lsh_bands(F.col("sig"), self.num_bands, self.rows_per_band)
+                ).alias("bb"),
+            )
+            .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+            .persist()
+        )
+
+        # candidates: within-batch pairs (a < b → b is the newcomer) ∪
+        # store probe (store id is always the seen side)
+        within = bucket_pairs(bands, max_bucket=self.max_bucket).select(
+            F.col("a").alias("seen_id"), F.col("b").alias("new_id")
+        )
+        store_bands = self.seen_bands()
+        if store_bands is not None:
+            batch_bands = bands.select(F.col("id").alias("new_id"), "band", "bucket")
+            if self.broadcast_probe:
+                batch_bands = F.broadcast(batch_bands)
+            probe = (
+                store_bands.select(F.col("id").alias("seen_id"), "band", "bucket")
+                .join(batch_bands, ["band", "bucket"])
+                # same-id re-ingestion is the lake table's LWW concern, not a
+                # near-dup of itself
+                .where(F.col("seen_id") != F.col("new_id"))
+                .select("seen_id", "new_id")
+            )
+            cands = within.unionByName(probe).distinct()
+        else:
+            cands = within.distinct()
+        if self.max_probe is not None:
+            # a boilerplate bucket in the store can collide a new doc with
+            # millions of seen docs; ONE verified match suffices to drop it,
+            # so cap verification work per newcomer deterministically
+            # (lowest seen ids first). Same spirit — and same recall caveat —
+            # as minhash_lsh_candidates' max_bucket chain fallback.
+            w = Window.partitionBy("new_id").orderBy("seen_id")
+            cands = (
+                cands.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= self.max_probe)
+                .drop("_rn")
+            )
+        cands = cands.persist()
+
+        # exact-verify with prebuilt shingle arrays; seen-side shingles come
+        # from the batch itself or a partition-pruned store point lookup
+        seen_sh = sh.select(F.col("id").alias("seen_id"), F.col("sh").alias("seen_sh"))
+        store_sh = self.seen_shingles()
+        if store_sh is not None:
+            # candidate ids are few: broadcast them and let dynamic partition
+            # pruning skip every spart partition without a candidate
+            lookups = cands.select("seen_id").distinct().withColumn(
+                "spart", F.pmod(F.xxhash64(F.col("seen_id")), F.lit(self.n_parts))
+            )
+            hits = store_sh.join(
+                F.broadcast(lookups),
+                (store_sh["spart"] == lookups["spart"])
+                & (store_sh["id"] == lookups["seen_id"]),
+                "left_semi",
+            )
+            seen_sh = seen_sh.unionByName(
+                hits.select(F.col("id").alias("seen_id"), F.col("sh").alias("seen_sh"))
+            )
+        verified = (
+            cands.join(seen_sh, "seen_id")
+            .join(sh.select(F.col("id").alias("new_id"), F.col("sh").alias("new_sh")), "new_id")
+        )
+        inter = F.size(F.array_intersect(F.col("seen_sh"), F.col("new_sh")))
+        union = F.size(F.array_union(F.col("seen_sh"), F.col("new_sh")))
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        dups = (
+            verified.select("new_id", "seen_id", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= self.threshold)
+        )
+
+        bid = F.lit(batch_id).alias("batch_id")
+        dups_out = dups.select(F.col("new_id").alias("id"), "seen_id", "jaccard", bid)
+        self._overwrite(dups_out, os.path.join(self.root, "dups"), ["batch_id"])
+        dropped = self._read("dups", dups_out.schema).where(
+            F.col("batch_id").cast("string") == batch_id
+        ).select("id").distinct()
+        kept_out = (
+            bands.select("id").distinct().join(dropped, "id", "left_anti").select("id", bid)
+        )
+        self._overwrite(kept_out, os.path.join(self.root, "kept"), ["batch_id"])
+        # the seen set records EVERY batch doc, kept or dropped
+        bands_out = bands.select(
+            "id", "band", "bucket", bid,
+            F.pmod(F.col("bucket"), F.lit(self.n_parts)).alias("bpart"),
+        )
+        self._overwrite(bands_out, os.path.join(self.root, "bands"), ["batch_id", "bpart"])
+        sh_out = sh.select(
+            "id", "sh", bid,
+            F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_parts)).alias("spart"),
+        )
+        self._overwrite(sh_out, os.path.join(self.root, "shingles"), ["batch_id", "spart"])
+        # marker LAST — the commit point. It also records the write schemas so
+        # store reads never rely on footer inference (a zero-dup or empty
+        # batch writes no parquet files at all).
+        with open(self._marker(batch_id), "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "schemas": {
+                        "dups": dups_out.schema.jsonValue(),
+                        "kept": kept_out.schema.jsonValue(),
+                        "bands": bands_out.schema.jsonValue(),
+                        "shingles": sh_out.schema.jsonValue(),
+                    },
+                },
+                f,
+            )
+
+        out = batch.join(
+            self._read("kept", kept_out.schema)
+            .where(F.col("batch_id").cast("string") == batch_id)
+            .select(F.col("id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        for frame in (sh, bands, cands):
+            frame.unpersist()
+        return out

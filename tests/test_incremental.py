@@ -1,0 +1,123 @@
+"""Incremental near-dup dedup index (operators/incremental.py): seen-set
+semantics, exactly-once batch commits, and equivalence with the global
+a<b near-dup rule."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.incremental import MinHashIndex
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+ROWS = [
+    (0, BASE),
+    (1, "totally different content about stock markets and bonds and yields"),
+    (2, BASE + " extra"),          # within-batch near-dup of 0
+    (10, BASE),                    # cross-batch dup of seen 0
+    (11, "another unique document about cooking pasta with garlic and olive oil"),
+    (20, BASE + " extra"),         # dup of seen 0/2 — and of DROPPED 10
+    (21, "final unique doc mentioning astronomy telescopes and galaxies at night"),
+]
+
+
+def _batches(df):
+    for b in range(3):
+        yield b, df.where((F.col("doc_id") >= b * 10) & (F.col("doc_id") < b * 10 + 10))
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_seen_set_semantics(spark, docs, tmp_root):
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=8)
+    kept = {}
+    for b, batch in _batches(docs):
+        kept[b] = sorted(r.doc_id for r in idx.process_batch(batch, b).collect())
+    assert kept == {0: [0, 1], 1: [11], 2: [21]}
+    log = {(r.id, r.seen_id) for r in idx.dup_log().collect()}
+    # dropped docs still join the seen set: 20 matches the DROPPED 10
+    assert (20, 10) in log
+    assert (2, 0) in log and (10, 0) in log
+
+
+def test_replay_is_idempotent(spark, docs, tmp_root):
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=8)
+    for b, batch in _batches(docs):
+        idx.process_batch(batch, b)
+    bands_before = idx.seen_bands().count()
+    replay = idx.process_batch(
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)), 1
+    )
+    assert sorted(r.doc_id for r in replay.collect()) == [11]
+    assert idx.seen_bands().count() == bands_before
+    assert idx.committed_batches() == ["0", "1", "2"]
+
+
+def test_uncommitted_partitions_are_invisible(spark, docs, tmp_root):
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=8)
+    idx.process_batch(next(_batches(docs))[1], 0)
+    before = idx.seen_bands().count()
+    # simulate a crash-retried batch: partition files on disk, no marker
+    orphan = spark.createDataFrame([(999, 0, 123, "99", 3)],
+                                   "id long, band int, bucket long, batch_id string, bpart long")
+    orphan.write.mode("append").partitionBy("batch_id", "bpart").parquet(
+        os.path.join(tmp_root, "idx", "bands")
+    )
+    assert idx.seen_bands().count() == before
+    assert 999 not in {r.id for r in idx.seen_bands().collect()}
+
+
+def test_zero_dup_and_empty_batches(spark, docs, tmp_root):
+    """A batch with no duplicates (or no rows at all) writes zero parquet
+    files under dups/ (dynamic partition overwrite emits nothing) — the
+    read-back and later store probes must survive on the marker-recorded
+    schemas instead of footer inference."""
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=8)
+    clean = docs.where(F.col("doc_id").isin(1, 11, 21))  # mutually unique docs
+    assert sorted(r.doc_id for r in idx.process_batch(clean, 0).collect()) == [1, 11, 21]
+    assert idx.dup_log().count() == 0
+    empty = docs.where(F.lit(False))
+    assert idx.process_batch(empty, 1).count() == 0
+    # the store still probes correctly after a no-dup and an empty commit
+    assert idx.process_batch(
+        spark.createDataFrame(
+            [(100, ROWS[1][1]), (101, "fresh unique text about sailing boats on lakes")],
+            "doc_id long, text string",
+        ),
+        2,
+    ).count() == 1  # 100 duplicates seen doc 1; 101 survives
+    assert {(r.id, r.seen_id) for r in idx.dup_log().collect()} == {(100, 1)}
+    assert idx.committed_batches() == ["0", "1", "2"]
+
+
+def test_matches_global_rule_regardless_of_batching(spark, tmp_root):
+    """Incremental over id-ordered batches == the global non-recursive rule:
+    doc d survives iff no doc with a smaller id has Jaccard ≥ threshold."""
+    import random
+
+    from data_pipelines_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    rng = random.Random(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts = []
+    for i in range(60):
+        if i % 5 == 0 and i > 0:
+            # perturbed copy of an earlier doc → a genuine near-dup
+            texts.append(texts[rng.randrange(len(texts))] + " " + rng.choice(vocab))
+        else:
+            texts.append(" ".join(rng.choice(vocab) for _ in range(40)))
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.9, n_parts=8)
+    kept = set()
+    for b in range(3):
+        batch = df.where((F.col("doc_id") >= b * 20) & (F.col("doc_id") < b * 20 + 20))
+        kept |= {r.doc_id for r in idx.process_batch(batch, b).collect()}
+
+    pairs = minhash_lsh_dedup_pairs(df, threshold=0.9)
+    dropped = {r.b for r in pairs.collect()}  # a < b → b loses
+    assert kept == set(range(60)) - dropped
