@@ -660,6 +660,46 @@ def dedup_incremental(spark, sf):
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
+def cdc_neardup_ingest(spark, sf):
+    """Near-dup dedup ON the CDC ingest path (PipelineConfig.near_dup_threshold):
+    the documents table becomes an insert-only change stream (url keyed by
+    zero-padded doc_id so lexicographic == numeric order, offset = doc_id)
+    driven through CdcPipeline in three offset-sliced batches; each batch's
+    LWW winners are signed once and probed against the table's persistent
+    MinHash index before the merge. Because batch slicing and in-batch
+    ordering are both id-ordered and verification is exact Jaccard, the
+    final table equals the global smaller-id-wins rule the shared oracle
+    computes (same SQL as dedup_incremental)."""
+    import tempfile
+
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    changes = d.select(
+        F.concat(
+            F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("doc_id").alias("offset"),
+        F.lit("I").alias("op"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        "text",
+        "lang",
+        "doc_id",
+    )
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            tempfile.mkdtemp(prefix="ndingest_"),
+            n_buckets=8,
+            decode=False,
+            near_dup_threshold=0.9,
+        ),
+    )
+    pipe.run_batches(changes, n_batches=3)
+    return pipe.table.read().select("doc_id", "lang")
+
+
 def dedup_simhash(spark, sf):
     """SimHash near-dup pairs (Hamming ≤ 3), md5 60-bit variant.
 
@@ -1409,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_incremental": dedup_incremental,
+        "cdc_neardup_ingest": cdc_neardup_ingest,
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters,
         "sim_topk_bruteforce": sim_topk_bruteforce,
@@ -1521,6 +1562,32 @@ FROM best WHERE rn = 1
 
 #: DuckDB equivalent of functions.normalize.normalized_text
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _seen_rule_oracle(threshold: float = 0.9, n: int = 3) -> str:
+    """Global form of the incremental seen-set rule: doc d survives iff no
+    doc with a smaller id has word-{n}-shingle Jaccard ≥ threshold against
+    it. Shared by dedup_incremental and cdc_neardup_ingest — both process
+    id-ordered batches with exact verification, so the order-dependent
+    incremental rule collapses to this non-recursive SQL."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(ws) - {n - 1}, 1)),
+             i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, ' ') AS ws
+        FROM documents)
+), dropped AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::double /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
 
 
 def _minhash_oracle(threshold: float = 0.9, n: int = 3) -> str:
@@ -2795,24 +2862,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_minhash_lsh": _minhash_oracle(threshold=0.9, n=3),
-        "dedup_incremental": f"""
-WITH d AS (
-  SELECT doc_id,
-         list_distinct(
-           list_transform(
-             generate_series(1, greatest(len(ws) - 2, 1)),
-             i -> array_to_string(ws[i:i+2], ' '))) AS sh
-  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, ' ') AS ws
-        FROM documents)
-), dropped AS (
-  SELECT DISTINCT b.doc_id AS doc_id
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))::double /
-        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
-)
-SELECT doc_id, lang FROM documents
-WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-""",
+        "dedup_incremental": _seen_rule_oracle(threshold=0.9, n=3),
+        "cdc_neardup_ingest": _seen_rule_oracle(threshold=0.9, n=3),
         "dedup_embedding_lsh": _embedding_lsh_oracle(threshold=0.3, n_planes=8),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "dedup_clusters": _dedup_clusters_oracle(max_hamming=3),

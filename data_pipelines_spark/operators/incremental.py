@@ -100,11 +100,25 @@ class MinHashIndex:
         return os.path.join(self.root, "_ledger", f"{batch_id}.json")
 
     def committed_batches(self) -> list[str]:
+        """Live marker ids — the batch partitions store reads scan. A
+        compacted (absorbed) batch's marker is gone; its rows live on under
+        the compaction's own batch id."""
         d = os.path.join(self.root, "_ledger")
         return sorted(f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json"))
 
+    def _absorbed(self) -> set[str]:
+        out: set[str] = set()
+        for b in self.committed_batches():
+            with open(self._marker(b)) as f:
+                out.update(json.load(f).get("absorbs", []))
+        return out
+
     def is_committed(self, batch_id) -> bool:
-        return os.path.exists(self._marker(str(batch_id)))
+        """True for any batch ever committed — live marker or absorbed into
+        a compaction (kept/dups partitions survive compaction precisely so
+        an absorbed batch can still replay its recorded kept set)."""
+        b = str(batch_id)
+        return os.path.exists(self._marker(b)) or b in self._absorbed()
 
     # ------------------------------------------------------------- reads
 
@@ -130,7 +144,8 @@ class MinHashIndex:
         (a crash-retried batch's partial files are invisible until its
         marker lands — batch_id is a partition column, so the isin filter
         is partition pruning, not a scan)."""
-        committed = self.committed_batches()
+        absorbed = self._absorbed()
+        committed = [b for b in self.committed_batches() if b not in absorbed]
         if not committed:
             return None
         schema = self._stored_schema(sub)
@@ -316,3 +331,90 @@ class MinHashIndex:
         for frame in (sh, bands, cands):
             frame.unpersist()
         return out
+
+    # ------------------------------------------------------------- compact
+
+    def compact(self) -> dict:
+        """Fold every live batch's bands/shingles into ONE consolidated batch.
+
+        At 10^5 microbatches the store is 10^5 tiny partition directories —
+        the classic streaming small-files problem; every probe scan pays the
+        listing. Compaction rewrites the bulk stores under a single batch id
+        (n_parts files each) and deletes the absorbed partitions. The per-
+        batch ``kept``/``dups`` records are NOT compacted: they are tiny and
+        a re-delivered absorbed batch must still replay its recorded kept
+        set (``is_committed`` consults the compaction marker's ``absorbs``
+        list, mirroring lake/table.py's ledger discipline).
+
+        Crash-safe: the consolidated partitions are invisible until the
+        compaction marker lands (marker written last); between the marker
+        and old-marker deletion, reads subtract ``absorbs`` from the live
+        set, so double-reads cannot happen; leftover absorbed markers and
+        data directories are swept at the start of the next compact().
+        """
+        import hashlib
+        import shutil
+
+        # sweep any absorbed-but-present leftovers from a prior crash
+        for b in self._absorbed():
+            if os.path.exists(self._marker(b)):
+                os.remove(self._marker(b))
+            for sub in ("bands", "shingles"):
+                d = os.path.join(self.root, sub, f"batch_id={b}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+
+        live = self.committed_batches()
+        if len(live) <= 1:
+            return {"compacted": False, "live_batches": len(live)}
+        bands_schema = self._stored_schema("bands")
+        sh_schema = self._stored_schema("shingles")
+        cid = "compact-" + hashlib.sha1(",".join(live).encode()).hexdigest()[:10]
+        # consolidate into a scratch dir first (Spark refuses to overwrite a
+        # path it is reading, and caching the whole store to dodge that check
+        # would not scale), then rename into place as the batch_id=cid
+        # partition — still invisible to readers until the marker lands.
+        tmp = os.path.join(self.root, "_compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            self.seen_bands()
+            .select("id", "band", "bucket", "bpart")
+            .write.mode("overwrite")
+            .partitionBy("bpart")
+            .parquet(os.path.join(tmp, "bands"))
+        )
+        (
+            self.seen_shingles()
+            .select("id", "sh", "spart")
+            .write.mode("overwrite")
+            .partitionBy("spart")
+            .parquet(os.path.join(tmp, "shingles"))
+        )
+        for sub in ("bands", "shingles"):
+            dst = os.path.join(self.root, sub, f"batch_id={cid}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(os.path.join(tmp, sub), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # every batch this compaction replaces, transitively (a compact id
+        # in `live` contributes its own absorbs so replay works forever)
+        absorbs = set(live)
+        for b in live:
+            with open(self._marker(b)) as f:
+                absorbs.update(json.load(f).get("absorbs", []))
+        schemas = {
+            "bands": bands_schema.jsonValue(),
+            "shingles": sh_schema.jsonValue(),
+        }
+        for sub in ("kept", "dups"):
+            s = self._stored_schema(sub)
+            if s is not None:
+                schemas[sub] = s.jsonValue()
+        with open(self._marker(cid), "w") as f:
+            json.dump({"batch_id": cid, "absorbs": sorted(absorbs), "schemas": schemas}, f)
+        for b in live:
+            os.remove(self._marker(b))
+            for sub in ("bands", "shingles"):
+                d = os.path.join(self.root, sub, f"batch_id={b}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+        return {"compacted": True, "batch_id": cid, "absorbed": len(absorbs)}

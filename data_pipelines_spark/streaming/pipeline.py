@@ -46,6 +46,7 @@ class PipelineConfig:
     change_filter: bool = False  # hash-unchanged re-scrapes → seq-bump deltas
     salt_dedup: int = 0  # >1: two-phase salted dedup against hot-key skew
     merge_partitions: int | None = None  # repartition width ahead of the merge
+    near_dup_threshold: float | None = None  # near-dup-on-ingest Jaccard cutoff
 
 
 class CdcPipeline:
@@ -67,6 +68,15 @@ class CdcPipeline:
             n_buckets=cfg.n_buckets,
         )
         self._lineage_dir = os.path.join(cfg.table_root, "_lineage")
+        self.near_dup = None
+        if cfg.near_dup_threshold is not None:
+            from data_pipelines_spark.operators.incremental import MinHashIndex
+
+            self.near_dup = MinHashIndex(
+                spark,
+                os.path.join(cfg.table_root, "_mhidx"),
+                threshold=cfg.near_dup_threshold,
+            )
 
     # ------------------------------------------------------------- transform
 
@@ -177,6 +187,49 @@ class CdcPipeline:
             passed = passed.withColumn("content_hash", F.lit(None).cast("string"))
         return passed.unionByName(bumps)
 
+    def _near_dup_filter(self, batch: DataFrame, batch_id) -> DataFrame:
+        """Near-dup dedup ON the ingest path: a document whose extracted text
+        has Jaccard ≥ ``near_dup_threshold`` against any previously ingested
+        document (earlier batch, or smaller key in-batch) is dropped before
+        it reaches the merge — the persistent :class:`MinHashIndex` under
+        ``<table_root>/_mhidx`` is the seen-content store, signed O(batch)
+        per microbatch, never re-reading the corpus.
+
+        Only LWW winners are signed (one signature per key per batch, and
+        the merge would discard superseded versions anyway); deletes and
+        seq-bumps pass through untouched. A re-scrape of the SAME key is
+        never self-blocked (the index excludes seen_id == new_id), so LWW
+        updates flow normally. The index commit is idempotent per batch_id
+        and happens before the table merge: a crash between the two replays
+        the recorded kept set on re-delivery, and the merge ledger remains
+        the outer exactly-once boundary. The index only ever over-records
+        (content observed but whose merge failed) — safe for dedup, and
+        deterministic under replay.
+
+        When ``decode=True`` the winners are decoded HERE (the signer needs
+        ``text``) and the merge's transform stage is skipped — decode still
+        runs exactly once per surviving version.
+        """
+        from data_pipelines_spark.operators.lww import lww_latest
+
+        key = self.cfg.key
+        is_doc = F.col("op").isin("I", "U") & F.col("html").isNotNull()
+        docs = batch.where(is_doc)
+        others = batch.where(~is_doc)
+        winners = lww_latest(docs, key, list(self.cfg.seq_cols))
+        sign_col, drop_after = "text", False
+        if self.cfg.decode:
+            winners = self.decode(winners)
+        elif "text" not in winners.columns:
+            winners = winners.withColumn("_sign_text", html_to_text(F.col("html")))
+            sign_col, drop_after = "_sign_text", True
+        kept = self.near_dup.process_batch(
+            winners, batch_id, text_col=sign_col, id_col=key
+        )
+        if drop_after:
+            kept = kept.drop("_sign_text")
+        return kept.unionByName(others, allowMissingColumns=True)
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> MergeStats:
         """foreachBatch body: LWW dedup → decode winners → merge → lineage.
 
@@ -184,13 +237,20 @@ class CdcPipeline:
         never sees duplicate deliveries or superseded versions, and the dedup
         shuffle carries raw payload only. No extra repartition: the dedup's
         own groupBy(key) shuffle already co-locates rows for the merge.
+
+        With ``near_dup_threshold`` set, the batch first passes the
+        :meth:`_near_dup_filter` stage (which decodes the winners itself).
         """
         if self.cfg.change_filter:
             batch = self.change_filtered(batch)
+        transform = self.decode if self.cfg.decode else None
+        if self.near_dup is not None:
+            batch = self._near_dup_filter(batch, batch_id)
+            transform = None
         stats = self.table.merge(
             batch,
             batch_id=batch_id,
-            transform_after_dedup=self.decode if self.cfg.decode else None,
+            transform_after_dedup=transform,
             salt_dedup=self.cfg.salt_dedup,
         )
         if not stats.skipped_duplicate_batch:

@@ -94,6 +94,35 @@ def test_zero_dup_and_empty_batches(spark, docs, tmp_root):
     assert idx.committed_batches() == ["0", "1", "2"]
 
 
+def test_compact_preserves_store_and_replay(spark, docs, tmp_root):
+    """compact() folds the per-batch bands/shingles partitions into one
+    consolidated batch (the streaming small-files fix) without changing
+    probe results, and absorbed batches still replay their kept set."""
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=8)
+    for b, batch in _batches(docs):
+        idx.process_batch(batch, b)
+    bands_before = idx.seen_bands().count()
+    sh_before = idx.seen_shingles().count()
+    res = idx.compact()
+    assert res["compacted"] and idx.committed_batches() == [res["batch_id"]]
+    assert idx.seen_bands().count() == bands_before
+    assert idx.seen_shingles().count() == sh_before
+    # replay of an absorbed batch: recognized as committed, same kept set
+    replay = idx.process_batch(
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)), 1
+    )
+    assert sorted(r.doc_id for r in replay.collect()) == [11]
+    # a NEW batch still probes the consolidated store
+    nb = spark.createDataFrame([(30, BASE), (31, "a wholly new sentence here")],
+                               "doc_id long, text string")
+    kept = sorted(r.doc_id for r in idx.process_batch(nb, 3).collect())
+    assert kept == [31]  # 30 duplicates seen doc 0
+    # idempotent: compacting again (now 2 live batches) keeps working
+    res2 = idx.compact()
+    assert res2["compacted"] and idx.seen_bands().count() > 0
+    assert idx.is_committed(0) and idx.is_committed(3)
+
+
 def test_matches_global_rule_regardless_of_batching(spark, tmp_root):
     """Incremental over id-ordered batches == the global non-recursive rule:
     doc d survives iff no doc with a smaller id has Jaccard ≥ threshold."""
