@@ -1122,6 +1122,39 @@ def gopher_quality(spark, sf):
     )
 
 
+def text_nfc_normalize(spark, sf):
+    """Unicode NFC normalization + control-char strip (functions/normalize.py
+    unicode_normalize / strip_control_chars): decomposed accents planted into
+    real document text (every 'a' becomes 'a'+U+0301) plus a BEL control char
+    must come back composed and clean — byte-compared against DuckDB's
+    nfc_normalize."""
+    from data_pipelines_spark.functions.normalize import (
+        strip_control_chars,
+        unicode_normalize,
+    )
+
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
+    planted = F.concat(
+        F.regexp_replace(F.col("text"), "a", "a\u0301"),
+        F.lit("\u0007end"),
+    )
+    return d.select(
+        "doc_id",
+        unicode_normalize(strip_control_chars(planted)).alias("text_nfc"),
+    )
+
+
+def unigram_lm(spark, sf):
+    """Self-trained unigram-LM perplexity proxy (extract/textqa.py
+    unigram_lm_score): mean per-token information content in bits, vocab
+    trained on the corpus itself in the same job; integer-millibit
+    quantization makes the doc aggregation an exact integer sum."""
+    from data_pipelines_spark.extract.textqa import unigram_lm_score
+
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
+    return unigram_lm_score(d)
+
+
 def k8_sanitize_export(spark, sf):
     """K8 sink-boundary sanitization (lake/publish.sanitize_for_export):
     booleans -> int, binary -> hex at the serving-store boundary
@@ -1256,6 +1289,52 @@ def dedup_lines(spark, sf):
     )
     docs = d.select("doc_id", raw.alias("text"))
     return line_dedup(docs, min_docs=2)
+
+
+def _span_corpus(spark, sf):
+    """Deterministic corpus for the substring-dedup queries: every doc gets a
+    unique 6-token prefix and 4-token suffix; docs with doc_id % 7 != 0 embed
+    one of four 10-token boilerplate passages (shared by i % 4 class), docs
+    with doc_id % 7 == 0 get unique filler instead — so duplicated spans are
+    planted at a known position and some docs stay clean."""
+    d = _par(_t(spark, sf, "documents").select("doc_id"))
+    i = F.col("doc_id")
+    passage = F.when(
+        i % 7 == 0,
+        F.concat(F.lit("solo body written just for document "), i.cast("string"),
+                 F.lit(" with nothing shared")),
+    ).otherwise(
+        F.concat(F.lit("standard cookie banner variant "),
+                 F.pmod(i, 4).cast("string"),
+                 F.lit(" please accept our terms and conditions now")),
+    )
+    raw = F.concat_ws(
+        " ",
+        F.concat(F.lit("doc"), i.cast("string")),
+        F.lit("opens with its very own words"),
+        passage,
+        F.concat(F.lit("closing remark"), i.cast("string")),
+        F.lit("ends here"),
+    )
+    return d.select("doc_id", raw.alias("text"))
+
+
+def dedup_spans(spark, sf):
+    """Substring-level exact dedup, detection stage (operators/dedup.py
+    dup_span_intervals — Lee et al. 2022): merged token spans covered by
+    5-grams occurring ≥2× corpus-wide, located per document."""
+    from data_pipelines_spark.operators.dedup import dup_span_intervals
+
+    return dup_span_intervals(_span_corpus(spark, sf), n=5, min_count=2)
+
+
+def dedup_span_removal(spark, sf):
+    """Substring-level exact dedup, removal stage (operators/dedup.py
+    remove_dup_spans): duplicated passages cut, unique remainder reassembled
+    in order; row count and doc ids stable."""
+    from data_pipelines_spark.operators.dedup import remove_dup_spans
+
+    return remove_dup_spans(_span_corpus(spark, sf), n=5, min_count=2)
 
 
 def cap_per_domain(spark, sf):
@@ -1482,8 +1561,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k8_sanitize_export": k8_sanitize_export,
         "text_repetition": text_repetition,
         "gopher_quality": gopher_quality,
+        "unigram_lm": unigram_lm,
+        "text_nfc_normalize": text_nfc_normalize,
         "pii_redaction": pii_redaction,
         "dedup_lines": dedup_lines,
+        "dedup_spans": dedup_spans,
+        "dedup_span_removal": dedup_span_removal,
         "cap_per_domain": cap_per_domain,
         "hash_sample": hash_sample_docs,
         "decontaminate": decontaminate_docs,
@@ -1562,6 +1645,59 @@ FROM best WHERE rn = 1
 
 #: DuckDB equivalent of functions.normalize.normalized_text
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+# Shared CTE chain for the substring-dedup oracles: the planted corpus
+# (mirrors _span_corpus), 5-gram explosion with 0-based start positions,
+# corpus-frequent grams (count >= 2), and gaps-and-islands interval merge —
+# the exact window-function formulation dup_span_intervals uses in Spark.
+_SPAN_CORPUS_SQL = r"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     concat_ws(' ',
+                       concat('doc', CAST(doc_id AS VARCHAR)),
+                       'opens with its very own words',
+                       CASE WHEN doc_id % 7 = 0
+                            THEN concat('solo body written just for document ',
+                                        CAST(doc_id AS VARCHAR),
+                                        ' with nothing shared')
+                            ELSE concat('standard cookie banner variant ',
+                                        CAST(doc_id % 4 AS VARCHAR),
+                                        ' please accept our terms and conditions now')
+                       END,
+                       concat('closing remark', CAST(doc_id AS VARCHAR)),
+                       'ends here') AS text
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM corpus
+            ), g AS (
+              SELECT doc_id, p AS pos,
+                     array_to_string(ws[p+1:p+5], ' ') AS gram
+              FROM tok, UNNEST(generate_series(0, len(ws) - 5)) AS t(p)
+            ), freq AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ), dup AS (
+              SELECT doc_id, pos, pos + 5 AS e
+              FROM g WHERE gram IN (SELECT gram FROM freq)
+            ), isl AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          IS NULL
+                       OR pos > max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS ni
+              FROM dup
+            ), isl2 AS (
+              SELECT doc_id, pos, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+              FROM isl
+            )
+"""
 
 
 def _seen_rule_oracle(threshold: float = 0.9, n: int = 3) -> str:
@@ -2747,6 +2883,63 @@ def oracle_sql() -> dict[str, str]:
                      AS text
             FROM d LEFT JOIN k USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        "text_nfc_normalize": r"""
+            SELECT doc_id,
+                   nfc_normalize(
+                     regexp_replace(
+                       concat(regexp_replace(text, 'a', 'a' || chr(769), 'g'),
+                              chr(7), 'end'),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')
+                   ) AS text_nfc
+            FROM documents
+        """,
+        "unigram_lm": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+            ), tot AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+            ), scored AS (
+              SELECT t.doc_id,
+                     CAST(floor((log2(tot.total) - log2(v.cnt)) * 1000)
+                          AS BIGINT) AS mb
+              FROM tok t JOIN vocab v USING (tok) CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(mb) AS DOUBLE) / 1000.0 / count(*), 4)
+                     AS bits_per_token
+            FROM scored GROUP BY doc_id
+        """,
+        "dedup_spans": _SPAN_CORPUS_SQL + """
+            SELECT doc_id,
+                   CAST(min(pos) AS INT) AS span_start,
+                   CAST(max(e) AS INT) AS span_end
+            FROM isl2 GROUP BY doc_id, island
+        """,
+        "dedup_span_removal": _SPAN_CORPUS_SQL + """
+            , spans AS (
+              SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+              FROM isl2 GROUP BY doc_id, island
+            ), tokid AS (
+              SELECT doc_id, i - 1 AS idx, ws[i] AS tok
+              FROM tok, UNNEST(generate_series(1, len(ws))) AS t(i)
+            ), kept AS (
+              SELECT k.doc_id, k.idx, k.tok
+              FROM tokid k
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = k.doc_id
+                  AND k.idx >= s.span_start AND k.idx < s.span_end)
+            )
+            SELECT c.doc_id,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS text
+            FROM corpus c LEFT JOIN kept k USING (doc_id)
+            GROUP BY c.doc_id
         """,
         "x6_staging_records": """
             SELECT CAST(doc_id AS VARCHAR) AS "boxrecId",

@@ -250,3 +250,60 @@ def fingerprint_hex(
         ).cast("binary"),
         256,
     )
+
+
+def unigram_lm_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-trained unigram language-model quality score — the perplexity
+    proxy of CCNet-style corpus filtering, self-trained (two passes over the
+    corpus, no external model): per document, the mean information content
+    of its tokens in bits, ``(1/n) * Σ -log2(count(tok)/total_tokens)``.
+    Gibberish / mojibake / rare-token spam scores HIGH (every token is rare);
+    boilerplate scores LOW — filter both tails.
+
+    Exactness contract: the per-occurrence cost is quantized to integer
+    millibits (``floor((log2(total) − log2(cnt)) · 1000)``) so the per-doc
+    aggregation is an INTEGER sum — order-independent, hence bit-identical
+    across partitionings and reproducible by any SQL engine; only the final
+    single division is floating point (rounded to 4 decimals).
+
+    Plan shape at scale: explode tokens once → groupBy(token) count (ONE
+    shuffle, map-side partial agg absorbs hot stopwords) → one-row total
+    broadcast → shuffle hash join tokens⋈vocab on token → groupBy(doc)
+    integer sums. Nothing driver-side; vocab never collects.
+
+    Returns (id_col, n_tokens, bits_per_token).
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401 (signature doc)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    mb = F.floor(
+        (F.log2(F.col("total")) - F.log2(F.col("cnt"))) * F.lit(1000)
+    ).alias("mb")
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("id", mb)
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("mb").alias("smb"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(F.col("smb") / F.lit(1000.0) / F.col("n_tokens"), 4).alias(
+                "bits_per_token"
+            ),
+        )
+    )

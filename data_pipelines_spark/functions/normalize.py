@@ -253,3 +253,38 @@ def normalize_url(col: Column, domain: str = "boxrec.com") -> Column:
     """
     needs_param = col.contains("/box-pro/") & ~col.contains("?")
     return F.when(needs_param, F.concat(col, F.lit("?allSports=y"))).otherwise(col)
+
+
+def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the mojibake-defusing
+    first step of web-corpus text cleanup: decomposed accent sequences
+    (``a + U+0301``) collapse to their composed code points, and the K forms
+    additionally fold compatibility characters (ligatures, fullwidth).
+
+    Spark has no built-in Unicode normalizer, so this is the sanctioned
+    slow path: an Arrow-vectorized pandas UDF (one ``unicodedata.normalize``
+    call per value over Arrow batches — never row-at-a-time Python). Keep it
+    off per-event hot paths; it belongs in the document-preparation sweep.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    # explicit (func, returnType) form: the module uses PEP 563 postponed
+    # annotations, which pandas_udf's type-hint introspection can't resolve
+    return pandas_udf(_norm, "string")(col)
+
+
+def strip_control_chars(col: Column) -> Column:
+    """Remove C0/C1 control characters except tab/newline/carriage-return —
+    pure JVM regexp, composes with :func:`unicode_normalize` for the
+    standard web-text cleanup pair."""
+    return F.regexp_replace(col, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")

@@ -774,3 +774,140 @@ def embedding_near_dup_pairs(
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), cos)
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup (duplicate n-gram spans)
+# ---------------------------------------------------------------------------
+
+
+def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, pos, gh): 64-bit hash of every token ``n``-gram with its 0-based
+    start position. Docs shorter than ``n`` tokens contribute no rows
+    (posexplode of an empty array). Tokenisation is whitespace split of the
+    trimmed text — the same contract as :func:`line_dedup`'s line split."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return toks.select("id", F.posexplode(grams).alias("pos", "gh"))
+
+
+def dup_span_intervals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup, the corpus pass of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): find, per
+    document, the merged token spans ``[span_start, span_end)`` covered by
+    token ``n``-grams that occur at least ``min_count`` times in the WHOLE
+    corpus (within-doc repeats count). Unlike document-level MinHash/SimHash
+    (which keep or drop whole docs) this locates the duplicated *passages* —
+    boilerplate paragraphs, licence blocks, syndicated snippets — so they can
+    be cut while the unique remainder survives.
+
+    Plan shape at scale (the suffix-array of the paper is replaced by the
+    shuffle-native equivalent): tokenize once → explode (pos, gramhash) —
+    only 64-bit hashes ride the exchanges, never text → ONE groupBy(gh)
+    count with map-side partial agg → semi-join grams against the frequent
+    set (shuffle hash join on gh; hot boilerplate grams are bounded by the
+    partial agg on the count side and plain fan-out on the probe side) →
+    per-doc interval merge with ONE window over (id, pos) (running max of
+    interval end = classic gaps-and-islands; a doc's grams land in one
+    partition of the id-hash exchange). No driver-side state, no collect;
+    output is O(merged spans), not O(grams).
+
+    Returns (id_col, span_start, span_end) — span_end exclusive.
+    """
+    from pyspark.sql import Window
+
+    grams = _doc_ngrams(df, text_col, id_col, n)
+    frequent = (
+        grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    dup = grams.join(frequent, "gh", "left_semi").select(
+        "id", "pos", (F.col("pos") + n).alias("end")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.select(
+        "id",
+        "pos",
+        "end",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    island = F.sum("new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.select("id", "pos", "end", island.alias("island"))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("span_start"), F.max("end").alias("span_end"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("int"),
+            F.col("span_end").cast("int"),
+        )
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut every duplicated span found by :func:`dup_span_intervals` out of
+    the text and reassemble the survivors in order (single-space joined, the
+    tokenizer's normal form). Row count and ids are stable — a doc that was
+    pure boilerplate comes back with empty text, like :func:`line_dedup`.
+
+    The cut is a per-row higher-order filter over (token, index) against the
+    doc's merged-span array (collected per doc — bounded by spans-per-doc,
+    not corpus size), so no second pass over corpus text and no UDF.
+    """
+    spans = (
+        dup_span_intervals(df, text_col, id_col, n, min_count)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("spans")
+        )
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    joined = toks.join(spans, id_col, "left")
+    kept = F.filter(
+        F.transform("toks", lambda t, i: F.struct(i.alias("i"), t.alias("t"))),
+        lambda x: ~F.exists(
+            F.coalesce(
+                F.col("spans"),
+                F.array().cast("array<struct<span_start:int,span_end:int>>"),
+            ),
+            lambda s: (x["i"] >= s["span_start"]) & (x["i"] < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias(text_col),
+    )

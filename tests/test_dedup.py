@@ -314,3 +314,51 @@ def test_near_dup_clusters_fails_loud_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         near_dup_clusters(pairs, max_iter=2)
+
+
+def test_dup_span_intervals_merges_overlaps(spark):
+    """Substring dedup (Lee et al. 2022 pass): 5-grams occurring >=2x
+    corpus-wide mark spans; overlapping/adjacent gram hits merge into one
+    [start, end) interval; within-doc repetition counts toward min_count."""
+    from data_pipelines_spark.operators.dedup import dup_span_intervals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique1 one two"),
+            (2, "prefix2 alpha beta gamma delta epsilon zeta tail2 x"),
+            (3, "totally distinct text with no repeats at all here"),
+            (4, "alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon zeta"),
+            (5, "short"),  # fewer than n tokens: no grams, no rows
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dup_span_intervals(docs, n=5, min_count=2).collect()
+    }
+    # doc1 dup grams at pos 0 and 1 merge to [0, 6) — the shared 6-token
+    # passage; doc2 shifted by its one-token prefix; doc4 is the passage
+    # twice, so every gram is duplicated and the whole doc is covered
+    assert got == {(1, 0, 6), (2, 1, 7), (4, 0, 12)}
+
+
+def test_remove_dup_spans_keeps_unique_remainder(spark):
+    from data_pipelines_spark.operators.dedup import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique1 one two"),
+            (2, "prefix2 alpha beta gamma delta epsilon zeta tail2 x"),
+            (3, "totally distinct text with no repeats at all here"),
+            (4, "alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon zeta"),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in remove_dup_spans(docs, n=5, min_count=2).collect()}
+    assert got[1] == "unique1 one two"
+    assert got[2] == "prefix2 tail2 x"
+    assert got[3] == "totally distinct text with no repeats at all here"
+    assert got[4] == ""      # row kept, all tokens were duplicated passage
+    assert got[5] == "short"
+    assert len(got) == 5     # row count stable

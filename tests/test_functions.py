@@ -312,3 +312,60 @@ def test_gopher_quality_and_repetition(spark):
         .collect()[0]
     )
     assert rep.t == 1.0 and rep.d > 0.95
+
+
+def test_unigram_lm_score_ranks_rarity(spark):
+    """Self-trained unigram LM: a doc of corpus-unique tokens carries more
+    bits/token than a doc of corpus-dominant tokens; integer-millibit
+    quantization keeps values exact across partitionings."""
+    from data_pipelines_spark.extract.textqa import unigram_lm_score
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)]
+    rows.append((100, "zqx jvw pfk qqt wzy bbv"))  # all-singleton tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_lm_score(docs).collect()}
+    assert len(got) == 10 and all(r.n_tokens == 6 for r in got.values())
+    common = got[0].bits_per_token
+    rare = got[100].bits_per_token
+    assert rare > common
+    # total = 60 tokens; a singleton token costs log2(60) ≈ 5.906 bits
+    assert abs(rare - 5.906) < 0.01
+    # and the nine identical docs score identically (exactness contract)
+    assert len({got[i].bits_per_token for i in range(9)}) == 1
+
+
+def test_unicode_normalize_forms_and_control_strip(spark):
+    """NFC composes decomposed accents; NFKC additionally folds ligatures;
+    control chars vanish but tab/newline survive."""
+    from pyspark.sql import functions as F2
+
+    from data_pipelines_spark.functions.normalize import (
+        strip_control_chars,
+        unicode_normalize,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cafe\u0301"),          # e + combining acute -> composed
+            (2, "\ufb01ne"),            # fi ligature
+            (3, "ab\u0007c\td\ne"),   # BEL stripped, tab/newline kept
+            (4, None),
+        ],
+        "id long, s string",
+    )
+    out = docs.select(
+        "id",
+        unicode_normalize(F2.col("s")).alias("nfc"),
+        unicode_normalize(F2.col("s"), "NFKC").alias("nfkc"),
+        strip_control_chars(F2.col("s")).alias("clean"),
+    )
+    got = {r.id: r for r in out.collect()}
+    assert got[1].nfc == "caf\u00e9" and got[1].nfkc == "caf\u00e9"
+    assert got[2].nfc == "\ufb01ne" and got[2].nfkc == "fine"  # K folds it
+    assert got[3].clean == "abc\td\ne"
+    assert got[4].nfc is None and got[4].clean is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unicode_normalize(F2.col("s"), "NFX")

@@ -193,3 +193,22 @@ def test_domain_blocklist_join_path_broadcasts(spark, entrymod):
     plan = _plan(entrymod.domain_blocklist_join(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_dup_span_plan_hashes_only_and_no_python(spark):
+    """Substring dedup: only 64-bit gram hashes ride the count exchange
+    (never gram text — the aggregate's input projects pos/gh), everything
+    stays JVM-side (no Python eval nodes), and the interval merge is the
+    window operator, not an iterative join."""
+    from data_pipelines_spark.operators.dedup import dup_span_intervals
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta end{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(dup_span_intervals(docs, n=5, min_count=2))
+    assert "EvalPython" not in plan            # pure Column expressions
+    assert "Window" in plan                    # gaps-and-islands merge
+    assert "CartesianProduct" not in plan
+    # the frequent-gram aggregate groups by the xxhash64, not the string
+    assert "xxhash64" in plan
