@@ -658,6 +658,12 @@ class LakeTable:
                     f"v{v} is a copy-on-write merge; row-level deltas were "
                     "folded into rewritten base files — use changes()"
                 )
+            elif op == "rollback":
+                raise ChangeLogUnavailableError(
+                    f"v{v} is a rollback/restore; the range's net row-level "
+                    "effect is a state reversion, not a delta append — use "
+                    "changes() for the snapshot diff"
+                )
             else:  # legacy snapshot without an operation tag: infer
                 if (prev_paths - cur_paths) or any(
                     fe.get("kind", "base") != "delta" for fe in new
@@ -1299,6 +1305,41 @@ class LakeTable:
         merged, changed = self._evolve_schema(snap, new_schema)
         stats.schema_evolved = changed
         return self._commit(snap, base_version, {}, stats, merged, append=True, operation="schema-update")
+
+    def rollback(self, to_version: int, batch_id: int | str | None = None) -> MergeStats:
+        """RESTORE the table to an earlier snapshot as a NEW commit — the
+        Delta ``RESTORE`` / Iceberg rollback analog, roll-forward style: no
+        snapshot file is rewritten and history is preserved, the new version
+        simply references the old snapshot's manifests, schema and stats
+        (metadata-only, zero data movement; the restored files still exist
+        unless :meth:`expire_snapshots` already GC'd that version — then this
+        raises ``FileNotFoundError`` before anything changes).
+
+        The commit ledger also reverts to the target snapshot's (plus this
+        rollback's own entry): batches undone by the rollback are no longer
+        marked applied, so replaying them re-applies cleanly instead of being
+        skipped as duplicates — exactly-once is exactly-once onto the current
+        state line. Idempotent per ``batch_id`` like every commit path.
+        """
+        base_version = self.current_version()
+        if to_version >= base_version:
+            raise ValueError(
+                f"rollback target v{to_version} is not older than current v{base_version}"
+            )
+        bid = f"rollback-{to_version}" if batch_id is None else batch_id
+        stats = MergeStats(batch_id=bid)
+        cur = self._snapshot(base_version)
+        if str(bid) in cur["ledger"]:
+            stats.skipped_duplicate_batch = True
+            stats.committed_version = cur["ledger"][str(bid)]
+            return stats
+        old = self._snapshot(to_version)  # FileNotFoundError if expired
+        schema = self.schema_from_snap(old)
+        if schema is None:
+            raise ValueError(f"v{to_version} has no schema (pre-data snapshot)")
+        return self._commit(
+            old, base_version, {}, stats, schema, append=True, operation="rollback"
+        )
 
     def history(self) -> list[dict]:
         """Snapshot log (oldest→newest): version, parent, schema id, batch

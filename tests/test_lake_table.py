@@ -379,3 +379,53 @@ def test_cow_merge_preserves_content_on_bump(spark, tmp_root):
     ).withColumn("warc_ts", F.timestamp_seconds(F.lit(1735689600) + F.col("offset")))
     t.merge(orphan, batch_id=3, strategy="cow")
     assert t.read().where(F.col("url") == "k2").count() == 0
+
+
+def test_rollback_restores_state_and_reverts_ledger(spark, table):
+    """RESTORE-style rollback: new commit, old content, history preserved;
+    the ledger reverts so undone batches re-apply instead of being skipped;
+    idempotent per batch_id; change_log across it refuses (use changes())."""
+    _merge(spark, table, [("I", "a", ts(1), 1, b"<a1>", "en")], 1)
+    v1 = table.current_version()
+    _merge(
+        spark,
+        table,
+        [("U", "a", ts(2), 2, b"<a2>", "en"), ("I", "b", ts(2), 3, b"<b1>", "de")],
+        2,
+    )
+    v2 = table.current_version()
+
+    st = table.rollback(v1)
+    assert st.committed_version == v2 + 1
+    got = {r.url: bytes(r.html) for r in table.read().collect()}
+    assert got == {"a": b"<a1>"}                      # state is v1's
+    assert table.read(version=v2).count() == 2        # history intact
+    assert table.history()[-1]["operation"] == "rollback"
+
+    # idempotent: same implicit batch_id -> skipped, state unchanged
+    again = table.rollback(v1)
+    assert again.skipped_duplicate_batch
+    assert table.current_version() == v2 + 1
+
+    # the undone batch 2 is no longer marked applied -> replay re-applies
+    st2 = _merge(
+        spark,
+        table,
+        [("U", "a", ts(2), 2, b"<a2>", "en"), ("I", "b", ts(2), 3, b"<b1>", "de")],
+        2,
+    )
+    assert not st2.skipped_duplicate_batch
+    got = {r.url: bytes(r.html) for r in table.read().collect()}
+    assert got == {"a": b"<a2>", "b": b"<b1>"}        # converged to v2 state
+
+    # event-log across the rollback refuses; snapshot diff still works
+    from data_pipelines_spark.lake.table import ChangeLogUnavailableError
+
+    with pytest.raises(ChangeLogUnavailableError):
+        table.change_log(v1).collect()
+    diff = table.changes(v2, v2 + 1)
+    assert diff.count() > 0
+
+    # guards: target must be older and must still exist
+    with pytest.raises(ValueError):
+        table.rollback(table.current_version())
