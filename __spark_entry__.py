@@ -233,6 +233,42 @@ def cdc_incremental_read(spark, sf):
     )
 
 
+def cdc_incr_agg(spark, sf):
+    """Incrementally-maintained materialized aggregate (`lake.aggview.AggView`,
+    CDC view maintenance): replay 5 micro-batches, folding each commit's net
+    effect (post-image minus pre-image of the touched keys) into a persistent
+    GROUP BY view — inserts add, updates retract-and-add, deletes retract.
+    The view is never recomputed from the table; the oracle recomputes the
+    same GROUP BY over the SQL LWW final state, so equality proves the
+    incremental deltas telescope to the full aggregate. DECIMAL(18,2) keeps
+    the incrementally-accumulated sum exact and order-independent."""
+    from data_pipelines_spark.lake.aggview import AggView
+
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_agg_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    view = AggView.create(
+        spark,
+        os.path.join(root, "v"),
+        group_cols={"grp": "pmod(cast(get_json_object(props, '$.k') as int), 10)"},
+        measures={"sum_value": "cast(value as decimal(18,2))"},
+        source_columns=["value", "props"],
+    )
+    for st in pipe.run_batches(changes, n_batches=5):
+        view.update(pipe.table, st.batch_id)
+    view.compact()
+    # accumulation is decimal-exact; only the OUTPUT converts to double
+    # (duckdb's pandas bridge renders DECIMAL as float64)
+    return view.read().select(
+        F.col("grp").cast("int").alias("grp"),
+        "cnt",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return cdc_final_state(spark, "/root/testdata/sf0.001")
@@ -1492,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_changes": cdc_table_changes,
         "cdc_change_log": cdc_change_log,
         "cdc_incremental_read": cdc_incremental_read,
+        "cdc_incr_agg": cdc_incr_agg,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_latest_per_key": w1_latest_per_key,
         "s7_due_work_scan": s7_due_work_scan,
@@ -2199,6 +2236,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts, off AS log_offset, value, props
             FROM r WHERE rn = 1 AND op <> 'D'
               AND warc_ts >= TIMESTAMP '2024-01-16 00:00:00'
+        """,
+        "cdc_incr_agg": """
+            WITH ch AS (
+              SELECT event_id AS off,
+                     CASE WHEN event_type='error' THEN 'D'
+                          WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+                     ts AS warc_ts, value, props,
+                     concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url
+              FROM events
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY url
+                       ORDER BY warc_ts DESC, off DESC) AS rn
+              FROM ch
+            ), fin AS (
+              SELECT * FROM r WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS grp,
+                   count(*) AS cnt,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+            FROM fin GROUP BY 1
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

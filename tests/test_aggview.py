@@ -1,0 +1,156 @@
+"""AggView: incrementally-maintained materialized aggregates (CDC view
+maintenance). Invariant under test everywhere: after any sequence of
+updates, ``view.read()`` equals a full GROUP BY recompute over
+``table.read()`` — inserts add, updates retract-and-add, deletes retract."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipelines_spark.lake import LakeTable
+from data_pipelines_spark.lake.aggview import AggView
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+    ]
+)
+
+GROUPS = {"lang": "lang"}
+MEASURES = {"tokens": "n_tokens"}
+COLS = ["lang", "n_tokens"]
+
+
+def ts(day: int) -> dt.datetime:
+    return dt.datetime(2025, 1, day)
+
+
+@pytest.fixture()
+def table(spark, tmp_root):
+    return LakeTable.create(
+        spark, os.path.join(tmp_root, "t"), key="url", n_buckets=4, overwrite=True
+    )
+
+
+@pytest.fixture()
+def view(spark, tmp_root):
+    return AggView.create(
+        spark, os.path.join(tmp_root, "v"), GROUPS, MEASURES, COLS
+    )
+
+
+def _merge(spark, table, rows, batch_id):
+    return table.merge(spark.createDataFrame(rows, SCHEMA), batch_id=batch_id)
+
+
+def _full_recompute(table):
+    return (
+        table.read()
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum("n_tokens").alias("tokens"))
+    )
+
+
+def _as_dict(df):
+    return {r["lang"]: (r["cnt"], r["tokens"]) for r in df.collect()}
+
+
+def test_view_tracks_inserts_updates_deletes(spark, table, view):
+    _merge(
+        spark,
+        table,
+        [
+            ("I", "a", ts(1), 1, "en", 100),
+            ("I", "b", ts(1), 2, "en", 50),
+            ("I", "c", ts(1), 3, "de", 70),
+        ],
+        1,
+    )
+    assert view.update(table, 1)
+    assert _as_dict(view.read()) == {"en": (2, 150), "de": (1, 70)}
+
+    # update moves a key across groups (retract en, add fr); delete retracts
+    _merge(
+        spark,
+        table,
+        [("U", "a", ts(2), 4, "fr", 40), ("D", "c", ts(2), 5, None, None)],
+        2,
+    )
+    assert view.update(table, 2)
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table))
+    assert _as_dict(view.read()) == {"en": (1, 50), "fr": (1, 40)}
+
+
+def test_update_is_idempotent_and_requires_committed_batch(spark, table, view):
+    _merge(spark, table, [("I", "a", ts(1), 1, "en", 10)], 1)
+    assert view.update(table, 1)
+    assert not view.update(table, 1)  # re-delivery: no-op
+    assert _as_dict(view.read()) == {"en": (1, 10)}
+    with pytest.raises(ValueError):
+        view.update(table, 99)  # never committed to the table
+
+
+def test_stale_lww_loser_contributes_nothing(spark, table, view):
+    """A batch whose rows all lose LWW must produce a zero net delta."""
+    _merge(spark, table, [("I", "a", ts(5), 10, "en", 100)], 1)
+    _merge(spark, table, [("U", "a", ts(2), 3, "de", 999)], 2)  # stale
+    view.update_all(table)
+    assert _as_dict(view.read()) == {"en": (1, 100)}
+
+
+def test_crash_retry_overwrites_partial_partition(spark, table, view):
+    _merge(spark, table, [("I", "a", ts(1), 1, "en", 10)], 1)
+    view.update(table, 1)
+    # simulate a crash AFTER data files landed but BEFORE the marker:
+    os.remove(view._marker("1"))
+    with pytest.raises(ValueError):
+        view.read()  # uncommitted partition is invisible
+    assert view.update(table, 1)  # retry: dynamic overwrite + re-mark
+    assert _as_dict(view.read()) == {"en": (1, 10)}
+
+
+def test_compact_folds_and_absorbs(spark, table, view):
+    for b in range(3):
+        _merge(spark, table, [("I", f"k{b}", ts(1 + b), b, "en", 10 + b)], b)
+        view.update(table, b)
+    before = _as_dict(view.read())
+    assert view.compact()
+    assert _as_dict(view.read()) == before
+    assert len(view.committed_batches()) == 1  # absorbed markers deleted
+    assert not view.compact()  # single live partition: no-op
+    # and the view keeps updating after compaction
+    _merge(spark, table, [("D", "k0", ts(9), 99, None, None)], 3)
+    view.update(table, 3)
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table))
+
+
+def test_load_reopens_identical_definition(spark, table, view, tmp_root):
+    _merge(spark, table, [("I", "a", ts(1), 1, "en", 10)], 1)
+    view.update(table, 1)
+    v2 = AggView.load(spark, os.path.join(tmp_root, "v"))
+    assert v2.group_cols == GROUPS and v2.measures == MEASURES
+    assert _as_dict(v2.read()) == {"en": (1, 10)}
+    with pytest.raises(FileExistsError):
+        AggView.create(spark, os.path.join(tmp_root, "v"), GROUPS, MEASURES, COLS)
+
+
+def test_update_all_catches_up_in_commit_order(spark, table, view):
+    for b in range(4):
+        op = "D" if b == 3 else "I"
+        _merge(
+            spark,
+            table,
+            [(op, "a", ts(1 + b), b, "en" if b % 2 == 0 else "de", 10 * b)],
+            b,
+        )
+    assert view.update_all(table) == 4
+    assert view.update_all(table) == 0
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table)) == {}
