@@ -257,8 +257,8 @@ def cdc_incr_agg(spark, sf):
         measures={"sum_value": "cast(value as decimal(18,2))"},
         source_columns=["value", "props"],
     )
-    for st in pipe.run_batches(changes, n_batches=5):
-        view.update(pipe.table, st.batch_id)
+    pipe.attach_view(view)
+    pipe.run_batches(changes, n_batches=5)
     view.compact()
     # accumulation is decimal-exact; only the OUTPUT converts to double
     # (duckdb's pandas bridge renders DECIMAL as float64)

@@ -68,6 +68,9 @@ class CdcPipeline:
             n_buckets=cfg.n_buckets,
         )
         self._lineage_dir = os.path.join(cfg.table_root, "_lineage")
+        #: incrementally-maintained aggregate views (lake.aggview.AggView),
+        #: folded forward after every commit — see :meth:`attach_view`
+        self.views: list = []
         self.near_dup = None
         if cfg.near_dup_threshold is not None:
             from data_pipelines_spark.operators.incremental import MinHashIndex
@@ -256,7 +259,21 @@ class CdcPipeline:
         if not stats.skipped_duplicate_batch:
             # the merge's pre-aggregation already recorded the offset span
             self._write_lineage(stats, stats.seq_min, stats.seq_max)
+        # maintain attached views even on a skipped duplicate: a crash between
+        # the merge commit and the view update re-delivers the batch with the
+        # merge as a ledger no-op, but the view still has to catch up — and
+        # AggView.update is itself idempotent per batch_id, so the steady
+        # state double-applies nothing.
+        for view in self.views:
+            view.update(self.table, batch_id)
         return stats
+
+    def attach_view(self, view) -> None:
+        """Attach an :class:`~data_pipelines_spark.lake.aggview.AggView` to be
+        incrementally maintained after every commit (including re-delivered
+        duplicates — see :meth:`process_batch`). Views attached late catch up
+        themselves via ``view.update_all(pipe.table)``."""
+        self.views.append(view)
 
     def _write_lineage(self, s: MergeStats, lo, hi) -> None:
         """Append one parquet file of per-bucket lineage rows.

@@ -59,8 +59,8 @@ def _full_recompute(table):
     )
 
 
-def _as_dict(df):
-    return {r["lang"]: (r["cnt"], r["tokens"]) for r in df.collect()}
+def _as_dict(df, measure="tokens"):
+    return {r["lang"]: (r["cnt"], r[measure]) for r in df.collect()}
 
 
 def test_view_tracks_inserts_updates_deletes(spark, table, view):
@@ -140,6 +140,41 @@ def test_load_reopens_identical_definition(spark, table, view, tmp_root):
     assert _as_dict(v2.read()) == {"en": (1, 10)}
     with pytest.raises(FileExistsError):
         AggView.create(spark, os.path.join(tmp_root, "v"), GROUPS, MEASURES, COLS)
+
+
+def test_pipeline_attached_view_and_duplicate_redelivery(spark, tmp_root):
+    """attach_view: the pipeline maintains the view per commit; re-delivering
+    an already-committed batch (crash-between-merge-and-view recovery path)
+    is a no-op on both the table and the view."""
+    from data_pipelines_spark.gen.changegen import change_stream
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    changes = change_stream(spark, n_events=300, n_keys=60, seed=5)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(tmp_root, "pt"), n_buckets=4),
+    )
+    view = AggView.create(
+        spark,
+        os.path.join(tmp_root, "pv"),
+        group_cols={"lang": "lang"},
+        measures={"chars": "length(text)"},
+        source_columns=["lang", "text"],
+    )
+    pipe.attach_view(view)
+    stats = pipe.run_batches(changes, n_batches=2)
+    full = (
+        pipe.table.read()
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum(F.length("text")).alias("chars"))
+    )
+    assert _as_dict(view.read(), "chars") == _as_dict(full, "chars")
+    # re-deliver the last batch: merge skips via ledger, view no-ops
+    lo = int(stats[-1].seq_min)
+    redeliver = changes.where(F.col("offset") >= lo)
+    st = pipe.process_batch(redeliver, stats[-1].batch_id)
+    assert st.skipped_duplicate_batch
+    assert _as_dict(view.read(), "chars") == _as_dict(full, "chars")
 
 
 def test_update_all_catches_up_in_commit_order(spark, table, view):
