@@ -1436,6 +1436,27 @@ def _docs_with_url(spark, sf):
     )
 
 
+def frontier_schedule(spark, sf):
+    """Crawl-frontier politeness scheduling (operators/frontier.py): every
+    due URL gets (worker, slot, fetch_offset_s, dispatch_pos) — one worker
+    owns a domain (md5-hash ownership, no coordination), slots are the
+    host's priority-ordered queue positions, offsets respect the crawl
+    delay, dispatch_pos is the worker's earliest-due iteration order. Two
+    window shuffles, no joins/UDFs; the oracle replays both windows and the
+    md5 worker hash in SQL."""
+    from data_pipelines_spark.operators.frontier import schedule_fetches
+
+    d = _docs_with_url(spark, sf)
+    f = d.select(
+        "url",
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("domain"),
+        (F.col("doc_id") % 5).cast("int").alias("priority"),
+    )
+    return schedule_fetches(
+        f, priority_col="priority", crawl_delay_s=0.5, n_workers=8
+    )
+
+
 def domain_blocklist(spark, sf):
     """UT1-style domain blocklist (operators/sampling.py filter_domains):
     config-sized list compiles to a pure arrays_overlap Column filter over
@@ -1608,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": hash_sample_docs,
         "decontaminate": decontaminate_docs,
         "shard_assignment": shard_assignment,
+        "frontier_schedule": frontier_schedule,
         "domain_blocklist": domain_blocklist,
         "domain_blocklist_join": domain_blocklist_join,
     }
@@ -2888,6 +2910,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
             FROM c
+        """,
+        "frontier_schedule": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || ['www','cdn.assets','m'][CAST(doc_id % 3 AS INT) + 1]
+                     || '.host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+                     || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ), f AS (
+              SELECT url,
+                     regexp_extract(url, '^https://([^/]+)/', 1) AS domain,
+                     CAST(doc_id % 5 AS INT) AS priority
+              FROM u
+            ), s AS (
+              SELECT url, domain, priority,
+                     CAST(('0x' || substr(md5(domain), 1, 15))::UBIGINT::BIGINT % 8 AS INT) AS worker,
+                     CAST(row_number() OVER (PARTITION BY domain
+                          ORDER BY priority DESC, url) - 1 AS BIGINT) AS slot
+              FROM f
+            ), o AS (
+              SELECT *, round(slot * 0.5, 3) AS fetch_offset_s FROM s
+            )
+            SELECT url, domain, priority, worker, slot, fetch_offset_s,
+                   CAST(row_number() OVER (PARTITION BY worker
+                        ORDER BY fetch_offset_s, domain, url) AS BIGINT) AS dispatch_pos
+            FROM o
         """,
         "domain_blocklist": _DOMAIN_BLOCKLIST_ORACLE,
         "domain_blocklist_join": _DOMAIN_BLOCKLIST_ORACLE,

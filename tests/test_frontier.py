@@ -1,0 +1,65 @@
+"""Frontier scheduling: politeness invariants of schedule_fetches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.operators.frontier import schedule_fetches
+
+
+@pytest.fixture()
+def frontier(spark):
+    rows = [
+        (f"https://{d}/p/{i}", d, pr)
+        for d, n in [("a.com", 5), ("b.org", 3), ("c.net", 1)]
+        for i, pr in zip(range(n), [3, 1, 2, 1, 3])
+    ]
+    return spark.createDataFrame(rows, "url string, domain string, priority int")
+
+
+def test_one_worker_per_domain_and_dense_slots(spark, frontier):
+    out = schedule_fetches(
+        frontier, priority_col="priority", crawl_delay_s=2.0, n_workers=4
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    for d, rs in by_dom.items():
+        assert len({r.worker for r in rs}) == 1  # politeness: single owner
+        slots = sorted(r.slot for r in rs)
+        assert slots == list(range(len(rs)))  # dense queue positions
+        # higher priority fetches earlier; ties broken by url
+        ordered = sorted(rs, key=lambda r: r.slot)
+        keys = [(-(r.priority or -1), r.url) for r in ordered]
+        assert keys == sorted(keys)
+        for r in rs:
+            assert r.fetch_offset_s == pytest.approx(2.0 * r.slot)
+
+
+def test_dispatch_pos_orders_each_worker_queue(spark, frontier):
+    out = schedule_fetches(frontier, crawl_delay_s=1.0, n_workers=2).collect()
+    by_worker = {}
+    for r in out:
+        by_worker.setdefault(r.worker, []).append(r)
+    for w, rs in by_worker.items():
+        rs.sort(key=lambda r: r.dispatch_pos)
+        assert [r.dispatch_pos for r in rs] == list(range(1, len(rs) + 1))
+        offs = [(r.fetch_offset_s, r.domain, r.url) for r in rs]
+        assert offs == sorted(offs)  # earliest-due dispatched first
+
+
+def test_per_domain_crawl_delay_column(spark):
+    df = spark.createDataFrame(
+        [("u1", "a.com", 0.5), ("u2", "a.com", 0.5), ("u3", "b.org", 3.0)],
+        "url string, domain string, delay double",
+    )
+    out = {
+        r.url: r.fetch_offset_s
+        for r in schedule_fetches(df, crawl_delay_s="delay", n_workers=4).collect()
+    }
+    assert out == {"u1": 0.0, "u2": 0.5, "u3": 0.0}
+
+
+def test_deterministic_across_runs(spark, frontier):
+    a = schedule_fetches(frontier, priority_col="priority").collect()
+    b = schedule_fetches(frontier, priority_col="priority").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
