@@ -1436,6 +1436,32 @@ def _docs_with_url(spark, sf):
     )
 
 
+def warc_round_trip(spark, sf):
+    """WARC codec (warc.py): serialize documents as gzipped WARC/1.0
+    resource records (one archive per partition, deterministic bytes),
+    re-read them with the binaryFile+mapInPandas scanner, and prove the
+    payload survived byte-for-byte — the oracle recomputes url/byte-length/
+    sha256 straight from the source rows, so equality IS round-trip
+    fidelity through the Common-Crawl wire format."""
+    from data_pipelines_spark.warc import read_warc, write_warc
+
+    d = _par(_t(spark, sf, "documents")).select(
+        F.concat(F.lit("https://example.com/d/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+    )
+    root = tempfile.mkdtemp(prefix="warc_rt_")
+    write_warc(d, root, compress=True).collect()
+    return read_warc(spark, root).select(
+        "url",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
 def frontier_schedule(spark, sf):
     """Crawl-frontier politeness scheduling (operators/frontier.py): every
     due URL gets (worker, slot, fetch_offset_s, dispatch_pos) — one worker
@@ -1629,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": hash_sample_docs,
         "decontaminate": decontaminate_docs,
         "shard_assignment": shard_assignment,
+        "warc_round_trip": warc_round_trip,
         "frontier_schedule": frontier_schedule,
         "domain_blocklist": domain_blocklist,
         "domain_blocklist_join": domain_blocklist_join,
@@ -2910,6 +2937,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
             FROM c
+        """,
+        "warc_round_trip": """
+            SELECT 'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   octet_length(encode('<html><body>' || text || '</body></html>'))
+                       AS n_bytes,
+                   lower(sha256('<html><body>' || text || '</body></html>'))
+                       AS payload_sha
+            FROM documents
         """,
         "frontier_schedule": """
             WITH u AS (
