@@ -1483,6 +1483,39 @@ def frontier_schedule(spark, sf):
     )
 
 
+def robots_frontier_filter(spark, sf):
+    """robots.txt politeness rules (operators/frontier.py): per-host robots
+    text — with UA groups, comments, crawl-delay lines — is parsed to
+    `User-agent: *` disallow prefixes by a pure JVM `aggregate` fold (no
+    UDF), then the frontier is prefix-filtered via a broadcast join (the
+    frontier never shuffles). Even-numbered hosts disallow /p/1* and /p/3*;
+    odd hosts have no `*` group (allow-all); the oracle regenerates the
+    same rules arithmetically."""
+    from data_pipelines_spark.operators.frontier import (
+        filter_frontier_robots,
+        robots_disallow_prefixes,
+    )
+
+    d = _docs_with_url(spark, sf)
+    f = d.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("domain"),
+    )
+    hosts = f.select("domain").distinct()
+    n = F.regexp_extract("domain", r"host(\d+)", 1).cast("int")
+    star = (
+        "# synthetic\nUser-agent: googlebot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /p/1 # hot shard\nCrawl-delay: 1\n"
+        "Disallow: /p/3\nDisallow:\n"
+    )
+    nostar = "User-agent: googlebot\nDisallow: /\n"
+    robots = hosts.withColumn(
+        "robots", F.when(n % 2 == 0, F.lit(star)).otherwise(F.lit(nostar))
+    ).select("domain", robots_disallow_prefixes().alias("disallow"))
+    return filter_frontier_robots(f, robots).select("doc_id", "url", "domain")
+
+
 def domain_blocklist(spark, sf):
     """UT1-style domain blocklist (operators/sampling.py filter_domains):
     config-sized list compiles to a pure arrays_overlap Column filter over
@@ -1656,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate_docs,
         "shard_assignment": shard_assignment,
         "warc_round_trip": warc_round_trip,
+        "robots_frontier_filter": robots_frontier_filter,
         "frontier_schedule": frontier_schedule,
         "domain_blocklist": domain_blocklist,
         "domain_blocklist_join": domain_blocklist_join,
@@ -2937,6 +2971,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
             FROM c
+        """,
+        "robots_frontier_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || ['www','cdn.assets','m'][CAST(doc_id % 3 AS INT) + 1]
+                     || '.host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+                     || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ), f AS (
+              SELECT doc_id, url,
+                     regexp_extract(url, '^https://([^/]+)/', 1) AS domain
+              FROM u
+            ), x AS (
+              SELECT *,
+                     CAST(regexp_extract(domain, 'host(\\d+)', 1) AS INT) AS n,
+                     '/p/' || CAST(doc_id AS VARCHAR) AS path
+              FROM f
+            )
+            SELECT doc_id, url, domain FROM x
+            WHERE NOT (n % 2 = 0
+                       AND (starts_with(path, '/p/1') OR starts_with(path, '/p/3')))
         """,
         "warc_round_trip": """
             SELECT 'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS url,

@@ -31,7 +31,7 @@ to spread hot hash buckets (a worker is a logical queue, not a machine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,4 +85,95 @@ def schedule_fetches(
     )
     return out.withColumn(
         "dispatch_pos", F.row_number().over(per_worker).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt — the politeness *rules* side (the scheduler above is the
+# politeness *rate* side)
+# ---------------------------------------------------------------------------
+
+# value of a "Key: value" robots line, comment-stripped: drop '#...' first,
+# then everything through the first ':' (values may themselves contain ':')
+_VAL = "trim(regexp_replace(regexp_replace({raw}, '#.*', ''), '^[^:]*:', ''))"
+
+
+def robots_disallow_prefixes(robots_col: str = "robots") -> Column:
+    """``array<string>`` of path prefixes disallowed for ``User-agent: *``,
+    parsed from raw robots.txt text entirely JVM-side — one ``aggregate``
+    fold over the split lines, no UDF, whole-stage-codegen friendly.
+
+    Grammar handled (the de-facto subset every major crawler honors):
+    consecutive ``User-agent`` lines form a group; a ``User-agent`` line
+    after rules starts a NEW group; ``Disallow``/``Allow``/``Crawl-delay``
+    lines belong to the current group; rules collect only while the current
+    group names ``*``; empty ``Disallow:`` means allow-all (contributes no
+    prefix); ``#`` comments and blank lines are ignored. ``Allow``
+    precedence is NOT modeled (documented deviation — we only honor
+    disallow prefixes, the conservative direction for a polite crawler).
+    """
+    v = _VAL.format(raw="raw")
+    return F.expr(
+        f"""
+        aggregate(
+          split({robots_col}, '\n'),
+          struct(false as star, false as seen_rule,
+                 cast(array() as array<string>) as rules),
+          (acc, raw) -> (
+            CASE
+              WHEN lower(trim(raw)) rlike '^user-agent\\\\s*:' THEN
+                named_struct(
+                  'star',
+                  CASE WHEN acc.seen_rule THEN {v} = '*'
+                       ELSE acc.star OR {v} = '*' END,
+                  'seen_rule', false,
+                  'rules', acc.rules)
+              WHEN lower(trim(raw)) rlike '^disallow\\\\s*:' THEN
+                named_struct(
+                  'star', acc.star,
+                  'seen_rule', true,
+                  'rules',
+                  CASE WHEN acc.star AND length({v}) > 0
+                       THEN array_append(acc.rules, {v})
+                       ELSE acc.rules END)
+              WHEN lower(trim(raw)) rlike '^(allow|crawl-delay|sitemap)\\\\s*:' THEN
+                named_struct('star', acc.star, 'seen_rule', true,
+                             'rules', acc.rules)
+              ELSE acc
+            END),
+          acc -> acc.rules)
+        """
+    )
+
+
+def filter_frontier_robots(
+    frontier: DataFrame,
+    robots: DataFrame,
+    *,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    rules_col: str = "disallow",
+) -> DataFrame:
+    """Drop frontier URLs a host's robots rules disallow.
+
+    ``robots`` is one row per domain with an ``array<string>`` of disallow
+    prefixes (from :func:`robots_disallow_prefixes`); it is broadcast —
+    robots state is O(hosts), tiny next to the frontier, so the frontier
+    NEVER shuffles. A host with no robots row allows everything (the
+    crawler convention for a missing/unfetchable robots.txt). Matching is
+    path-prefix on the URL's path (query string included, '' → '/'), the
+    standard robots rule."""
+    rules = F.broadcast(
+        robots.select(F.col(domain_col), F.col(rules_col).alias("_rules"))
+    )
+    path = F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    path = F.when(path == "", "/").otherwise(path)
+    blocked = F.exists(
+        F.coalesce(F.col("_rules"), F.expr("cast(array() as array<string>)")),
+        lambda r: path.startswith(r),
+    )
+    return (
+        frontier.join(rules, on=domain_col, how="left")
+        .where(~blocked)
+        .drop("_rules")
     )

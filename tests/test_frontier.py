@@ -63,3 +63,77 @@ def test_deterministic_across_runs(spark, frontier):
     a = schedule_fetches(frontier, priority_col="priority").collect()
     b = schedule_fetches(frontier, priority_col="priority").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --------------------------------------------------------------------- robots
+
+
+def test_robots_parse_groups_and_comments(spark):
+    from data_pipelines_spark.operators.frontier import robots_disallow_prefixes
+
+    txt = (
+        "# global rules\n"
+        "User-agent: googlebot\n"
+        "Disallow: /g/\n"
+        "\n"
+        "User-agent: other\n"
+        "User-agent: *\n"
+        "Disallow: /private/  # secret\n"
+        "Crawl-delay: 2\n"
+        "Disallow: /tmp/\n"
+        "Disallow:\n"
+        "\n"
+        "User-agent: bing\n"
+        "Disallow: /b/\n"
+    )
+    df = spark.createDataFrame([(txt,)], "robots string")
+    [row] = df.select(robots_disallow_prefixes().alias("r")).collect()
+    # googlebot/bing groups excluded; '*' group collected (shared with
+    # 'other' via consecutive UA lines); empty Disallow contributes nothing
+    assert row.r == ["/private/", "/tmp/"]
+
+
+def test_robots_star_only_and_no_star(spark):
+    from data_pipelines_spark.operators.frontier import robots_disallow_prefixes
+
+    df = spark.createDataFrame(
+        [
+            ("User-agent: *\nDisallow: /a\n",),
+            ("User-agent: bot\nDisallow: /a\n",),
+            ("",),
+        ],
+        "robots string",
+    )
+    got = [r.r for r in df.select(robots_disallow_prefixes().alias("r")).collect()]
+    assert got == [["/a"], [], []]
+
+
+def test_filter_frontier_robots(spark):
+    from data_pipelines_spark.operators.frontier import (
+        filter_frontier_robots,
+        robots_disallow_prefixes,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.com/private/x", "a.com"),
+            ("https://a.com/public/x", "a.com"),
+            ("https://a.com", "a.com"),          # empty path -> '/'
+            ("https://b.org/private/x", "b.org"),  # no robots row: allowed
+            ("https://c.net/any", "c.net"),      # disallow-all '/'
+        ],
+        "url string, domain string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private/\n"),
+            ("c.net", "User-agent: *\nDisallow: /\n"),
+        ],
+        "domain string, robots string",
+    ).select("domain", robots_disallow_prefixes().alias("disallow"))
+    kept = {r.url for r in filter_frontier_robots(frontier, robots).collect()}
+    assert kept == {
+        "https://a.com/public/x",
+        "https://a.com",
+        "https://b.org/private/x",
+    }
