@@ -1003,6 +1003,24 @@ def text_quality_score(spark, sf):
     return d.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("quality"))
 
 
+def quality_ntile(spark, sf):
+    """Corpus-scale quantile bucketing (operators/ranking.py): exact
+    ntile(10) by quality score WITHOUT the single-partition global window —
+    fixed-bin value segments → driver prefix-sum over 64 counts → within-
+    segment row_number + broadcast offsets. The oracle runs the literal
+    single-partition `ntile(10) OVER (ORDER BY quality, doc_id)`, so
+    equality proves bit-parity with the window this replaces. Ranking is on
+    the ROUNDED score (both sides) so float formatting can't reorder ties;
+    doc_id makes the order total."""
+    from data_pipelines_spark.operators.ranking import ntile_buckets
+
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
+    scored = d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality")
+    )
+    return ntile_buckets(scored, "quality", "doc_id", 10, n_bins=64)
+
+
 def a11_tumbling_window(spark, sf):
     """§2.10 metrics-stage tumbling window: daily event counts per op type
     via F.window (the streaming metrics aggregation, run batch-side)."""
@@ -1664,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_derived_totals": a7_derived_totals,
         "p4_substring_flags": p4_substring_flags,
         "text_quality_score": text_quality_score,
+        "quality_ntile": quality_ntile,
         "lang_id_documents": lang_id_documents,
         "text_tokens_quality": text_tokens_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -3236,6 +3255,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality_score": _quality_oracle(),
+        "quality_ntile": f"""
+            WITH q AS ({_quality_oracle()})
+            SELECT doc_id, quality,
+                   CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INT) AS bucket
+            FROM q
+        """,
         "lang_id_documents": _lang_id_oracle(),
         "text_tokens_quality": """
             SELECT doc_id,
