@@ -1003,6 +1003,22 @@ def text_quality_score(spark, sf):
     return d.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("quality"))
 
 
+def link_pagerank(spark, sf):
+    """PageRank over a deterministic doc-derived link graph
+    (operators/linkgraph.py): 3 power iterations with dangling-mass
+    redistribution, one join+groupBy per iteration, ranks localCheckpoint'ed
+    per round (plan-doubling guard). The oracle unrolls the identical three
+    iterations as SQL CTEs — rank equality after 3 rounds checks the whole
+    contrib/dangling/teleport arithmetic."""
+    from data_pipelines_spark.operators.linkgraph import pagerank
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 97).alias("s"))
+    e = d.select(
+        F.col("s").alias("src"), ((F.col("s") * 3 + 1) % 97).alias("dst")
+    ).union(d.select(F.col("s"), ((F.col("s") * 5 + 2) % 97)))
+    return pagerank(e, iters=3).select("node", "rank")
+
+
 def quality_ntile(spark, sf):
     """Corpus-scale quantile bucketing (operators/ranking.py): exact
     ntile(10) by quality score WITHOUT the single-partition global window —
@@ -1683,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_substring_flags": p4_substring_flags,
         "text_quality_score": text_quality_score,
         "quality_ntile": quality_ntile,
+        "link_pagerank": link_pagerank,
         "lang_id_documents": lang_id_documents,
         "text_tokens_quality": text_tokens_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -1752,6 +1769,42 @@ SELECT doc_id,
              ) / 5.0, 4) AS quality
 FROM comp
 """
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power iteration: one (dangling, contrib, rank) CTE triple per
+    round — literally the same arithmetic the Spark loop executes, so rank
+    equality after `iters` rounds is exact up to float addition order (the
+    checker's round-6 normalization absorbs that)."""
+    pre = """
+WITH e AS (
+  SELECT DISTINCT CAST(doc_id % 97 AS BIGINT) AS src,
+         CAST(((doc_id % 97) * 3 + 1) % 97 AS BIGINT) AS dst FROM documents
+  UNION
+  SELECT DISTINCT CAST(doc_id % 97 AS BIGINT),
+         CAST(((doc_id % 97) * 5 + 2) % 97 AS BIGINT) FROM documents
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    blocks, prev = [], "r0"
+    for i in range(1, iters + 1):
+        blocks.append(
+            f""",
+d{i} AS (SELECT coalesce(sum(rank), 0) AS m FROM {prev}
+         WHERE node NOT IN (SELECT src FROM deg)),
+c{i} AS (SELECT e.dst AS node, sum({prev}.rank / deg.deg) AS contrib
+         FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+         GROUP BY e.dst),
+r{i} AS (SELECT nodes.node,
+         {1.0 - damping!r} / (SELECT n FROM nn)
+         + {damping!r} * coalesce(c{i}.contrib, 0)
+         + {damping!r} * (SELECT m FROM d{i}) / (SELECT n FROM nn) AS rank
+         FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"""
+        )
+        prev = f"r{i}"
+    return pre + "".join(blocks) + f"\nSELECT node, rank FROM {prev}"
 
 
 def _lang_id_oracle() -> str:
@@ -3255,6 +3308,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality_score": _quality_oracle(),
+        "link_pagerank": _pagerank_oracle(iters=3, damping=0.85),
         "quality_ntile": f"""
             WITH q AS ({_quality_oracle()})
             SELECT doc_id, quality,

@@ -143,6 +143,10 @@ def main() -> None:
         "sim_topk_ivf_kmeans",
         "m2_media_decode",
         "x6_staging_records",
+        "cdc_incr_agg",
+        "warc_round_trip",
+        "frontier_schedule",
+        "quality_ntile",
     ]
     # best-of-N per query, same as the ingest: a single draw on this shared
     # host can absorb a 2x neighbor stall (round-2's dedup_exact "+57%" was
