@@ -183,6 +183,10 @@ class AggView:
             # CoW merges fold deltas into base files; the snapshot diff
             # still yields the touched keys (O(affected buckets), not O(batch))
             touched = table.changes(pre_v, post_v).select(key).distinct()
+        # the touched-key frame is referenced three times below (bucket
+        # probe + both semi-joins) and Spark does not CSE repeated plan
+        # subtrees — persist it, materialized by the bucket collect
+        touched = touched.persist()
         # bounded driver collect: at most n_buckets distinct hash buckets
         bkts = [
             r["b"]
@@ -223,6 +227,7 @@ class AggView:
             .partitionBy("batch_id")
             .parquet(self._deltas)
         )
+        touched.unpersist()
         schema = StructType([f for f in delta.schema.fields if f.name != "batch_id"])
         with open(self._marker(bid), "w") as f:
             json.dump({"table_version": post_v, "schema": schema.jsonValue()}, f)
