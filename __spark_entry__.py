@@ -1550,6 +1550,41 @@ def robots_frontier_filter(spark, sf):
     return filter_frontier_robots(f, robots).select("doc_id", "url", "domain")
 
 
+def crawl_retry_plan(spark, sf):
+    """Refetch planning (operators/frontier.py): sitemap discovery from
+    robots.txt (global-scope Sitemap lines, JVM filter/transform — no fold
+    needed, no UDF) + capped exponential retry backoff for failed fetches.
+    Even-numbered hosts declare two sitemaps; attempts cycle 0..11 so the
+    86400 s cap is exercised. The oracle regenerates both arithmetically."""
+    from data_pipelines_spark.operators.frontier import (
+        retry_backoff,
+        robots_sitemaps,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    n = (F.col("doc_id") % 7).cast("string")
+    robots = F.when(
+        F.col("doc_id") % 7 % 2 == 0,
+        F.concat(
+            F.lit("Sitemap: https://host"), n, F.lit(".example.com/sitemap.xml\n"),
+            F.lit("User-agent: *\nDisallow: /x\n"),
+            F.lit("Sitemap: https://host"), n, F.lit(".example.com/s2.xml\n"),
+        ),
+    ).otherwise(F.lit("User-agent: *\nDisallow: /x\n"))
+    df = (
+        d.withColumn("robots", robots)
+        .withColumn("attempts", (F.col("doc_id") % 12).cast("int"))
+        .withColumn(
+            "last_attempt", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        )
+    )
+    return df.select(
+        "doc_id",
+        F.array_join(robots_sitemaps(), ",").alias("sitemaps"),
+        F.unix_timestamp(retry_backoff()).alias("due_epoch"),
+    )
+
+
 def domain_blocklist(spark, sf):
     """UT1-style domain blocklist (operators/sampling.py filter_domains):
     config-sized list compiles to a pure arrays_overlap Column filter over
@@ -1726,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": shard_assignment,
         "warc_round_trip": warc_round_trip,
         "robots_frontier_filter": robots_frontier_filter,
+        "crawl_retry_plan": crawl_retry_plan,
         "frontier_schedule": frontier_schedule,
         "domain_blocklist": domain_blocklist,
         "domain_blocklist_join": domain_blocklist_join,
@@ -3043,6 +3079,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
             FROM c
+        """,
+        "crawl_retry_plan": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id % 7) % 2 = 0 THEN
+                        'https://host' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com/sitemap.xml,'
+                        || 'https://host' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com/s2.xml'
+                   ELSE '' END AS sitemaps,
+                   1704067200 + doc_id
+                     + CAST(least(60.0 * power(2.0, doc_id % 12), 86400.0) AS BIGINT)
+                     AS due_epoch
+            FROM documents
         """,
         "robots_frontier_filter": """
             WITH u AS (

@@ -177,3 +177,41 @@ def filter_frontier_robots(
         .where(~blocked)
         .drop("_rules")
     )
+
+
+def robots_sitemaps(robots_col: str = "robots") -> Column:
+    """``array<string>`` of Sitemap URLs declared anywhere in robots.txt —
+    per the sitemaps protocol these are global, NOT scoped to a User-agent
+    group, so this is a flat line scan (JVM-side, no fold needed)."""
+    lines = F.split(F.col(robots_col), "\n")
+    sm = F.filter(
+        lines, lambda ln: F.lower(F.trim(ln)).rlike(r"^sitemap\s*:")
+    )
+    return F.transform(
+        sm,
+        lambda ln: F.trim(
+            F.regexp_replace(F.regexp_replace(ln, "#.*", ""), "^[^:]*:", "")
+        ),
+    )
+
+
+def retry_backoff(
+    attempts_col: str = "attempts",
+    last_attempt_col: str = "last_attempt",
+    *,
+    base_s: float = 60.0,
+    cap_s: float = 86400.0,
+) -> Column:
+    """Next-due timestamp under capped exponential backoff:
+    ``last_attempt + min(base · 2^attempts, cap)`` seconds — the standard
+    refetch policy for failed crawls (composes with the S7 due-work scan:
+    ``WHERE retry_backoff(...) <= now``). Deterministic, jitter-free by
+    design: replays schedule identically; add hash-based jitter downstream
+    if thundering herds matter."""
+    delay = F.least(
+        F.lit(float(base_s)) * F.pow(F.lit(2.0), F.col(attempts_col)),
+        F.lit(float(cap_s)),
+    )
+    return F.timestamp_seconds(
+        F.unix_timestamp(F.col(last_attempt_col)) + delay.cast("long")
+    )

@@ -137,3 +137,34 @@ def test_filter_frontier_robots(spark):
         "https://a.com",
         "https://b.org/private/x",
     }
+
+
+def test_robots_sitemaps_global_scope(spark):
+    from data_pipelines_spark.operators.frontier import robots_sitemaps
+
+    txt = (
+        "Sitemap: https://a.com/s1.xml\n"
+        "User-agent: bot\nDisallow: /x\n"
+        "sitemap: https://a.com/s2.xml # alt\n"
+        "Disallow: /y\n"
+    )
+    df = spark.createDataFrame([(txt,), ("User-agent: *\n",)], "robots string")
+    got = [r.s for r in df.select(robots_sitemaps().alias("s")).collect()]
+    assert got == [["https://a.com/s1.xml", "https://a.com/s2.xml"], []]
+
+
+def test_retry_backoff_caps(spark):
+    import datetime as dt
+
+    from data_pipelines_spark.operators.frontier import retry_backoff
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(a, t0) for a in range(12)], "attempts int, last_attempt timestamp"
+    )
+    due = {
+        r.attempts: (r.due - t0).total_seconds()
+        for r in df.select("attempts", retry_backoff().alias("due")).collect()
+    }
+    assert due[0] == 60 and due[1] == 120 and due[4] == 960
+    assert due[11] == 86400  # capped at one day
