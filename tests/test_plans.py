@@ -212,3 +212,28 @@ def test_dup_span_plan_hashes_only_and_no_python(spark):
     assert "CartesianProduct" not in plan
     # the frequent-gram aggregate groups by the xxhash64, not the string
     assert "xxhash64" in plan
+
+
+def test_frontier_schedule_two_exchanges_no_python(spark, entrymod):
+    """The fetch plan is exactly two window shuffles (domain, then worker)
+    — no joins, no Python eval, everything codegen."""
+    plan = _plan(entrymod.frontier_schedule(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_robots_filter_broadcasts_frontier_never_shuffles(spark, entrymod):
+    plan = _plan(entrymod.robots_frontier_filter(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan  # the robots parse is a JVM fold
+
+
+def test_quality_ntile_no_single_partition_window(spark, entrymod):
+    """The global ntile must run as per-segment windows — an empty
+    PARTITION BY (windowspecdefinition starting with the order column)
+    would collapse the corpus into one task."""
+    plan = _plan(entrymod.quality_ntile(spark, SF_DIR))
+    assert "windowspecdefinition(_seg" in plan, plan
+    # and the offsets join broadcasts (n_bins rows)
+    assert "BroadcastHashJoin" in plan
