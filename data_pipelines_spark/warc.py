@@ -54,8 +54,8 @@ from pyspark.sql import functions as F
 _CRLF = b"\r\n"
 
 READ_SCHEMA = (
-    "warc_file string, record_id string, warc_type string, url string, "
-    "warc_ts timestamp, payload binary"
+    "warc_file string, record_pos long, record_id string, warc_type string, "
+    "url string, warc_ts timestamp, payload binary"
 )
 
 MANIFEST_SCHEMA = "file string, records long, bytes long"
@@ -182,6 +182,7 @@ def read_warc(spark: SparkSession, glob_path: str) -> DataFrame:
                 rows = [
                     (
                         path,
+                        pos,
                         rid,
                         rtype,
                         url,
@@ -190,12 +191,15 @@ def read_warc(spark: SparkSession, glob_path: str) -> DataFrame:
                         pd.Timestamp(date).tz_convert("UTC").tz_localize(None),
                         payload,
                     )
-                    for rid, rtype, url, date, payload in _parse_stream(raw)
+                    for pos, (rid, rtype, url, date, payload) in enumerate(
+                        _parse_stream(raw)
+                    )
                 ]
                 yield pd.DataFrame(
                     rows,
                     columns=[
                         "warc_file",
+                        "record_pos",
                         "record_id",
                         "warc_type",
                         "url",
@@ -256,3 +260,30 @@ def write_warc(
         yield pd.DataFrame([(final, n, written)], columns=["file", "records", "bytes"])
 
     return picked.mapInPandas(writer, MANIFEST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# bootstrap adapter: crawl dump → change stream
+# ---------------------------------------------------------------------------
+
+
+def warc_as_changes(records: DataFrame) -> DataFrame:
+    """Adapt a :func:`read_warc` scan into the engine's change-stream shape
+    (op/url/warc_ts/offset/html) — the Common-Crawl bootstrap: a crawl dump
+    is an insert-only CDC stream, so loading an archive set is just
+    ``pipe.run_batches(warc_as_changes(read_warc(...)), ...)``.
+
+    Offsets are ``xxhash64(file) ⊕ position`` — deterministic and
+    collision-irrelevant: the offset only tie-breaks LWW *within one (url,
+    warc_ts)*, i.e. among re-crawls of the same page at the same second,
+    and any stable value picks a stable winner there.
+    """
+    return records.where(F.col("warc_type") == "resource").select(
+        F.lit("I").alias("op"),
+        "url",
+        "warc_ts",
+        F.xxhash64(F.col("warc_file")).bitwiseXOR(F.col("record_pos")).alias("offset"),
+        F.col("payload").alias("html"),
+        # the decode stage backfills lang from the page itself
+        F.lit(None).cast("string").alias("lang"),
+    )

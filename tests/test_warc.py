@@ -85,3 +85,29 @@ def test_gzip_members_are_deterministic(spark, tmp_root):
     b1, b2 = open(f1, "rb").read(), open(f2, "rb").read()
     assert b1 == b2  # mtime=0: byte-identical archives across runs
     assert gzip.decompress(b1)  # valid multi-member stream
+
+
+def test_warc_bootstrap_into_pipeline(spark, tmp_root):
+    """Common-Crawl bootstrap: archive set -> warc_as_changes -> CDC merge.
+    A re-crawl of the same URL with a later warc_ts wins LWW."""
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+    from data_pipelines_spark.warc import warc_as_changes
+
+    out = os.path.join(tmp_root, "dump")
+    pages = _pages(spark, 12)
+    recrawl = pages.where(F.col("url") == "https://example.com/p/3").select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 10 DAYS")).alias("warc_ts"),
+        F.lit(b"<html>recrawled</html>").alias("html"),
+    )
+    write_warc(pages.unionByName(recrawl), out, compress=True).collect()
+
+    changes = warc_as_changes(read_warc(spark, out))
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(tmp_root, "t"), n_buckets=4),
+    )
+    pipe.process_batch(changes, batch_id=0)
+    state = {r.url: bytes(r.html) for r in pipe.table.read().collect()}
+    assert len(state) == 12
+    assert state["https://example.com/p/3"] == b"<html>recrawled</html>"
