@@ -275,6 +275,46 @@ class AggView:
             .where(F.col("cnt") > 0)
         )
 
+    # ------------------------------------------------------------- rebuild
+
+    def rebuild(self, table: LakeTable) -> None:
+        """Full refresh: recompute the aggregate from the table's CURRENT
+        state and absorb every prior delta partition. The escape hatch for
+        changes the incremental path cannot see — a :meth:`LakeTable.
+        backfill` rewrites column values without advancing sequences, so no
+        delta batch ever reports them; after one, rebuild any view whose
+        measures read the backfilled column. Also marks every batch in the
+        table's ledger as applied, so subsequent :meth:`update_all` resumes
+        incrementally from here."""
+        version = table.current_version()
+        cid = f"rebuild-{version}"
+        if self.is_committed(cid):
+            return
+        rows = table.read(version=version, columns=self.source_columns)
+        folded = self._contrib(rows, 1).withColumn("batch_id", F.lit(cid))
+        (
+            folded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self._deltas)
+        )
+        absorbed = sorted(
+            set(self.committed_batches()) | set(map(str, table.ledger()))
+        )
+        schema = StructType([f for f in folded.schema.fields if f.name != "batch_id"])
+        with open(self._marker(cid), "w") as f:
+            json.dump(
+                {"absorbs": absorbed, "schema": schema.jsonValue(),
+                 "table_version": version},
+                f,
+            )
+        for b in absorbed:
+            if b != cid:
+                try:
+                    os.remove(self._marker(b))
+                except FileNotFoundError:
+                    pass
+
     # ------------------------------------------------------------- compact
 
     def compact(self) -> bool:

@@ -664,6 +664,11 @@ class LakeTable:
                     "effect is a state reversion, not a delta append — use "
                     "changes() for the snapshot diff"
                 )
+            elif op == "backfill":
+                raise ChangeLogUnavailableError(
+                    f"v{v} is a column backfill; values changed inside "
+                    "rewritten base files with no delta rows — use changes()"
+                )
             else:  # legacy snapshot without an operation tag: infer
                 if (prev_paths - cur_paths) or any(
                     fe.get("kind", "base") != "delta" for fe in new
@@ -1010,6 +1015,55 @@ class LakeTable:
         bucket-pruned rewrite. Tombstones are preserved (see
         ``vacuum_tombstones`` for reclaiming them past the watermark).
         """
+        return self._rewrite_buckets(buckets, batch_id, "compact", None)
+
+    def backfill(
+        self,
+        column: str,
+        expr,
+        batch_id: int | str = "backfill",
+        buckets: list[int] | None = None,
+    ) -> MergeStats:
+        """Compute values for a column's NULL rows from the rows themselves —
+        the second half of "schema-update + column backfill": after
+        :meth:`update_schema` adds a column, old rows read as NULL until this
+        rewrites them (e.g. ``backfill("lang", regexp_extract(html, ...))``
+        derives the new field from stored page bytes).
+
+        One bucket-pruned CoW rewrite (the compaction machinery). Sequences
+        are untouched, so LWW outcomes cannot change; tombstones and
+        payload-free rows keep their NULLs (only live rows are filled);
+        already-non-NULL values are never overwritten — backfill is
+        idempotent in VALUE as well as per ``batch_id`` via the ledger.
+
+        CDC-out visibility caveat (pinned by tests): because sequences are
+        untouched, the sequence-based :meth:`changes` diff reports NOTHING
+        for a backfill, and :meth:`change_log` refuses across it (no delta
+        rows exist). Downstream consumers that must observe the new values —
+        e.g. an :class:`~data_pipelines_spark.lake.aggview.AggView` whose
+        measures read the backfilled column — should ``rebuild()`` after a
+        backfill, or the caller should express the backfill as an ordinary
+        merge (op='U' with advanced sequence) when stream visibility matters
+        more than replay-neutral sequences.
+        """
+        schema = self.schema()
+        if schema is None or column not in [f.name for f in schema.fields]:
+            raise ValueError(f"column {column!r} is not in the table schema")
+        if column == self.key or column in self.seq_cols:
+            raise ValueError(f"{column!r} is a key/sequence column")
+        fill = F.expr(expr) if isinstance(expr, str) else expr
+
+        def transform(df: DataFrame) -> DataFrame:
+            keep = F.col(DELETED_COL) | F.col(column).isNotNull()
+            return df.withColumn(
+                column, F.when(keep, F.col(column)).otherwise(fill)
+            )
+
+        return self._rewrite_buckets(buckets, batch_id, "backfill", transform)
+
+    def _rewrite_buckets(self, buckets, batch_id, operation, transform) -> MergeStats:
+        """Shared CoW rewrite: LWW-resolve the buckets (tombstones kept),
+        optionally transform, rewrite as fresh base files, ledger-commit."""
         stats = MergeStats(batch_id=batch_id)
         base_version = self.current_version()
         snap = self._snapshot(base_version)
@@ -1024,6 +1078,8 @@ class LakeTable:
             buckets = [int(b) for b in self._resolve_files(snap)]
         stats.buckets_touched = len(buckets)
         resolved = self.read(version=base_version, buckets=buckets, include_tombstones=True)
+        if transform is not None:
+            resolved = transform(resolved)
         resolved = resolved.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
         commit_dir = self._new_commit_dir(base_version)
         self._write_partitioned(resolved, commit_dir, len(buckets))
@@ -1033,7 +1089,7 @@ class LakeTable:
         self._acct_written(commit_dir, stats, kind="base", new_files=new_files)
         for b in buckets:
             stats.per_bucket.setdefault(b, {"rows": 0, "tombstones": 0})
-        return self._commit(snap, base_version, new_files, stats, table_schema, append=False, operation="compact")
+        return self._commit(snap, base_version, new_files, stats, table_schema, append=False, operation=operation)
 
     # -------------------------------------------------------- write plumbing
 

@@ -189,3 +189,29 @@ def test_update_all_catches_up_in_commit_order(spark, table, view):
     assert view.update_all(table) == 4
     assert view.update_all(table) == 0
     assert _as_dict(view.read()) == _as_dict(_full_recompute(table)) == {}
+
+
+def test_rebuild_after_backfill(spark, table, view):
+    """A LakeTable.backfill rewrites values without advancing sequences, so
+    the incremental path cannot see it — rebuild() refreshes the view from
+    current state and resumes incrementally after."""
+    _merge(
+        spark,
+        table,
+        [("I", "a", ts(1), 1, None, 10), ("I", "b", ts(1), 2, "de", 20)],
+        1,
+    )
+    view.update(table, 1)
+    table.backfill("lang", F.lit("en"), batch_id="bf1")
+    # stale: the NULL-lang group still reflects pre-backfill state
+    assert _as_dict(view.read()) != _as_dict(_full_recompute(table))
+    view.rebuild(table)
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table)) == {
+        "en": (1, 10), "de": (1, 20),
+    }
+    view.rebuild(table)  # idempotent at the same version
+    # incremental resumes: the backfill batch is marked applied, new batches flow
+    assert view.update_all(table) == 0
+    _merge(spark, table, [("I", "c", ts(3), 5, "en", 7)], 2)
+    view.update(table, 2)
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table))

@@ -429,3 +429,55 @@ def test_rollback_restores_state_and_reverts_ledger(spark, table):
     # guards: target must be older and must still exist
     with pytest.raises(ValueError):
         table.rollback(table.current_version())
+
+
+def test_backfill_fills_only_null_rows_and_is_idempotent(spark, table):
+    from data_pipelines_spark.lake.table import ChangeLogUnavailableError
+
+    _merge(
+        spark,
+        table,
+        [
+            ("I", "a", ts(1), 1, b"<html lang=\"en\">x</html>", None),
+            ("I", "b", ts(1), 2, b"<html lang=\"de\">y</html>", "fr"),
+            ("I", "c", ts(1), 3, b"nope", None),
+        ],
+        1,
+    )
+    _merge(spark, table, [("D", "c", ts(2), 4, None, None)], 2)
+    pre_v = table.current_version()
+
+    st = table.backfill(
+        "lang", F.regexp_extract(F.col("html").cast("string"), 'lang="([a-z]{2})"', 1)
+    )
+    assert not st.skipped_duplicate_batch
+    got = {r.url: r.lang for r in table.read().collect()}
+    assert got == {"a": "en", "b": "fr"}  # NULL filled; existing kept
+    # tombstone untouched (still a tombstone, payload still NULL)
+    tomb = [
+        r for r in table.read(include_tombstones=True).collect() if r.url == "c"
+    ]
+    assert len(tomb) == 1 and tomb[0].lang is None
+
+    # time travel sees the pre-backfill NULL; ledger makes it idempotent
+    assert {r.url: r.lang for r in table.read(version=pre_v).collect()} == {
+        "a": None, "b": "fr",
+    }
+    assert table.backfill("lang", F.lit("zz")).skipped_duplicate_batch
+
+    # event log across the rewrite refuses. The sequence-based snapshot
+    # diff reports NOTHING (sequences untouched) — the documented CDC-out
+    # caveat: consumers needing the new values rebuild, not tail.
+    with pytest.raises(ChangeLogUnavailableError):
+        table.change_log(pre_v).collect()
+    assert table.changes(pre_v).count() == 0
+
+    # LWW unchanged: a later real update still wins over the backfilled row
+    _merge(spark, table, [("U", "a", ts(9), 9, b"<new>", "sv")], 3)
+    assert {r.url: r.lang for r in table.read().collect()}["a"] == "sv"
+
+    # guards
+    with pytest.raises(ValueError):
+        table.backfill("url", F.lit("x"), batch_id="g1")
+    with pytest.raises(ValueError):
+        table.backfill("nope", F.lit("x"), batch_id="g2")
