@@ -269,6 +269,42 @@ def cdc_incr_agg(spark, sf):
     )
 
 
+def cdc_backfill(spark, sf):
+    """Schema-update + computed column backfill (`LakeTable.backfill`): after
+    the 5-batch replay, a new `k_mod` column is added (schema evolution) and
+    backfilled from each stored row's own payload via one CoW rewrite —
+    sequences untouched, NULLs-only filled, ledger-idempotent. The oracle is
+    the LWW final state with the same derivation applied, so equality proves
+    the rewrite computed the right value for every historical row."""
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_bf_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    pipe.run_batches(changes, n_batches=5)
+    t = pipe.table
+    sch = t.schema()
+    t.update_schema(
+        T.StructType(list(sch.fields) + [T.StructField("k_mod", T.IntegerType(), True)]),
+        batch_id="add-kmod",
+    )
+    t.backfill(
+        "k_mod",
+        F.pmod(F.get_json_object(F.col("props"), "$.k").cast("int"), F.lit(10)),
+        batch_id="bf-kmod",
+    )
+    return t.read().select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "k_mod",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return cdc_final_state(spark, "/root/testdata/sf0.001")
@@ -1678,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_log": cdc_change_log,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_incr_agg": cdc_incr_agg,
+        "cdc_backfill": cdc_backfill,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_latest_per_key": w1_latest_per_key,
         "s7_due_work_scan": s7_due_work_scan,
@@ -2427,6 +2464,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts, off AS log_offset, value, props
             FROM r WHERE rn = 1 AND op <> 'D'
               AND warc_ts >= TIMESTAMP '2024-01-16 00:00:00'
+        """,
+        "cdc_backfill": """
+            WITH ch AS (
+              SELECT event_id AS off,
+                     CASE WHEN event_type='error' THEN 'D'
+                          WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+                     concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url,
+                     ts AS warc_ts, value, props
+              FROM events
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY url
+                       ORDER BY warc_ts DESC, off DESC) AS rn
+              FROM ch
+            )
+            SELECT url, warc_ts, off AS log_offset, value,
+                   CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+                        AS INTEGER) AS k_mod
+            FROM r WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_incr_agg": """
             WITH ch AS (
