@@ -255,10 +255,15 @@ class AggView:
             return None
         # a committed batch may have written ZERO delta rows (pure seq-bump
         # or all-LWW-loser batches): dynamic overwrite emits no files then,
-        # so the directory may not even exist yet
+        # so the directory may not even exist yet — and with no partition
+        # dirs on disk the batch_id partition column cannot be discovered,
+        # so it must be part of the explicit read schema
         os.makedirs(self._deltas, exist_ok=True)
-        df = self.spark.read.schema(schema).parquet(self._deltas)
-        return df.where(F.col("batch_id").cast("string").isin(live))
+        from pyspark.sql.types import StringType, StructField
+
+        full = StructType(list(schema.fields) + [StructField("batch_id", StringType())])
+        df = self.spark.read.schema(full).parquet(self._deltas)
+        return df.where(F.col("batch_id").isin(live))
 
     def read(self) -> DataFrame:
         """Current view state: one row per live group. O(batches × groups)

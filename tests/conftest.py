@@ -23,4 +23,20 @@ def tmp_root():
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.fixture(scope="session")
+def tmp_root_factory():
+    """Fresh dir per call — for hypothesis tests, where one function-scoped
+    fixture instance would be shared across all examples."""
+    dirs = []
+
+    def make() -> str:
+        d = tempfile.mkdtemp(prefix="dps_test_")
+        dirs.append(d)
+        return d
+
+    yield make
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -159,3 +159,62 @@ def test_lww_resolve_bumps_matches_model(spark, events):
         k: (v[0], v[1], v[2], v[3]) for k, v in want.items()
     }
     assert got == norm
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(min_value=0, max_value=6),   # key
+            st.integers(min_value=1, max_value=50),  # seq (warc_ts day surrogate)
+            st.sampled_from(["en", "de", "fr"]),
+            st.integers(min_value=0, max_value=100),  # measure
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=3),  # batches
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_aggview_equals_model_on_arbitrary_streams(spark, tmp_root_factory, ops, n_batches):
+    """Incremental view == pure-python model of (LWW final state → GROUP BY)
+    for arbitrary op sequences split across arbitrary batch boundaries."""
+    import os
+
+    from data_pipelines_spark.lake import LakeTable
+    from data_pipelines_spark.lake.aggview import AggView
+
+    root = tmp_root_factory()
+    table = LakeTable.create(spark, os.path.join(root, "t"), key="url", n_buckets=4, overwrite=True)
+    view = AggView.create(
+        spark, os.path.join(root, "v"),
+        {"lang": "lang"}, {"m": "n"}, ["lang", "n"],
+    )
+    rows = [
+        (op, f"k{k}", dt.datetime(2025, 1, 1) + dt.timedelta(days=seq), i,
+         None if op == "D" else lang, None if op == "D" else n)
+        for i, (op, k, seq, lang, n) in enumerate(ops)
+    ]
+    schema = "op string, url string, warc_ts timestamp, offset long, lang string, n long"
+    per = max(1, len(rows) // n_batches)
+    for b in range(n_batches):
+        chunk = rows[b * per : (b + 1) * per] if b < n_batches - 1 else rows[(n_batches - 1) * per :]
+        if not chunk:
+            continue
+        table.merge(spark.createDataFrame(chunk, schema), batch_id=b)
+        view.update(table, b)
+
+    # python model: LWW winner per key, drop deletes, group by lang
+    best = {}
+    for op, url, ts_, off, lang, n in rows:
+        cur = best.get(url)
+        if cur is None or (ts_, off) >= (cur[1], cur[2]):
+            best[url] = (op, ts_, off, lang, n)
+    want = {}
+    for op, _, _, lang, n in best.values():
+        if op != "D":
+            c, s = want.get(lang, (0, 0))
+            want[lang] = (c + 1, s + n)
+    got = {r.lang: (r.cnt, r.m) for r in view.read().collect()}
+    assert got == want
