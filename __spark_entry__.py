@@ -1055,6 +1055,28 @@ def link_pagerank(spark, sf):
     return pagerank(e, iters=3).select("node", "rank")
 
 
+def tfidf_keywords(spark, sf):
+    """Per-document TF-IDF keyword extraction (operators/tfidf.py): exploded
+    tokens → doc-term counts + distinct document frequencies → ln(N/df)
+    weighting → per-doc top-3 window. Scores are quantized (round 6) BEFORE
+    ranking so the rank order is engine-portable; the oracle recomputes the
+    identical relational algebra."""
+    from data_pipelines_spark.operators.tfidf import tfidf_top_terms
+
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
+    return tfidf_top_terms(d, k=3, score_round=6)
+
+
+def corpus_top_ngrams(spark, sf):
+    """Corpus-wide bigram heavy hitters (operators/tfidf.py): JVM transform
+    n-gram expansion → one map-side-combined count shuffle →
+    TakeOrderedAndProject top-20 (per-partition heaps, no global sort)."""
+    from data_pipelines_spark.operators.tfidf import top_ngrams
+
+    d = _par(_t(spark, sf, "documents").select("doc_id", "text"))
+    return top_ngrams(d, n=2, k=20)
+
+
 def quality_ntile(spark, sf):
     """Corpus-scale quantile bucketing (operators/ranking.py): exact
     ntile(10) by quality score WITHOUT the single-partition global window —
@@ -1772,6 +1794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": text_quality_score,
         "quality_ntile": quality_ntile,
         "link_pagerank": link_pagerank,
+        "tfidf_keywords": tfidf_keywords,
+        "corpus_top_ngrams": corpus_top_ngrams,
         "lang_id_documents": lang_id_documents,
         "text_tokens_quality": text_tokens_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -3413,6 +3437,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality_score": _quality_oracle(),
         "link_pagerank": _pagerank_oracle(iters=3, damping=0.85),
+        "tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, term FROM toks WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1
+            ), s AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * ln((SELECT count(*)::DOUBLE FROM documents)
+                                      / dfq.df), 6) AS tfidf
+              FROM tf JOIN dfq USING (term)
+            ), r AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term) AS INT) AS term_rank
+              FROM s
+            )
+            SELECT doc_id, term, tf, tfidf, term_rank FROM r WHERE term_rank <= 3
+        """,
+        "corpus_top_ngrams": """
+            WITH ws AS (
+              SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1])) AS gram
+              FROM ws
+            )
+            SELECT gram, count(*) AS freq FROM grams
+            WHERE trim(gram) <> ''
+            GROUP BY gram ORDER BY freq DESC, gram LIMIT 20
+        """,
         "quality_ntile": f"""
             WITH q AS ({_quality_oracle()})
             SELECT doc_id, quality,
