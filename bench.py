@@ -147,6 +147,7 @@ def main() -> None:
         "warc_round_trip",
         "frontier_schedule",
         "quality_ntile",
+        "corpus_top_ngrams",
     ]
     # best-of-N per query, same as the ingest: a single draw on this shared
     # host can absorb a 2x neighbor stall (round-2's dedup_exact "+57%" was
