@@ -166,14 +166,32 @@ class AggView:
         Returns False (no-op) when ``batch_id`` was already applied here.
         The batch must already be committed to ``table`` — the touched-key
         set is derived from that commit's own delta files.
+
+        A ``LakeTable.rollback`` commit is itself a foldable batch (the
+        snapshot diff reverts the view), but a batch REPLAYED after a
+        rollback reuses its original batch id at a NEW table version — its
+        old delta partition cannot simply be replaced (the rollback delta
+        already netted against it), so that case fails loud: ``rebuild()``
+        the view, which re-baselines and re-marks every ledger batch.
         """
         bid = str(batch_id)
-        if self.is_committed(bid):
-            return False
         tl = table.ledger()
         if bid not in tl:
             raise ValueError(f"batch {bid!r} is not committed to the source table")
         post_v = tl[bid]
+        marker = self._marker(bid)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                seen_v = json.load(f).get("table_version")
+            if seen_v is not None and seen_v != post_v:
+                raise ValueError(
+                    f"batch {bid!r} was re-committed at v{post_v} after a "
+                    f"rollback (view applied it at v{seen_v}) — rebuild() "
+                    "the view to re-baseline"
+                )
+            return False
+        if bid in self._absorbed():
+            return False
         pre_v = post_v - 1
 
         key = table.key

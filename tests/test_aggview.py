@@ -215,3 +215,24 @@ def test_rebuild_after_backfill(spark, table, view):
     _merge(spark, table, [("I", "c", ts(3), 5, "en", 7)], 2)
     view.update(table, 2)
     assert _as_dict(view.read()) == _as_dict(_full_recompute(table))
+
+
+def test_rollback_replay_fails_loud_then_rebuild(spark, table, view):
+    """A batch replayed after a table rollback reuses its id at a new
+    version — the view must refuse (not silently skip) and rebuild."""
+    _merge(spark, table, [("I", "a", ts(1), 1, "en", 10)], 1)
+    v1 = table.current_version()
+    _merge(spark, table, [("I", "b", ts(2), 2, "de", 20)], 2)
+    view.update_all(table)
+    table.rollback(v1)
+    assert view.update(table, "rollback-" + str(v1))  # reversion folds in
+    assert _as_dict(view.read()) == {"en": (1, 10)}
+    # replay the undone batch: table re-applies (ledger reverted) ...
+    _merge(spark, table, [("I", "b", ts(2), 2, "de", 20)], 2)
+    # ... but the view refuses the id reuse
+    with pytest.raises(ValueError, match="rebuild"):
+        view.update(table, 2)
+    view.rebuild(table)
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table)) == {
+        "en": (1, 10), "de": (1, 20),
+    }
