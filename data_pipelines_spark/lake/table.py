@@ -651,8 +651,8 @@ class LakeTable:
             new = [fe for fe in cur_list if os.path.normpath(fe["path"]) not in prev_paths]
             if op == "merge":
                 added.extend((v, fe) for fe in new)
-            elif op in ("compact", "vacuum", "schema-update"):
-                pass  # no logical deltas
+            elif op in ("compact", "vacuum", "schema-update", "rebucket"):
+                pass  # physical/metadata reorganizations: no logical deltas
             elif op == "merge-cow":
                 raise ChangeLogUnavailableError(
                     f"v{v} is a copy-on-write merge; row-level deltas were "
@@ -1061,6 +1061,63 @@ class LakeTable:
 
         return self._rewrite_buckets(buckets, batch_id, "backfill", transform)
 
+    def rebucket(self, n_buckets: int, batch_id: int | str | None = None) -> MergeStats:
+        """Bucket-layout evolution: rewrite the whole table under a new
+        bucket count — the knob a table turns when it outgrows its layout
+        (16 buckets is wrong at 100 TB; Iceberg calls this partition-spec
+        evolution, here the spec is ``pmod(xxhash64(key), n_buckets)``).
+
+        One full CoW rewrite (LWW-resolved, tombstones kept, same machinery
+        as :meth:`compact`), committing a snapshot that records the NEW
+        ``n_buckets`` — subsequent merges/reads/compactions use the new
+        layout, while time travel to older versions still resolves their
+        own (old-layout) file lists. A physical reorganization only:
+        sequence-based CDC surfaces see no logical change, and
+        ``change_log`` skips it like a compaction. Ledger-idempotent.
+
+        ``buckets=`` pruning arguments are layout-relative: after a
+        rebucket, bucket ids passed to :meth:`read` for PRE-rebucket
+        versions mean the OLD layout (the snapshot's own file keys).
+        """
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be ≥ 1")
+        bid = f"rebucket-{n_buckets}" if batch_id is None else batch_id
+        stats = MergeStats(batch_id=bid)
+        base_version = self.current_version()
+        snap = self._snapshot(base_version)
+        if str(bid) in snap["ledger"]:
+            stats.skipped_duplicate_batch = True
+            stats.committed_version = snap["ledger"][str(bid)]
+            self.n_buckets = snap["n_buckets"]
+            return stats
+        table_schema = self.schema_from_snap(snap)
+        if table_schema is None:
+            raise ValueError("table has no data yet — set n_buckets at create()")
+        old_buckets = [int(b) for b in self._resolve_files(snap)]
+        stats.buckets_touched = len(old_buckets)
+        resolved = self.read(version=base_version, include_tombstones=True)
+        resolved = resolved.withColumn(
+            _BUCKET_COL, bucket_id(F.col(self.key), n_buckets)
+        )
+        commit_dir = self._new_commit_dir(base_version)
+        self._write_partitioned(resolved, commit_dir, n_buckets)
+        # the committed snapshot carries the new layout; bucket_stats start
+        # fresh (old-layout keys must not linger)
+        snap_new = json.loads(json.dumps(snap))
+        snap_new["n_buckets"] = n_buckets
+        snap_new["bucket_stats"] = {}
+        new_files = self._list_written(commit_dir, snap_new, table_schema, stats, kind="base")
+        self._acct_written(commit_dir, stats, kind="base", new_files=new_files)
+        for b in range(n_buckets):
+            new_files.setdefault(str(b), [])
+            stats.per_bucket.setdefault(b, {"rows": 0, "tombstones": 0})
+        out = self._commit(
+            snap_new, base_version, new_files, stats, table_schema,
+            append=False, operation="rebucket",
+        )
+        self.n_buckets = n_buckets
+        return out
+
     def _rewrite_buckets(self, buckets, batch_id, operation, transform) -> MergeStats:
         """Shared CoW rewrite: LWW-resolve the buckets (tombstones kept),
         optionally transform, rewrite as fresh base files, ledger-commit."""
@@ -1393,9 +1450,13 @@ class LakeTable:
         schema = self.schema_from_snap(old)
         if schema is None:
             raise ValueError(f"v{to_version} has no schema (pre-data snapshot)")
-        return self._commit(
+        out = self._commit(
             old, base_version, {}, stats, schema, append=True, operation="rollback"
         )
+        # the restore reverts layout metadata too: a rollback across a
+        # rebucket must put subsequent merges back on the restored layout
+        self.n_buckets = old["n_buckets"]
+        return out
 
     def history(self) -> list[dict]:
         """Snapshot log (oldest→newest): version, parent, schema id, batch

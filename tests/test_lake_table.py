@@ -481,3 +481,41 @@ def test_backfill_fills_only_null_rows_and_is_idempotent(spark, table):
         table.backfill("url", F.lit("x"), batch_id="g1")
     with pytest.raises(ValueError):
         table.backfill("nope", F.lit("x"), batch_id="g2")
+
+
+def test_rebucket_evolves_layout_and_preserves_state(spark, table):
+    _merge(
+        spark,
+        table,
+        [("I", f"k{i}", ts(1 + i % 5), i, f"<p{i}>".encode(), "en") for i in range(20)],
+        1,
+    )
+    _merge(spark, table, [("D", "k3", ts(9), 100, None, None)], 2)
+    before = {r.url: bytes(r.html) for r in table.read().collect()}
+
+    st = table.rebucket(8)
+    assert st.committed_version > 0 and table.n_buckets == 8
+    assert {r.url: bytes(r.html) for r in table.read().collect()} == before
+    # files now live under 8 buckets; stats carry no stale old-layout keys
+    snap_buckets = {int(b) for b in table.stats() and table._resolve_files(table._snapshot())}
+    assert snap_buckets <= set(range(8)) and len(snap_buckets) > 4
+    assert table.stats()["live_rows"] == 19
+
+    # idempotent; reload sees the new layout; merges keep working
+    assert table.rebucket(8).skipped_duplicate_batch
+    from data_pipelines_spark.lake import LakeTable
+
+    t2 = LakeTable.load(spark, table.root)
+    assert t2.n_buckets == 8
+    _merge(spark, t2, [("U", "k1", ts(20), 200, b"<new>", "en")], 3)
+    assert bytes({r.url: r.html for r in t2.read().collect()}["k1"]) == b"<new>"
+
+    # physical reorg: no logical deltas in the event log, states diff empty
+    log_ops = [h["operation"] for h in t2.history()]
+    assert "rebucket" in log_ops
+    assert t2.change_log(0).where(F.col("url") == "k3").count() > 0  # spans it fine
+
+    # rollback across the rebucket restores the old layout for new merges
+    v_pre = st.committed_version - 1
+    t2.rollback(v_pre)
+    assert t2.n_buckets == 4
