@@ -269,6 +269,36 @@ def cdc_incr_agg(spark, sf):
     )
 
 
+def cdc_rebucket(spark, sf):
+    """Bucket-layout evolution (`LakeTable.rebucket`): replay 5 batches at
+    16 buckets, rewrite the table to 32, merge one more batch on the new
+    layout, and return the final state — equality with the plain LWW oracle
+    proves the layout change is state-invisible end-to-end."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_rbk_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    stats = pipe.run_batches(changes, n_batches=5)
+    # re-split: first 4 batches, rebucket, then the 5th on the new layout
+    pipe2 = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t2"), n_buckets=16, decode=False),
+    )
+    lo5 = int(stats[-1].seq_min)
+    pipe2.run_batches(changes.where(F.col("offset") < lo5), n_batches=4)
+    pipe2.table.rebucket(32)
+    pipe2.process_batch(changes.where(F.col("offset") >= lo5), batch_id=4)
+    return pipe2.table.read().select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+    )
+
+
 def cdc_backfill(spark, sf):
     """Schema-update + computed column backfill (`LakeTable.backfill`): after
     the 5-batch replay, a new `k_mod` column is added (schema evolution) and
@@ -1737,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_incr_agg": cdc_incr_agg,
         "cdc_backfill": cdc_backfill,
+        "cdc_rebucket": cdc_rebucket,
         "q1_pricing_summary": q1_pricing_summary,
         "w1_latest_per_key": w1_latest_per_key,
         "s7_due_work_scan": s7_due_work_scan,
@@ -2489,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 AND op <> 'D'
               AND warc_ts >= TIMESTAMP '2024-01-16 00:00:00'
         """,
+        "cdc_rebucket": _CDC_ORACLE,
         "cdc_backfill": """
             WITH ch AS (
               SELECT event_id AS off,
