@@ -1540,6 +1540,35 @@ def shard_assignment(spark, sf):
     return assign_shards(d, 2000).select("doc_id", "n_tokens", "shard_id")
 
 
+def shard_pack_positions(spark, sf):
+    """Sample packing (operators/sharding.py with_positions): same two-phase
+    prefix sum as shard_assignment, plus each document's concat-and-chunk
+    start offset inside its shard's token budget — what a training loader
+    needs to pack sequences without re-scanning. Oracle = one global SQL
+    window recomputing the identical running totals."""
+    from data_pipelines_spark.operators.sharding import assign_shards
+
+    d = _par(_t(spark, sf, "documents")).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return assign_shards(d, 2000, with_positions=True).select(
+        "doc_id", "n_tokens", "shard_id", "pack_start"
+    )
+
+
+def mixture_sample(spark, sf):
+    """Data-mixing rate card (operators/sampling.py weighted_sample):
+    per-source deterministic sampling — keep all of src0, 20% of src1,
+    none of src2, 50% default — via the Knuth scramble, so the oracle
+    selects the byte-identical subset with plain arithmetic."""
+    from data_pipelines_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return weighted_sample(
+        d, "doc_id", {"src0": 100, "src1": 20, "src2": 0}, default=50
+    )
+
+
 def _docs_with_url(spark, sf):
     """Documents with a deterministic synthetic URL (doc_id-derived host
     with a subdomain prefix, so the suffix matcher is actually exercised)."""
@@ -1854,6 +1883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_round_trip": warc_round_trip,
         "robots_frontier_filter": robots_frontier_filter,
         "crawl_retry_plan": crawl_retry_plan,
+        "shard_pack_positions": shard_pack_positions,
+        "mixture_sample": mixture_sample,
         "frontier_schedule": frontier_schedule,
         "domain_blocklist": domain_blocklist,
         "domain_blocklist_join": domain_blocklist_join,
@@ -3190,6 +3221,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST((cum - n_tokens) // 2000 AS INT) AS shard_id
             FROM c
+        """,
+        "shard_pack_positions": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS ord
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY ord, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 2000 AS INT) AS shard_id,
+                   CAST((cum - n_tokens) - ((cum - n_tokens) // 2000) * 2000
+                        AS BIGINT) AS pack_start
+            FROM c
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+                  CASE source WHEN 'src0' THEN 100
+                              WHEN 'src1' THEN 20
+                              WHEN 'src2' THEN 0
+                              ELSE 50 END
         """,
         "crawl_retry_plan": """
             SELECT doc_id,

@@ -179,3 +179,32 @@ def filter_domains(
         .distinct()
     )
     return df.join(matched_ids, id_col, "left_semi" if keep else "left_anti")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    rates: dict[str, int],
+    group_col: str = "source",
+    default: int | None = None,
+    mod: int = 100,
+) -> DataFrame:
+    """Per-group deterministic mixture sampling — the data-mixing rate card
+    ("keep 100% of wiki, 12% of common-crawl, 0% of spam-src"): rows of
+    group ``g`` survive iff ``scramble(id) mod mod < rates[g]``. The same
+    Knuth scramble as :func:`hash_sample`, so replays and SQL engines pick
+    the identical subset; a group absent from ``rates`` keeps everything
+    unless ``default`` caps it. Config-sized rate card compiles to a CASE
+    chain — pure filter, no joins, no shuffles, pushes below anything."""
+    if not 0 < mod:
+        raise ValueError("mod must be positive")
+    for g, r in rates.items():
+        if not 0 <= r <= mod:
+            raise ValueError(f"rate for {g!r} outside [0, {mod}]")
+    rate = F.lit(mod if default is None else int(default))
+    for g, r in rates.items():
+        rate = F.when(F.col(group_col) == g, F.lit(int(r))).otherwise(rate)
+    scr = F.pmod(
+        F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296)), F.lit(mod)
+    )
+    return df.where(scr < rate)

@@ -40,6 +40,7 @@ def assign_shards(
     token_col: str = "n_tokens",
     key_col: str = "doc_id",
     n_buckets: int = 256,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Add ``shard_id``: documents packed into ``tokens_per_shard`` budgets.
 
@@ -84,13 +85,19 @@ def assign_shards(
     )
     cum = F.sum(F.col(token_col)).over(w) + F.col("_seg_offset")
     start = cum - F.col(token_col)  # running total BEFORE this document
-    return (
-        tagged.join(off_df, "_seg")
-        .withColumn(
-            "shard_id", F.floor(start / F.lit(tokens_per_shard)).cast("int")
-        )
-        .drop("_ord", "_seg", "_seg_offset")
+    out = tagged.join(off_df, "_seg").withColumn(
+        "shard_id", F.floor(start / F.lit(tokens_per_shard)).cast("int")
     )
+    if with_positions:
+        # sample packing: where inside its shard's token budget this
+        # document starts — the loader's concat-and-chunk offset. A shard's
+        # LAST document may overflow the budget (documents never split), so
+        # pack_start + n_tokens can exceed tokens_per_shard by design.
+        out = out.withColumn(
+            "pack_start",
+            (start - F.col("shard_id").cast("long") * tokens_per_shard).cast("long"),
+        )
+    return out.drop("_ord", "_seg", "_seg_offset")
 
 
 def write_shards(

@@ -1,6 +1,7 @@
 """Corpus-shaping operators: domain capping, deterministic sampling,
 benchmark decontamination (operators/sampling.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_pipelines_spark.operators.sampling import (
@@ -163,3 +164,45 @@ def test_write_shards_roundtrip(spark, tmp_root):
     back = spark.read.parquet(out)
     assert back.count() == 120
     assert back.select("shard_id").distinct().count() > 1
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from data_pipelines_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, ["wiki", "cc", "spam"][i % 3]) for i in range(3000)],
+        "doc_id long, source string",
+    )
+    out = weighted_sample(df, "doc_id", {"wiki": 100, "cc": 20, "spam": 0})
+    by = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert by.get("wiki") == 1000            # keep-all
+    assert by.get("spam") is None            # rate 0 drops the group
+    assert 100 < by["cc"] < 320              # ~20% of 1000, hash-exact not binomial
+    # deterministic: identical subset on rerun
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in weighted_sample(df, "doc_id", {"wiki": 100, "cc": 20, "spam": 0}).collect())
+    assert a == b
+    # absent group: default caps when given
+    capped = weighted_sample(df, "doc_id", {"spam": 0}, default=10)
+    assert capped.where(F.col("source") == "wiki").count() < 250
+    with pytest.raises(ValueError):
+        weighted_sample(df, "doc_id", {"cc": 101})
+
+
+def test_pack_positions_within_budget(spark):
+    from data_pipelines_spark.operators.sharding import assign_shards
+
+    df = spark.createDataFrame(
+        [(i, 7 + i % 5) for i in range(400)], "doc_id long, n_tokens long"
+    )
+    out = assign_shards(df, 100, with_positions=True).collect()
+    # global start = shard_id*budget + pack_start must tile the corpus:
+    # doc k starts exactly where doc k-1 ended, beginning at 0
+    rows = sorted(out, key=lambda r: (r.shard_id, r.pack_start))
+    pos = 0
+    for r in rows:
+        assert r.shard_id * 100 + r.pack_start == pos, r
+        pos += r.n_tokens
+    assert pos == sum(7 + i % 5 for i in range(400))
+    # every doc STARTS inside its shard's budget (only ends may spill)
+    assert all(0 <= r.pack_start < 100 for r in rows)
