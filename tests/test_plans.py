@@ -237,3 +237,11 @@ def test_quality_ntile_no_single_partition_window(spark, entrymod):
     assert "windowspecdefinition(_seg" in plan, plan
     # and the offsets join broadcasts (n_bins rows)
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_is_pure_filter(spark, entrymod):
+    """The rate card compiles to a scan+filter — no joins, no exchanges,
+    nothing that wouldn't push below downstream operators."""
+    plan = _plan(entrymod.mixture_sample(spark, SF_DIR))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
