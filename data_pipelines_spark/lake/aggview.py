@@ -143,12 +143,22 @@ class AggView:
         return os.path.exists(self._marker(str(batch_id))) or str(batch_id) in self._absorbed()
 
     def _stored_schema(self) -> StructType | None:
-        for b in reversed(self.committed_batches()):
-            with open(self._marker(b)) as f:
-                sch = json.load(f).get("schema")
-            if sch is not None:
-                return StructType.fromJson(sch)
-        return None
+        """Read schema = the schema of the LATEST-applied batch (schema only
+        evolves by widening/adding, so the newest superset reads every older
+        delta partition). committed_batches() sorts lexicographically —
+        batch '9' after '10' — so order by each marker's recorded
+        table_version (mtime as the tiebreak for markers without one)."""
+        best: tuple[int, float, dict] | None = None
+        for b in self.committed_batches():
+            path = self._marker(b)
+            with open(path) as f:
+                m = json.load(f)
+            if m.get("schema") is None:
+                continue
+            rank = (int(m.get("table_version", -1)), os.path.getmtime(path), m)
+            if best is None or rank[:2] > best[:2]:
+                best = rank
+        return StructType.fromJson(best[2]["schema"]) if best else None
 
     # ------------------------------------------------------------- update
 
@@ -205,21 +215,32 @@ class AggView:
         # probe + both semi-joins) and Spark does not CSE repeated plan
         # subtrees — persist it, materialized by the bucket collect
         touched = touched.persist()
-        # bounded driver collect: at most n_buckets distinct hash buckets
-        bkts = [
-            r["b"]
-            for r in touched.select(
-                bucket_id(F.col(key), table.n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
         keys = F.broadcast(touched)
+        # touched-bucket pruning must use EACH version's own layout: across a
+        # rebucket pre_v and post_v disagree on n_buckets, and hashing the
+        # keys with the current layout would prune away the very files that
+        # hold them (silently losing contributions). Bounded driver collect:
+        # at most that snapshot's n_buckets distinct values, cached per layout.
+        bkt_cache: dict[int, list[int]] = {}
+
+        def bkts_for(v: int) -> list[int]:
+            nb = int(table._snapshot(v).get("n_buckets", table.n_buckets))
+            if nb not in bkt_cache:
+                bkt_cache[nb] = [
+                    r["b"]
+                    for r in touched.select(bucket_id(F.col(key), nb).alias("b"))
+                    .distinct()
+                    .collect()
+                ]
+            return bkt_cache[nb]
 
         def state(v: int) -> DataFrame:
             try:
-                rows = table.read(version=v, buckets=bkts, columns=self.source_columns)
-            except ValueError:  # pre-data snapshot: no schema yet → empty state
+                rows = table.read(
+                    version=v, buckets=bkts_for(v), columns=self.source_columns
+                )
+            except (ValueError, FileNotFoundError):
+                # pre-data snapshot: no schema yet → empty state
                 return None
             return rows.join(keys, key, "left_semi")
 

@@ -1111,6 +1111,12 @@ class LakeTable:
         for b in range(n_buckets):
             new_files.setdefault(str(b), [])
             stats.per_bucket.setdefault(b, {"rows": 0, "tombstones": 0})
+        # shrink-rebucket: old-layout bucket keys >= n_buckets must be
+        # explicitly CLEARED in the replace manifest, or their base files
+        # survive _resolve_files and every row they hold is duplicated
+        # (all-'base' file lists skip LWW resolution entirely on read)
+        for b in old_buckets:
+            new_files.setdefault(str(b), [])
         out = self._commit(
             snap_new, base_version, new_files, stats, table_schema,
             append=False, operation="rebucket",

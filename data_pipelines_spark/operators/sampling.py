@@ -195,7 +195,14 @@ def weighted_sample(
     Knuth scramble as :func:`hash_sample`, so replays and SQL engines pick
     the identical subset; a group absent from ``rates`` keeps everything
     unless ``default`` caps it. Config-sized rate card compiles to a CASE
-    chain — pure filter, no joins, no shuffles, pushes below anything."""
+    chain — pure filter, no joins, no shuffles, pushes below anything.
+
+    ``id_col`` must be integral and non-NULL (same contract as
+    :func:`hash_sample`): a NULL id would make the scramble NULL and the
+    keep-predicate three-valued — silently dropping the row even from a
+    keep-100% group — so NULL ids fail loud at runtime instead. The long
+    multiply stays in [0, 2^63) for 32-bit ids; wider ids should be
+    pre-hashed (``xxhash64``) to avoid ANSI-mode overflow."""
     if not 0 < mod:
         raise ValueError("mod must be positive")
     for g, r in rates.items():
@@ -204,7 +211,11 @@ def weighted_sample(
     rate = F.lit(mod if default is None else int(default))
     for g, r in rates.items():
         rate = F.when(F.col(group_col) == g, F.lit(int(r))).otherwise(rate)
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"weighted_sample: NULL {id_col} (integral non-NULL id required)")),
+    ).otherwise(F.col(id_col))
     scr = F.pmod(
-        F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296)), F.lit(mod)
+        F.pmod(checked_id * F.lit(2654435761), F.lit(4294967296)), F.lit(mod)
     )
     return df.where(scr < rate)

@@ -236,3 +236,40 @@ def test_rollback_replay_fails_loud_then_rebuild(spark, table, view):
     assert _as_dict(view.read()) == _as_dict(_full_recompute(table)) == {
         "en": (1, 10), "de": (1, 20),
     }
+
+
+def test_update_across_rebucket_uses_each_versions_layout(spark, table, view):
+    """Bucket pruning in update() must hash touched keys with EACH version's
+    own n_buckets: across a rebucket, pre_v and post_v disagree on layout and
+    current-layout hashing silently prunes away the touched keys' files."""
+    _merge(
+        spark,
+        table,
+        [("I", f"k{i}", ts(1), i, "en", 10 * (i + 1)) for i in range(12)],
+        1,
+    )
+    view.update(table, 1)
+    table.rebucket(16)
+    # late-attach path (the reproduced defect): a FRESH view catching up over
+    # a history that spans the rebucket
+    v2 = AggView.create(
+        spark, os.path.join(table.root, "..", "v2"), GROUPS, MEASURES, COLS
+    )
+    assert v2.update_all(table) >= 1
+    assert _as_dict(v2.read()) == _as_dict(_full_recompute(table)) == {
+        "en": (12, sum(10 * (i + 1) for i in range(12)))
+    }
+
+    # live path: a post-rebucket batch whose pre-image lives at the NEW layout
+    # while an old view keeps tailing
+    _merge(
+        spark,
+        table,
+        [("U", "k3", ts(2), 100, "de", 5), ("D", "k7", ts(2), 101, None, None)],
+        2,
+    )
+    view.update(table, 2)
+    v2.update(table, 2)
+    expect = _as_dict(_full_recompute(table))
+    assert _as_dict(view.read()) == expect
+    assert _as_dict(v2.read()) == expect

@@ -497,8 +497,12 @@ def test_rebucket_evolves_layout_and_preserves_state(spark, table):
     assert st.committed_version > 0 and table.n_buckets == 8
     assert {r.url: bytes(r.html) for r in table.read().collect()} == before
     # files now live under 8 buckets; stats carry no stale old-layout keys
-    snap_buckets = {int(b) for b in table.stats() and table._resolve_files(table._snapshot())}
-    assert snap_buckets <= set(range(8)) and len(snap_buckets) > 4
+    snap = table._snapshot()
+    assert {int(b) for b in snap["bucket_stats"]} <= set(range(8))
+    resolved_buckets = {
+        int(b) for b, fl in table._resolve_files(snap).items() if fl
+    }
+    assert resolved_buckets <= set(range(8)) and len(resolved_buckets) > 4
     assert table.stats()["live_rows"] == 19
 
     # idempotent; reload sees the new layout; merges keep working
@@ -519,3 +523,33 @@ def test_rebucket_evolves_layout_and_preserves_state(spark, table):
     v_pre = st.committed_version - 1
     t2.rollback(v_pre)
     assert t2.n_buckets == 4
+
+
+def test_rebucket_shrink_clears_old_layout(spark, table):
+    """Shrinking the bucket count must CLEAR old-layout buckets >= n_new in
+    the replace manifest — otherwise their base files survive resolution and
+    every row they hold is read twice (all-'base' lists skip LWW resolution)."""
+    _merge(
+        spark,
+        table,
+        [("I", f"k{i}", ts(1 + i % 5), i, f"<p{i}>".encode(), "en") for i in range(40)],
+        1,
+    )
+    _merge(spark, table, [("U", "k7", ts(9), 100, b"<v2>", "sv")], 2)
+    table.compact(batch_id="c1")
+    before = {r.url: (bytes(r.html), r.lang) for r in table.read().collect()}
+    assert len(before) == 40 and before["k7"] == (b"<v2>", "sv")
+
+    table.rebucket(2)
+    got = {r.url: (bytes(r.html), r.lang) for r in table.read().collect()}
+    assert len(got) == 40  # no duplicated rows from stale buckets 2..7
+    assert got == before
+    live = {
+        int(b)
+        for b, fl in table._resolve_files(table._snapshot()).items()
+        if fl
+    }
+    assert live <= {0, 1}
+    # LWW still intact through a subsequent merge on the shrunk layout
+    _merge(spark, table, [("U", "k7", ts(2), 1, b"<stale>", "en")], 3)
+    assert {r.url: bytes(r.html) for r in table.read().collect()}["k7"] == b"<v2>"

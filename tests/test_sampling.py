@@ -189,6 +189,21 @@ def test_weighted_sample_rates_and_determinism(spark):
         weighted_sample(df, "doc_id", {"cc": 101})
 
 
+def test_weighted_sample_null_id_fails_loud(spark):
+    """A NULL id must raise, not silently drop the row (even from a
+    keep-100% group the three-valued `scr < rate` predicate filters it)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from data_pipelines_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, "wiki"), (None, "wiki")], "doc_id long, source string"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException), match="weighted_sample"):
+        weighted_sample(df, "doc_id", {"wiki": 100}).collect()
+
+
 def test_pack_positions_within_budget(spark):
     from data_pipelines_spark.operators.sharding import assign_shards
 
