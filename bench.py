@@ -26,6 +26,44 @@ import tempfile
 import time
 
 
+def _host_load() -> dict:
+    """Contamination evidence: /proc/loadavg snapshot (1/5/15-min load plus
+    runnable/total process counts). Stamped into the output JSON before AND
+    after the run so a number recorded on a loaded host carries its own
+    disqualification — BENCH_r03.json was silently 1.4-4x inflated by
+    neighbor load and misreported a healthy engine as regressed."""
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        running, total = parts[3].split("/")
+        return {
+            "load1": float(parts[0]),
+            "load5": float(parts[1]),
+            "load15": float(parts[2]),
+            "runnable": int(running),
+            "procs": int(total),
+        }
+    except (OSError, ValueError, IndexError):
+        return {}
+
+
+def _load_guard(load: dict) -> None:
+    """Warn loudly (or refuse, under BENCH_LOAD_STRICT=1) when the host is
+    already busy before the timed window starts. Threshold in load-average
+    units via BENCH_LOAD_MAX (default 2.0)."""
+    limit = float(os.environ.get("BENCH_LOAD_MAX", "2.0"))
+    load1 = load.get("load1")
+    if load1 is None or load1 <= limit:
+        return
+    msg = (
+        f"bench: host load1={load1} exceeds {limit} before start — "
+        "numbers will be contaminated (see CLAUDE.md); run on an idle host"
+    )
+    if os.environ.get("BENCH_LOAD_STRICT", "0") == "1":
+        raise RuntimeError(msg)
+    print(f"WARNING: {msg}", file=sys.stderr)
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -41,6 +79,9 @@ def main() -> None:
     n_events = int(os.environ.get("BENCH_EVENTS", str(max(2000, int(10_000_000 * sf)))))
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     html_repeat = int(os.environ.get("BENCH_HTML_REPEAT", "0"))
+
+    load_before = _host_load()
+    _load_guard(load_before)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as em
@@ -188,6 +229,8 @@ def main() -> None:
             "ingest_trials": max(1, cdc_trials),
             "query_trials": max(1, query_trials),
             "note": "per-entry best-of-N on a shared host (see CLAUDE.md)",
+            "load_before": load_before,
+            "load_after": _host_load(),
         },
     }
     shutil.rmtree(work, ignore_errors=True)
