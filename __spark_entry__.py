@@ -269,6 +269,49 @@ def cdc_incr_agg(spark, sf):
     )
 
 
+def cdc_incr_agg_minmax(spark, sf):
+    """Incrementally-maintained view with NON-retractable measures
+    (`lake.aggview.AggView`, `"agg:expr"` specs): max/min are recomputed
+    exactly for each batch's touched groups (one column-pruned scan
+    broadcast-semi-joined to the touched groups — the inherent cost of
+    non-retractable aggregates) and resolved latest-wins at read; avg is
+    maintained as an exact signed (sum, non-null count) pair. The oracle
+    recomputes the same GROUP BY over the SQL LWW final state across the
+    5-batch replay (updates AND deletes), so equality proves the shrinking
+    max / growing min cases the signed-delta path cannot see. Mirrors the
+    reference's freshness stat (boxing/database/metadata.py:182,
+    MAX(scraped_at)) as a maintained view instead of a per-run re-scan."""
+    from data_pipelines_spark.lake.aggview import AggView
+
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_aggmm_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    view = AggView.create(
+        spark,
+        os.path.join(root, "v"),
+        group_cols={"grp": "pmod(cast(get_json_object(props, '$.k') as int), 10)"},
+        measures={
+            "max_ts": "max:warc_ts",
+            "min_value": "min:value",
+            "avg_value": "avg:cast(value as decimal(18,2))",
+        },
+        source_columns=["warc_ts", "value", "props"],
+    )
+    pipe.attach_view(view)
+    pipe.run_batches(changes, n_batches=5)
+    view.compact()
+    return view.read().select(
+        F.col("grp").cast("int").alias("grp"),
+        "cnt",
+        "max_ts",
+        "min_value",
+        F.round(F.col("avg_value"), 2).alias("avg_value"),
+    )
+
+
 def cdc_rebucket(spark, sf):
     """Bucket-layout evolution (`LakeTable.rebucket`): replay 5 batches at
     16 buckets, rewrite the table to 32, merge one more batch on the new
@@ -1795,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_log": cdc_change_log,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_incr_agg": cdc_incr_agg,
+        "cdc_incr_agg_minmax": cdc_incr_agg_minmax,
         "cdc_backfill": cdc_backfill,
         "cdc_rebucket": cdc_rebucket,
         "q1_pricing_summary": q1_pricing_summary,
@@ -2588,6 +2632,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS grp,
                    count(*) AS cnt,
                    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+            FROM fin GROUP BY 1
+        """,
+        "cdc_incr_agg_minmax": """
+            WITH ch AS (
+              SELECT event_id AS off,
+                     CASE WHEN event_type='error' THEN 'D'
+                          WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+                     ts AS warc_ts, value, props,
+                     concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url
+              FROM events
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY url
+                       ORDER BY warc_ts DESC, off DESC) AS rn
+              FROM ch
+            ), fin AS (
+              SELECT * FROM r WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS grp,
+                   count(*) AS cnt,
+                   max(warc_ts) AS max_ts,
+                   min(value) AS min_value,
+                   CASE WHEN count(value) = 0 THEN NULL
+                        ELSE round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                                   / count(value), 2)
+                   END AS avg_value
             FROM fin GROUP BY 1
         """,
         "q1_pricing_summary": """

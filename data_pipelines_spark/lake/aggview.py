@@ -5,11 +5,28 @@ mirror DB, e.g. ``boxing/validate``'s global counts, become a view the ingest
 keeps current per micro-batch instead of re-scanning the table).
 
 Semantics: the view materializes ``SELECT <groups>, count(*) AS cnt,
-sum(<measure>)… FROM table_final_state GROUP BY <groups>`` and is updated
+agg(<measure>)… FROM table_final_state GROUP BY <groups>`` and is updated
 per committed merge batch from that batch's *net effect* (post-image minus
-pre-image of the touched keys), never by re-aggregating the table. Only
-SUM-decomposable measures are supported (count / sum / avg-as-sum-over-cnt);
-MIN/MAX are not retractable from deltas and are deliberately out of scope.
+pre-image of the touched keys), never by re-aggregating the whole table.
+Measures are declared as ``"agg:expr"`` strings (a bare ``"expr"`` means
+``sum``) and fall into two maintenance classes:
+
+* ``sum`` / ``avg`` — SUM-decomposable: maintained purely from signed
+  deltas (avg stores an exact ``(sum, non-null count)`` pair and divides
+  at read time, presented as double). Per-batch cost is O(batch) + two
+  bucket-pruned touched-key reads.
+* ``min`` / ``max`` — NOT retractable from deltas (the reference's own
+  freshness stat is ``MAX(scraped_at)``, boxing/database/metadata.py:182):
+  maintained by *recomputing the touched groups exactly*. Each update adds
+  one column-pruned scan of the post-version table, semi-joined (broadcast)
+  to the batch's touched groups — group members on untouched keys live in
+  arbitrary buckets, so this scan cannot be bucket-pruned; that is the
+  inherent cost of non-retractable aggregates (Flink's retractable MAX
+  keeps a per-group value multiset in keyed state; here the table IS that
+  state, re-read for touched groups only). Recomputed values are absolute,
+  stamped with the commit's table version (``applied_v``), and read
+  latest-wins via ``max_by`` — untouched groups keep their older rows.
+  Views with no min/max measure pay none of this.
 
 Storage is merge-on-read for aggregates, mirroring the main table's design:
 each batch appends tiny signed delta rows ``(groups…, cnt, measures…)``
@@ -48,15 +65,33 @@ from pyspark.sql.types import StructType
 from data_pipelines_spark.functions.hashing import bucket_id
 from data_pipelines_spark.lake.table import ChangeLogUnavailableError, LakeTable
 
+_AGG_KINDS = ("sum", "avg", "min", "max")
+
+
+def _parse_measures(measures: dict[str, str]) -> list[tuple[str, str, str]]:
+    """``"agg:expr"`` → (name, agg, expr); a bare expression means sum.
+    Only a leading token that is exactly one of sum/avg/min/max counts as
+    an agg prefix, so expressions containing ':' elsewhere stay intact."""
+    out = []
+    for name, spec in measures.items():
+        agg, sep, expr = spec.partition(":")
+        if sep and agg.strip().lower() in _AGG_KINDS and expr.strip():
+            out.append((name, agg.strip().lower(), expr.strip()))
+        else:
+            out.append((name, "sum", spec))
+    return out
+
 
 class AggView:
     """A persistent incrementally-maintained GROUP BY view over a LakeTable.
 
     ``group_cols`` / ``measures`` are name→SQL-expression maps evaluated
-    against the source table's rows; ``source_columns`` lists the physical
-    columns those expressions read (the pre/post scans prune to exactly
-    key + seq + these). All three are persisted in ``meta.json`` at
-    :meth:`create` so :meth:`load` reopens the identical view definition.
+    against the source table's rows; measure values may carry an agg prefix
+    (``"max:scraped_at"``, ``"avg:length(text)"`` — bare means sum).
+    ``source_columns`` lists the physical columns those expressions read
+    (the pre/post scans prune to exactly key + seq + these). All three are
+    persisted in ``meta.json`` at :meth:`create` so :meth:`load` reopens
+    the identical view definition.
     """
 
     def __init__(
@@ -69,14 +104,31 @@ class AggView:
     ):
         if not group_cols:
             raise ValueError("at least one group column is required")
-        bad = {"cnt", "batch_id"} & (set(group_cols) | set(measures))
-        if bad:
-            raise ValueError(f"reserved column names: {sorted(bad)}")
         self.spark = spark
         self.root = root
         self.group_cols = dict(group_cols)
         self.measures = dict(measures)
         self.source_columns = list(source_columns)
+        self._parsed = _parse_measures(self.measures)
+        self._minmax = [(n, a, e) for n, a, e in self._parsed if a in ("min", "max")]
+        # physical delta columns backing each sum-decomposable measure
+        self._sum_cols: list[tuple[str, str]] = []  # (storage col, row expr)
+        self._avg_pairs: list[tuple[str, str, str, str]] = []  # (name, sum, n, expr)
+        for n, a, e in self._parsed:
+            if a == "sum":
+                self._sum_cols.append((n, e))
+            elif a == "avg":
+                self._sum_cols.append((f"{n}__s", e))
+                self._avg_pairs.append((n, f"{n}__s", f"{n}__n", e))
+        # every physical delta column must be unique: group names, the
+        # engine columns, each measure's storage column(s)
+        phys = list(group_cols) + ["cnt", "batch_id", "applied_v"]
+        phys += [s for s, _ in self._sum_cols]
+        phys += [nn for _, _, nn, _e in self._avg_pairs]
+        phys += [n for n, _, _ in self._minmax]
+        bad = {n for n in phys if phys.count(n) > 1}
+        if bad:
+            raise ValueError(f"reserved/colliding column names: {sorted(bad)}")
         self._deltas = os.path.join(root, "deltas")
         self._ledger_dir = os.path.join(root, "_ledger")
         os.makedirs(self._ledger_dir, exist_ok=True)
@@ -162,13 +214,73 @@ class AggView:
 
     # ------------------------------------------------------------- update
 
+    @property
+    def _fold_cols(self) -> list[str]:
+        """Delta storage columns folded by SUM at read/compact time."""
+        return [s for s, _ in self._sum_cols] + [
+            nn for _, _, nn, _e in self._avg_pairs
+        ]
+
     def _contrib(self, rows: DataFrame, sign: int) -> DataFrame:
-        """Signed per-group contribution of a set of table rows."""
+        """Signed per-group contribution of a set of table rows (the
+        SUM-decomposable measures only — min/max are recomputed, not
+        delta-folded; see :meth:`_minmax_recompute`)."""
         groups = [F.expr(e).alias(n) for n, e in self.group_cols.items()]
-        aggs = [F.sum(F.lit(sign)).cast("long").alias("cnt")] + [
-            F.sum(F.expr(e) * F.lit(sign)).alias(n) for n, e in self.measures.items()
+        aggs = [F.sum(F.lit(sign)).cast("long").alias("cnt")]
+        aggs += [F.sum(F.expr(e) * F.lit(sign)).alias(s) for s, e in self._sum_cols]
+        aggs += [
+            F.sum(F.when(F.expr(e).isNotNull(), F.lit(sign)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(nn)
+            for _n, _s, nn, e in self._avg_pairs
         ]
         return rows.groupBy(*groups).agg(*aggs)
+
+    def _minmax_recompute(self, table: LakeTable, version: int, touched_groups: DataFrame) -> DataFrame:
+        """Exact min/max per touched group at ``version``: one column-pruned
+        table scan, broadcast-semi-joined to the touched groups (null-safe —
+        a NULL group value is a real group). Cannot be bucket-pruned: group
+        members on untouched keys live in arbitrary buckets."""
+        gnames = list(self.group_cols)
+        rows = table.read(version=version, columns=self.source_columns)
+        proj = rows.select(
+            *[F.expr(e).alias(n) for n, e in self.group_cols.items()],
+            *[F.expr(e).alias(f"__mm_{n}") for n, _a, e in self._minmax],
+        )
+        probe = F.broadcast(
+            touched_groups.select(*[F.col(n).alias(f"__g_{n}") for n in gnames])
+        )
+        cond = None
+        for n in gnames:
+            c = proj[n].eqNullSafe(probe[f"__g_{n}"])
+            cond = c if cond is None else cond & c
+        matched = proj.join(probe, cond, "left_semi")
+        aggs = [
+            (F.min if a == "min" else F.max)(F.col(f"__mm_{n}")).alias(n)
+            for n, a, _e in self._minmax
+        ]
+        return matched.groupBy(*gnames).agg(*aggs)
+
+    def _attach_minmax(
+        self, delta: DataFrame, table: LakeTable, version: int
+    ) -> DataFrame:
+        """Left-join the recomputed min/max values (absolute, not signed)
+        onto the batch's touched-group delta rows and stamp ``applied_v``
+        so reads resolve latest-wins per group. A touched group with no
+        surviving rows gets NULLs here — correct, since ``read``'s
+        ``cnt > 0`` filter drops it until it is re-added (at which point a
+        newer recompute row wins)."""
+        gnames = list(self.group_cols)
+        mm = self._minmax_recompute(table, version, delta.select(*gnames).distinct())
+        cond = None
+        for n in gnames:
+            c = delta[n].eqNullSafe(mm[n])
+            cond = c if cond is None else cond & c
+        joined = delta.join(mm, cond, "left").select(
+            *[delta[c] for c in delta.columns],
+            *[mm[n] for n, _a, _e in self._minmax],
+        )
+        return joined.withColumn("applied_v", F.lit(int(version)).cast("long"))
 
     def update(self, table: LakeTable, batch_id: int | str) -> bool:
         """Fold one committed merge batch's net effect into the view.
@@ -252,13 +364,25 @@ class AggView:
                 .groupBy(*self.group_cols)
                 .agg(
                     F.sum("cnt").alias("cnt"),
-                    *[F.sum(n).alias(n) for n in self.measures],
+                    *[F.sum(c).alias(c) for c in self._fold_cols],
                 )
             )
-        zero = (F.col("cnt") == 0) & F.lit(True)
-        for n in self.measures:
-            zero = zero & (F.col(n).isNull() | (F.col(n) == 0))
-        delta = delta.where(~zero).withColumn("batch_id", F.lit(bid))
+        pinned = None
+        if self._minmax:
+            # min/max may change even when every signed sum nets to zero
+            # (a value shrank within the same group), so EVERY touched
+            # group keeps its row — it carries the recomputed absolutes.
+            # The delta subtree (it embeds both snapshot reads) is referenced
+            # by the group probe AND the final join; Spark does not CSE
+            # repeated subtrees, so pin the tiny per-group frame.
+            pinned = delta.persist()
+            delta = self._attach_minmax(pinned, table, post_v)
+        else:
+            zero = (F.col("cnt") == 0) & F.lit(True)
+            for c in self._fold_cols:
+                zero = zero & (F.col(c).isNull() | (F.col(c) == 0))
+            delta = delta.where(~zero)
+        delta = delta.withColumn("batch_id", F.lit(bid))
 
         (
             delta.write.mode("overwrite")
@@ -267,6 +391,8 @@ class AggView:
             .parquet(self._deltas)
         )
         touched.unpersist()
+        if pinned is not None:
+            pinned.unpersist()
         schema = StructType([f for f in delta.schema.fields if f.name != "batch_id"])
         with open(self._marker(bid), "w") as f:
             json.dump({"table_version": post_v, "schema": schema.jsonValue()}, f)
@@ -304,20 +430,46 @@ class AggView:
         df = self.spark.read.schema(full).parquet(self._deltas)
         return df.where(F.col("batch_id").isin(live))
 
+    def _fold_aggs(self) -> list:
+        """Aggregations that collapse delta rows to one row per group:
+        SUM for the signed columns, latest-wins (``max_by`` on the stamping
+        version) for recomputed min/max, MAX for the stamp itself. The
+        struct wrapper keeps a legitimately-NULL latest value from losing
+        to an older non-NULL one."""
+        aggs = [F.sum("cnt").alias("cnt")]
+        aggs += [F.sum(c).alias(c) for c in self._fold_cols]
+        for n, _a, _e in self._minmax:
+            aggs.append(
+                F.max_by(F.struct(F.col(n).alias("v")), F.col("applied_v"))["v"].alias(n)
+            )
+        if self._minmax:
+            aggs.append(F.max("applied_v").alias("applied_v"))
+        return aggs
+
     def read(self) -> DataFrame:
         """Current view state: one row per live group. O(batches × groups)
-        delta rows folded by one aggregation — compaction keeps that small."""
+        delta rows folded by one aggregation — compaction keeps that small.
+        avg measures present as double (their storage pair stays exact)."""
         deltas = self._delta_rows()
         if deltas is None:
             raise ValueError("view has no committed batches yet")
-        return (
+        folded = (
             deltas.groupBy(*self.group_cols)
-            .agg(
-                F.sum("cnt").alias("cnt"),
-                *[F.sum(n).alias(n) for n in self.measures],
-            )
+            .agg(*self._fold_aggs())
             .where(F.col("cnt") > 0)
         )
+        out = [F.col(n) for n in self.group_cols] + [F.col("cnt")]
+        for n, a, _e in self._parsed:
+            if a == "avg":
+                _, s, nn, _e2 = next(p for p in self._avg_pairs if p[0] == n)
+                out.append(
+                    F.when(
+                        F.col(nn) > 0, F.col(s).cast("double") / F.col(nn)
+                    ).alias(n)
+                )
+            else:
+                out.append(F.col(n))
+        return folded.select(*out)
 
     # ------------------------------------------------------------- rebuild
 
@@ -335,7 +487,26 @@ class AggView:
         if self.is_committed(cid):
             return
         rows = table.read(version=version, columns=self.source_columns)
-        folded = self._contrib(rows, 1).withColumn("batch_id", F.lit(cid))
+        folded = self._contrib(rows, 1)
+        if self._minmax:
+            # full-state pass: min/max computed directly in the same
+            # aggregation shape as a recompute row, stamped at this version
+            groups = [F.expr(e).alias(n) for n, e in self.group_cols.items()]
+            mm = rows.groupBy(*groups).agg(
+                *[
+                    (F.min if a == "min" else F.max)(F.expr(e)).alias(n)
+                    for n, a, e in self._minmax
+                ]
+            )
+            cond = None
+            for n in self.group_cols:
+                c = folded[n].eqNullSafe(mm[n])
+                cond = c if cond is None else cond & c
+            folded = folded.join(mm, cond, "left").select(
+                *[folded[c] for c in folded.columns],
+                *[mm[n] for n, _a, _e in self._minmax],
+            ).withColumn("applied_v", F.lit(int(version)).cast("long"))
+        folded = folded.withColumn("batch_id", F.lit(cid))
         (
             folded.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -379,10 +550,7 @@ class AggView:
         folded = (
             self._delta_rows()
             .groupBy(*self.group_cols)
-            .agg(
-                F.sum("cnt").alias("cnt"),
-                *[F.sum(n).alias(n) for n in self.measures],
-            )
+            .agg(*self._fold_aggs())
             .withColumn("batch_id", F.lit(cid))
         )
         (

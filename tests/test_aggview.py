@@ -238,6 +238,129 @@ def test_rollback_replay_fails_loud_then_rebuild(spark, table, view):
     }
 
 
+MM_MEASURES = {
+    "tokens": "n_tokens",  # bare = sum (back-compat)
+    "max_tok": "max:n_tokens",
+    "min_tok": "min:n_tokens",
+    "avg_tok": "avg:n_tokens",
+}
+
+
+@pytest.fixture()
+def mm_view(spark, tmp_root):
+    return AggView.create(
+        spark, os.path.join(tmp_root, "vm"), GROUPS, MM_MEASURES, COLS
+    )
+
+
+def _mm_full(table):
+    return (
+        table.read()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tokens").alias("tokens"),
+            F.max("n_tokens").alias("max_tok"),
+            F.min("n_tokens").alias("min_tok"),
+            F.avg("n_tokens").alias("avg_tok"),
+        )
+    )
+
+
+def _mm_dict(df):
+    return {
+        r["lang"]: (r["cnt"], r["tokens"], r["max_tok"], r["min_tok"], r["avg_tok"])
+        for r in df.collect()
+    }
+
+
+def test_minmax_avg_track_updates_and_deletes(spark, table, mm_view):
+    """min/max are recomputed per touched group (not delta-folded): a max
+    that SHRINKS on an update — invisible to signed deltas — must track,
+    as must NULL groups and NULL measure values (avg ignores them)."""
+    _merge(
+        spark,
+        table,
+        [
+            ("I", "a", ts(1), 1, "en", 100),
+            ("I", "b", ts(1), 2, "en", 50),
+            ("I", "c", ts(1), 3, "de", 70),
+            ("I", "n", ts(1), 4, None, None),
+        ],
+        1,
+    )
+    mm_view.update(table, 1)
+    assert _mm_dict(mm_view.read()) == _mm_dict(_mm_full(table))
+    # the en max (100) shrinks; c deleted; b moves groups — all recomputed
+    _merge(
+        spark,
+        table,
+        [
+            ("U", "a", ts(2), 10, "en", 40),
+            ("D", "c", ts(2), 11, None, None),
+            ("U", "b", ts(2), 12, "fr", 50),
+        ],
+        2,
+    )
+    mm_view.update(table, 2)
+    got = _mm_dict(mm_view.read())
+    assert got == _mm_dict(_mm_full(table))
+    assert got["en"] == (1, 40, 40, 40, 40.0)  # max really shrank
+
+
+def test_minmax_survives_compact_and_rebuild(spark, table, mm_view):
+    _merge(spark, table, [("I", "a", ts(1), 1, "en", 9)], 1)
+    _merge(spark, table, [("I", "b", ts(2), 2, "en", 3)], 2)
+    _merge(spark, table, [("D", "a", ts(3), 3, None, None)], 3)
+    mm_view.update_all(table)
+    before = _mm_dict(mm_view.read())
+    assert before == _mm_dict(_mm_full(table)) == {"en": (1, 3, 3, 3, 3.0)}
+    assert mm_view.compact()
+    assert _mm_dict(mm_view.read()) == before
+    # updates keep flowing after compaction; rebuild re-baselines
+    _merge(spark, table, [("I", "c", ts(4), 4, "en", 30)], 4)
+    mm_view.update(table, 4)
+    assert _mm_dict(mm_view.read()) == _mm_dict(_mm_full(table))
+    mm_view.rebuild(table)
+    assert _mm_dict(mm_view.read()) == _mm_dict(_mm_full(table))
+
+
+def test_minmax_across_rebucket(spark, table, mm_view):
+    """The recompute path reads full table state at the commit's own version
+    — layout evolution must stay invisible to it."""
+    _merge(
+        spark,
+        table,
+        [("I", f"k{i}", ts(1), i, "en", 10 * (i + 1)) for i in range(8)],
+        1,
+    )
+    mm_view.update(table, 1)
+    table.rebucket(16)
+    _merge(
+        spark,
+        table,
+        [("D", "k7", ts(2), 100, None, None), ("U", "k0", ts(2), 101, "en", 75)],
+        2,
+    )
+    mm_view.update(table, 2)
+    got = _mm_dict(mm_view.read())
+    assert got == _mm_dict(_mm_full(table))
+    assert got["en"][2] == 75  # old max (80) retracted by the delete
+
+
+def test_minmax_reserved_names_and_bad_specs(spark, tmp_root):
+    with pytest.raises(ValueError, match="reserved"):
+        AggView(spark, os.path.join(tmp_root, "bad1"), GROUPS,
+                {"applied_v": "max:n_tokens"}, COLS)
+    with pytest.raises(ValueError, match="reserved"):
+        AggView(spark, os.path.join(tmp_root, "bad2"), GROUPS,
+                {"x": "avg:n_tokens", "x__n": "n_tokens"}, COLS)
+    # a ':' later in the expression is NOT an agg prefix
+    v = AggView(spark, os.path.join(tmp_root, "ok"), GROUPS,
+                {"m": "if(lang = 'a:b', 1, 0)"}, COLS)
+    assert v._parsed == [("m", "sum", "if(lang = 'a:b', 1, 0)")]
+
+
 def test_update_across_rebucket_uses_each_versions_layout(spark, table, view):
     """Bucket pruning in update() must hash touched keys with EACH version's
     own n_buckets: across a rebucket, pre_v and post_v disagree on layout and
