@@ -18,10 +18,13 @@ near-dup of d", which is what the SQL oracle recomputes globally.
 Scale shape (the 100 TB story):
 
 - per-batch compute is O(batch) signatures + one probe join. The probe
-  broadcasts the BATCH bands (small) against a scan of the store's band
-  table — a narrow (id, band, bucket) long table, ~100× less IO than
-  re-reading corpus text, column-pruned and embarrassingly parallel, no
-  shuffle of the store;
+  broadcasts the BATCH bands (small) against the store's band table — a
+  narrow (id, band, bucket) long table, ~100× less IO than re-reading
+  corpus text, column-pruned, embarrassingly parallel, no shuffle of the
+  store — and the scan is PARTITION-PRUNED to the batch's own
+  ``bpart = pmod(bucket, n_parts)`` set (bounded collect, ≤ n_parts
+  values), so a batch touching few buckets reads only the store files it
+  can collide with instead of the whole seen corpus every batch;
 - candidate verification never touches corpus text: the store keeps each
   document's shingle array, and candidate ids (few) broadcast into a
   partition-pruned point lookup (`spart = pmod(xxhash64(id), n_parts)` is a
@@ -154,8 +157,16 @@ class MinHashIndex:
         df = self._read(sub, schema)
         return df.where(F.col("batch_id").cast("string").isin(committed))
 
-    def seen_bands(self) -> DataFrame | None:
-        return self._read_part("bands")
+    def seen_bands(self, bparts: list[int] | None = None) -> DataFrame | None:
+        """The store's band table; ``bparts`` restricts the scan to the given
+        bucket partitions (``bpart = pmod(bucket, n_parts)`` is a partition
+        column, so the filter is file-level partition pruning — the probe
+        reads only partitions a batch bucket can actually collide with,
+        O(matching partitions) instead of O(seen-corpus) per batch)."""
+        df = self._read_part("bands")
+        if df is None or bparts is None:
+            return df
+        return df.where(F.col("bpart").isin([int(p) for p in bparts]))
 
     def seen_shingles(self) -> DataFrame | None:
         return self._read_part("shingles")
@@ -222,7 +233,20 @@ class MinHashIndex:
         within = bucket_pairs(bands, max_bucket=self.max_bucket).select(
             F.col("a").alias("seen_id"), F.col("b").alias("new_id")
         )
-        store_bands = self.seen_bands()
+        # the batch's buckets can only collide inside their own bpart
+        # partitions — a bounded collect (≤ n_parts values, and it also
+        # materializes the `bands` persist) prunes the store scan to those
+        # files instead of re-reading the whole seen-corpus band table
+        # every batch (over 10^5 microbatches that scan is quadratic)
+        batch_bparts = [
+            int(r["p"])
+            for r in bands.select(
+                F.pmod(F.col("bucket"), F.lit(self.n_parts)).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        store_bands = self.seen_bands(batch_bparts) if batch_bparts else None
         if store_bands is not None:
             batch_bands = bands.select(F.col("id").alias("new_id"), "band", "bucket")
             if self.broadcast_probe:

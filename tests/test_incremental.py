@@ -150,3 +150,46 @@ def test_matches_global_rule_regardless_of_batching(spark, tmp_root):
     pairs = minhash_lsh_dedup_pairs(df, threshold=0.9)
     dropped = {r.b for r in pairs.collect()}  # a < b → b loses
     assert kept == set(range(60)) - dropped
+
+
+def test_probe_scan_prunes_store_partitions(spark, docs, tmp_root):
+    """The store probe must be partition-pruned to the batch's own bpart set
+    (bpart = pmod(bucket, n_parts)): the filter reaches the parquet scan as
+    a PartitionFilter, the matching partitions hold strictly fewer files
+    than the store, and the pruned probe still catches cross-batch dups."""
+    import glob
+
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=64)
+    for b, batch in _batches(docs):
+        idx.process_batch(batch, b)
+
+    # the bparts one doc's buckets land in — strictly fewer than the store's
+    all_parts = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(tmp_root, "idx", "bands", "batch_id=*", "bpart=*"))
+    }
+    sub = sorted(all_parts)[: max(1, len(all_parts) // 3)]
+    assert len(sub) < len(all_parts)
+
+    pruned = idx.seen_bands(sub)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters:"):].split("]")[0]
+    assert "bpart" in pf, pf
+
+    def files_in(parts):
+        return [
+            f
+            for p in parts
+            for f in glob.glob(
+                os.path.join(
+                    tmp_root, "idx", "bands", "batch_id=*", f"bpart={p}", "*.parquet"
+                )
+            )
+        ]
+
+    assert 0 < len(files_in(sub)) < len(files_in(all_parts))
+
+    # end-to-end: with the pruning live, a cross-batch dup is still caught
+    dup = spark.createDataFrame([(30, BASE)], "doc_id long, text string")
+    assert idx.process_batch(dup, 3).count() == 0
+    assert (30, 0) in {(r.id, r.seen_id) for r in idx.dup_log().collect()}
