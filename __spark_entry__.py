@@ -845,6 +845,41 @@ def cdc_neardup_ingest(spark, sf):
     return pipe.table.read().select("doc_id", "lang")
 
 
+def cdc_embdup_ingest(spark, sf):
+    """Incremental embedding near-dup index (operators/incremental.py
+    EmbeddingIndex): vectors arrive in three id-ordered batches; each batch
+    is sign-LSH-bucketed ONCE (same seed-deterministic hyperplanes as the
+    batch operator), probed against the persistent vector store — the scan
+    partition-pruned to the batch's own bpart set — exact-cosine-verified,
+    and appended. The store is compacted mid-stream (after batch 1) so the
+    last batch probes consolidated partitions. Because batches are
+    id-ordered and verification is exact, the cumulative dup log equals
+    `embedding_near_dup_lsh` run once over the union — the same pair set
+    the shared SQL oracle recomputes from plane literals."""
+    import tempfile
+
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    hi = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    step = (hi + 2) // 3
+    idx = EmbeddingIndex(
+        spark, tempfile.mkdtemp(prefix="embidx_"), threshold=0.3, n_planes=8
+    )
+    for b in range(3):
+        idx.process_batch(
+            e.where((F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)),
+            b,
+        )
+        if b == 1:
+            idx.compact()
+    return idx.dup_log().select(
+        F.col("seen_id").alias("a"),
+        F.col("id").alias("b"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def dedup_simhash(spark, sf):
     """SimHash near-dup pairs (Hamming ≤ 3), md5 60-bit variant.
 
@@ -1888,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_batch_lsh_topk": sim_batch_lsh_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "cdc_embdup_ingest": cdc_embdup_ingest,
         "f4_bout_id_gen": f4_bout_id_gen,
         "f8_filename_codec": f8_filename_codec,
         "f10_height_conversion": f10_height_conversion,
@@ -3656,6 +3692,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _seen_rule_oracle(threshold=0.9, n=3),
         "cdc_neardup_ingest": _seen_rule_oracle(threshold=0.9, n=3),
         "dedup_embedding_lsh": _embedding_lsh_oracle(threshold=0.3, n_planes=8),
+        # the incremental index telescopes to the same global pair set
+        "cdc_embdup_ingest": _embedding_lsh_oracle(threshold=0.3, n_planes=8),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "dedup_clusters": _dedup_clusters_oracle(max_hamming=3),
         "doc_fingerprint": _fingerprint_oracle(k=8, sketch=16),

@@ -1,11 +1,16 @@
-"""Incremental near-dup dedup on ingest — the CDC-native MinHash index.
+"""Incremental near-dup dedup on ingest — CDC-native MinHash and
+embedding-LSH indexes.
 
 The batch dedup family (:mod:`operators.dedup`) signs the WHOLE corpus per
 run; at 100 TB that is exactly the recompute an incremental pipeline exists
-to avoid. :class:`MinHashIndex` is the persistent side-structure: each new
-batch is shingled and signed ONCE (O(batch), never O(corpus)), probed
-against the stored band buckets of everything seen so far, exact-verified
-with true shingle Jaccard, and only then appended to the store.
+to avoid. :class:`MinHashIndex` is the persistent side-structure for text:
+each new batch is shingled and signed ONCE (O(batch), never O(corpus)),
+probed against the stored band buckets of everything seen so far,
+exact-verified with true shingle Jaccard, and only then appended to the
+store. :class:`EmbeddingIndex` applies the same store/ledger/probe pattern
+to sign-LSH hyperplane buckets over embedding vectors (exact-cosine
+verification inline). Both share :class:`_BatchStore`'s exactly-once
+commit discipline and small-files compaction.
 
 Semantics ("dedup against the seen set", the J7 rule lifted to near-dups):
 a new document is dropped iff its Jaccard similarity to ANY previously seen
@@ -54,47 +59,19 @@ from data_pipelines_spark.operators.dedup import (
 from data_pipelines_spark.operators.partitioning import ensure_parallelism
 
 
-class MinHashIndex:
-    """Persistent LSH signature store for incremental near-dup dedup.
+class _BatchStore:
+    """Shared store-and-ledger discipline for incremental index structures:
+    partitioned sub-tables committed exactly-once (data first with dynamic
+    partition overwrite, ledger marker LAST; reads filter to marked batches)
+    plus generic small-files compaction. Subclasses declare ``_bulk_subs``
+    (sub-table → its secondary partition column) — those get consolidated by
+    :meth:`compact` — and use ``kept``/``dups`` per-batch record tables."""
 
-    Layout under ``root``::
+    _bulk_subs: dict[str, str] = {}
 
-        bands/     batch_id=*/bpart=*/   (id, band, bucket)
-        shingles/  batch_id=*/spart=*/   (id, sh)
-        kept/      batch_id=*/           (id)
-        dups/      batch_id=*/           (id, seen_id, jaccard)
-        _ledger/<batch_id>.json          commit markers (written last)
-    """
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        root: str,
-        *,
-        threshold: float = 0.9,
-        shingle_n: int = 3,
-        num_hashes: int = 64,
-        num_bands: int = 16,
-        seed: int = 42,
-        n_parts: int = 64,
-        max_bucket: int = 1000,
-        max_probe: int | None = 1000,
-        broadcast_probe: bool = True,
-    ):
-        if num_bands < 1 or num_hashes % num_bands != 0:
-            raise ValueError("num_hashes must be a positive multiple of num_bands")
+    def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        self.threshold = threshold
-        self.shingle_n = shingle_n
-        self.num_hashes = num_hashes
-        self.num_bands = num_bands
-        self.rows_per_band = num_hashes // num_bands
-        self.seed = seed
-        self.n_parts = n_parts
-        self.max_bucket = max_bucket
-        self.max_probe = max_probe
-        self.broadcast_probe = broadcast_probe
         os.makedirs(os.path.join(root, "_ledger"), exist_ok=True)
 
     # ------------------------------------------------------------- ledger
@@ -142,13 +119,18 @@ class MinHashIndex:
         os.makedirs(path, exist_ok=True)
         return self.spark.read.schema(schema).parquet(path)
 
-    def _read_part(self, sub: str) -> DataFrame | None:
+    def _read_part(self, sub: str, include_absorbed: bool = False) -> DataFrame | None:
         """Read a store sub-table, filtered to ledger-committed batches
         (a crash-retried batch's partial files are invisible until its
         marker lands — batch_id is a partition column, so the isin filter
-        is partition pruning, not a scan)."""
+        is partition pruning, not a scan). ``include_absorbed`` admits
+        batches folded into a compaction — valid only for the per-batch
+        record tables (``kept``/``dups``), whose partitions survive
+        compaction; bulk partitions are deleted when absorbed."""
         absorbed = self._absorbed()
         committed = [b for b in self.committed_batches() if b not in absorbed]
+        if include_absorbed:
+            committed = sorted(set(committed) | absorbed)
         if not committed:
             return None
         schema = self._stored_schema(sub)
@@ -156,6 +138,146 @@ class MinHashIndex:
             return None
         df = self._read(sub, schema)
         return df.where(F.col("batch_id").cast("string").isin(committed))
+
+    def dup_log(self) -> DataFrame | None:
+        """(batch_id, id, seen_id, score) of every drop decision so far —
+        including batches since folded into a compaction (their dups
+        partitions survive; only bulk store partitions are absorbed)."""
+        return self._read_part("dups", include_absorbed=True)
+
+    # ------------------------------------------------------------- write
+
+    @staticmethod
+    def _overwrite(df: DataFrame, path: str, parts: list[str]) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(path)
+        )
+
+    # ------------------------------------------------------------- compact
+
+    def compact(self) -> dict:
+        """Fold every live batch's bulk sub-tables into ONE consolidated batch.
+
+        At 10^5 microbatches the store is 10^5 tiny partition directories —
+        the classic streaming small-files problem; every probe scan pays the
+        listing. Compaction rewrites the bulk stores (``_bulk_subs``) under a
+        single batch id (n_parts files each) and deletes the absorbed
+        partitions. The per-batch ``kept``/``dups`` records are NOT
+        compacted: they are tiny and a re-delivered absorbed batch must
+        still replay its recorded kept set (``is_committed`` consults the
+        compaction marker's ``absorbs`` list, mirroring lake/table.py's
+        ledger discipline).
+
+        Crash-safe: the consolidated partitions are invisible until the
+        compaction marker lands (marker written last); between the marker
+        and old-marker deletion, reads subtract ``absorbs`` from the live
+        set, so double-reads cannot happen; leftover absorbed markers and
+        data directories are swept at the start of the next compact().
+        """
+        import hashlib
+        import shutil
+
+        # sweep any absorbed-but-present leftovers from a prior crash
+        for b in self._absorbed():
+            if os.path.exists(self._marker(b)):
+                os.remove(self._marker(b))
+            for sub in self._bulk_subs:
+                d = os.path.join(self.root, sub, f"batch_id={b}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+
+        live = self.committed_batches()
+        if len(live) <= 1:
+            return {"compacted": False, "live_batches": len(live)}
+        bulk_schemas = {sub: self._stored_schema(sub) for sub in self._bulk_subs}
+        cid = "compact-" + hashlib.sha1(",".join(live).encode()).hexdigest()[:10]
+        # consolidate into a scratch dir first (Spark refuses to overwrite a
+        # path it is reading, and caching the whole store to dodge that check
+        # would not scale), then rename into place as the batch_id=cid
+        # partition — still invisible to readers until the marker lands.
+        tmp = os.path.join(self.root, "_compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        for sub, part_col in self._bulk_subs.items():
+            cols = [f.name for f in bulk_schemas[sub].fields if f.name != "batch_id"]
+            (
+                self._read_part(sub)
+                .select(*cols)
+                .write.mode("overwrite")
+                .partitionBy(part_col)
+                .parquet(os.path.join(tmp, sub))
+            )
+        for sub in self._bulk_subs:
+            dst = os.path.join(self.root, sub, f"batch_id={cid}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(os.path.join(tmp, sub), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # every batch this compaction replaces, transitively (a compact id
+        # in `live` contributes its own absorbs so replay works forever)
+        absorbs = set(live)
+        for b in live:
+            with open(self._marker(b)) as f:
+                absorbs.update(json.load(f).get("absorbs", []))
+        schemas = {sub: s.jsonValue() for sub, s in bulk_schemas.items()}
+        for sub in ("kept", "dups"):
+            s = self._stored_schema(sub)
+            if s is not None:
+                schemas[sub] = s.jsonValue()
+        with open(self._marker(cid), "w") as f:
+            json.dump({"batch_id": cid, "absorbs": sorted(absorbs), "schemas": schemas}, f)
+        for b in live:
+            os.remove(self._marker(b))
+            for sub in self._bulk_subs:
+                d = os.path.join(self.root, sub, f"batch_id={b}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+        return {"compacted": True, "batch_id": cid, "absorbed": len(absorbs)}
+
+
+class MinHashIndex(_BatchStore):
+    """Persistent LSH signature store for incremental near-dup dedup.
+
+    Layout under ``root``::
+
+        bands/     batch_id=*/bpart=*/   (id, band, bucket)
+        shingles/  batch_id=*/spart=*/   (id, sh)
+        kept/      batch_id=*/           (id)
+        dups/      batch_id=*/           (id, seen_id, jaccard)
+        _ledger/<batch_id>.json          commit markers (written last)
+    """
+
+    _bulk_subs = {"bands": "bpart", "shingles": "spart"}
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        threshold: float = 0.9,
+        shingle_n: int = 3,
+        num_hashes: int = 64,
+        num_bands: int = 16,
+        seed: int = 42,
+        n_parts: int = 64,
+        max_bucket: int = 1000,
+        max_probe: int | None = 1000,
+        broadcast_probe: bool = True,
+    ):
+        if num_bands < 1 or num_hashes % num_bands != 0:
+            raise ValueError("num_hashes must be a positive multiple of num_bands")
+        super().__init__(spark, root)
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+        self.num_hashes = num_hashes
+        self.num_bands = num_bands
+        self.rows_per_band = num_hashes // num_bands
+        self.seed = seed
+        self.n_parts = n_parts
+        self.max_bucket = max_bucket
+        self.max_probe = max_probe
+        self.broadcast_probe = broadcast_probe
 
     def seen_bands(self, bparts: list[int] | None = None) -> DataFrame | None:
         """The store's band table; ``bparts`` restricts the scan to the given
@@ -170,21 +292,6 @@ class MinHashIndex:
 
     def seen_shingles(self) -> DataFrame | None:
         return self._read_part("shingles")
-
-    def dup_log(self) -> DataFrame | None:
-        """(batch_id, id, seen_id, jaccard) of every drop decision so far."""
-        return self._read_part("dups")
-
-    # ------------------------------------------------------------- write
-
-    @staticmethod
-    def _overwrite(df: DataFrame, path: str, parts: list[str]) -> None:
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*parts)
-            .parquet(path)
-        )
 
     # ------------------------------------------------------------- core
 
@@ -356,89 +463,216 @@ class MinHashIndex:
             frame.unpersist()
         return out
 
-    # ------------------------------------------------------------- compact
+class EmbeddingIndex(_BatchStore):
+    """Persistent sign-LSH vector store for incremental embedding near-dup
+    dedup — the :class:`MinHashIndex` pattern (store + ledger + broadcast
+    probe + compaction) applied to hyperplane buckets, so embedding dedup
+    stops re-signing the corpus per run (``operators/dedup.py``'s
+    ``embedding_near_dup_lsh`` is batch-only: O(corpus) per run).
 
-    def compact(self) -> dict:
-        """Fold every live batch's bands/shingles into ONE consolidated batch.
+    Semantics (same seen-set rule as MinHashIndex, cosine instead of
+    Jaccard): a new vector is dropped iff its exact cosine to ANY previously
+    seen vector — an earlier batch, or a smaller id within its own batch —
+    meets the threshold; every batch vector (kept or dropped) joins the seen
+    set. Blocking is the seed-deterministic hyperplane bucket of
+    ``similarity.random_hyperplane_bucket`` with the SAME planes as the
+    batch operator, so with id-ordered batches the cumulative dup log
+    equals ``embedding_near_dup_lsh`` run once over the union — the oracle
+    equivalence the driver checks.
 
-        At 10^5 microbatches the store is 10^5 tiny partition directories —
-        the classic streaming small-files problem; every probe scan pays the
-        listing. Compaction rewrites the bulk stores under a single batch id
-        (n_parts files each) and deletes the absorbed partitions. The per-
-        batch ``kept``/``dups`` records are NOT compacted: they are tiny and
-        a re-delivered absorbed batch must still replay its recorded kept
-        set (``is_committed`` consults the compaction marker's ``absorbs``
-        list, mirroring lake/table.py's ledger discipline).
+    Scale shape: per-batch cost is O(batch) sign tests (JVM-side, no
+    Python) + one probe join of the broadcast batch against the store's
+    vector table, PARTITION-PRUNED to the batch's own ``bpart =
+    pmod(bucket, n_parts)`` set (bounded collect) — only store files whose
+    buckets can collide are read. Exact verification happens inline (the
+    vectors ARE the payload; no second lookup like MinHash's shingle
+    fetch). Exactly-once follows the ledger discipline of
+    :class:`_BatchStore`.
 
-        Crash-safe: the consolidated partitions are invisible until the
-        compaction marker lands (marker written last); between the marker
-        and old-marker deletion, reads subtract ``absorbs`` from the live
-        set, so double-reads cannot happen; leftover absorbed markers and
-        data directories are swept at the start of the next compact().
-        """
-        import hashlib
-        import shutil
+    Layout under ``root``::
 
-        # sweep any absorbed-but-present leftovers from a prior crash
-        for b in self._absorbed():
-            if os.path.exists(self._marker(b)):
-                os.remove(self._marker(b))
-            for sub in ("bands", "shingles"):
-                d = os.path.join(self.root, sub, f"batch_id={b}")
-                if os.path.exists(d):
-                    shutil.rmtree(d)
+        vectors/   batch_id=*/bpart=*/   (id, v, bucket)
+        kept/      batch_id=*/           (id)
+        dups/      batch_id=*/           (id, seen_id, cosine)
+        _ledger/<batch_id>.json          commit markers (written last)
+    """
 
-        live = self.committed_batches()
-        if len(live) <= 1:
-            return {"compacted": False, "live_batches": len(live)}
-        bands_schema = self._stored_schema("bands")
-        sh_schema = self._stored_schema("shingles")
-        cid = "compact-" + hashlib.sha1(",".join(live).encode()).hexdigest()[:10]
-        # consolidate into a scratch dir first (Spark refuses to overwrite a
-        # path it is reading, and caching the whole store to dodge that check
-        # would not scale), then rename into place as the batch_id=cid
-        # partition — still invisible to readers until the marker lands.
-        tmp = os.path.join(self.root, "_compact_tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            self.seen_bands()
-            .select("id", "band", "bucket", "bpart")
-            .write.mode("overwrite")
-            .partitionBy("bpart")
-            .parquet(os.path.join(tmp, "bands"))
+    _bulk_subs = {"vectors": "bpart"}
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        threshold: float = 0.95,
+        n_planes: int = 8,
+        seed: int = 42,
+        dim: int | None = None,
+        n_parts: int = 64,
+        max_probe: int | None = None,
+        broadcast_probe: bool = True,
+    ):
+        super().__init__(spark, root)
+        self.threshold = threshold
+        self.n_planes = n_planes
+        self.seed = seed
+        self.dim = dim
+        self.n_parts = n_parts
+        self.max_probe = max_probe
+        self.broadcast_probe = broadcast_probe
+
+    def seen_vectors(self, bparts: list[int] | None = None) -> DataFrame | None:
+        """The store's vector table; ``bparts`` partition-prunes the scan to
+        the bucket partitions a batch can collide with (same contract as
+        ``MinHashIndex.seen_bands``)."""
+        df = self._read_part("vectors")
+        if df is None or bparts is None:
+            return df
+        return df.where(F.col("bpart").isin([int(p) for p in bparts]))
+
+    def process_batch(
+        self,
+        batch: DataFrame,
+        batch_id,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Dedup one batch of vectors against everything seen so far; returns
+        the kept rows of ``batch`` (all original columns). Idempotent per
+        batch_id: a re-delivered batch replays the recorded kept set."""
+        from data_pipelines_spark.operators.dedup import cosine_similarity
+        from data_pipelines_spark.operators.similarity import (
+            _hyperplanes,
+            random_hyperplane_bucket,
         )
-        (
-            self.seen_shingles()
-            .select("id", "sh", "spart")
-            .write.mode("overwrite")
-            .partitionBy("spart")
-            .parquet(os.path.join(tmp, "shingles"))
+
+        batch_id = str(batch_id)
+        if self.is_committed(batch_id):
+            kept_ids = self._read("kept", self._stored_schema("kept")).where(
+                F.col("batch_id").cast("string") == batch_id
+            ).select(F.col("id").alias(id_col))
+            return batch.join(kept_ids, id_col, "left_semi")
+
+        v = F.col(vec_col).cast("array<double>")
+        dim = self.dim
+        if dim is None:
+            probe_row = batch.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+            dim = len(probe_row[0]) if probe_row is not None else 1
+        planes = _hyperplanes(dim, self.n_planes, self.seed)
+        # repartition BEFORE deriving the bucket (a projection ahead of the
+        # exchange would run on the input partitioning — CLAUDE.md fact)
+        bucketed = (
+            ensure_parallelism(batch.select(F.col(id_col).alias("id"), v.alias("v")))
+            .select("id", "v", random_hyperplane_bucket(F.col("v"), planes).alias("bucket"))
+            .persist()
         )
-        for sub in ("bands", "shingles"):
-            dst = os.path.join(self.root, sub, f"batch_id={cid}")
-            shutil.rmtree(dst, ignore_errors=True)
-            os.rename(os.path.join(tmp, sub), dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        # every batch this compaction replaces, transitively (a compact id
-        # in `live` contributes its own absorbs so replay works forever)
-        absorbs = set(live)
-        for b in live:
-            with open(self._marker(b)) as f:
-                absorbs.update(json.load(f).get("absorbs", []))
-        schemas = {
-            "bands": bands_schema.jsonValue(),
-            "shingles": sh_schema.jsonValue(),
-        }
-        for sub in ("kept", "dups"):
-            s = self._stored_schema(sub)
-            if s is not None:
-                schemas[sub] = s.jsonValue()
-        with open(self._marker(cid), "w") as f:
-            json.dump({"batch_id": cid, "absorbs": sorted(absorbs), "schemas": schemas}, f)
-        for b in live:
-            os.remove(self._marker(b))
-            for sub in ("bands", "shingles"):
-                d = os.path.join(self.root, sub, f"batch_id={b}")
-                if os.path.exists(d):
-                    shutil.rmtree(d)
-        return {"compacted": True, "batch_id": cid, "absorbed": len(absorbs)}
+
+        # candidate pairs carry both vectors inline: within-batch pairs
+        # (group-then-expand per bucket, a < b → b is the newcomer) ∪ the
+        # partition-pruned store probe (store id is always the seen side)
+        groups = (
+            bucketed.groupBy("bucket")
+            .agg(F.array_sort(F.collect_set(F.struct("id", "v"))).alias("ms"))
+            .where(F.size("ms") > 1)
+        )
+        ms = F.col("ms")
+        expanded = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("seen_id"),
+                        x["v"].alias("seen_v"),
+                        y["id"].alias("new_id"),
+                        y["v"].alias("new_v"),
+                    ),
+                ),
+            )
+        )
+        within = groups.select(F.explode(expanded).alias("p")).select(
+            "p.seen_id", "p.seen_v", "p.new_id", "p.new_v"
+        )
+        batch_bparts = [
+            int(r["p"])
+            for r in bucketed.select(
+                F.pmod(F.col("bucket"), F.lit(self.n_parts)).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        store = self.seen_vectors(batch_bparts) if batch_bparts else None
+        if store is not None:
+            probe = bucketed.select(
+                F.col("id").alias("new_id"), F.col("v").alias("new_v"), "bucket"
+            )
+            if self.broadcast_probe:
+                probe = F.broadcast(probe)
+            cross = (
+                store.select(
+                    F.col("id").alias("seen_id"), F.col("v").alias("seen_v"), "bucket"
+                )
+                .join(probe, "bucket")
+                # same-id re-ingestion is the lake table's LWW concern, not
+                # a near-dup of itself
+                .where(F.col("seen_id") != F.col("new_id"))
+                .select("seen_id", "seen_v", "new_id", "new_v")
+            )
+            cands = within.unionByName(cross)
+        else:
+            cands = within
+        cands = cands.dropDuplicates(["seen_id", "new_id"])
+        if self.max_probe is not None:
+            # cap exact-verify work per newcomer deterministically (lowest
+            # seen ids first) — same recall caveat as MinHashIndex.max_probe
+            w = Window.partitionBy("new_id").orderBy("seen_id")
+            cands = (
+                cands.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= self.max_probe)
+                .drop("_rn")
+            )
+        cos = cosine_similarity(F.col("seen_v"), F.col("new_v"))
+        dups = cands.select(
+            "new_id", "seen_id", cos.alias("cosine")
+        ).where(F.col("cosine") >= self.threshold)
+
+        bid = F.lit(batch_id).alias("batch_id")
+        dups_out = dups.select(F.col("new_id").alias("id"), "seen_id", "cosine", bid)
+        self._overwrite(dups_out, os.path.join(self.root, "dups"), ["batch_id"])
+        dropped = self._read("dups", dups_out.schema).where(
+            F.col("batch_id").cast("string") == batch_id
+        ).select("id").distinct()
+        kept_out = (
+            bucketed.select("id").distinct()
+            .join(dropped, "id", "left_anti")
+            .select("id", bid)
+        )
+        self._overwrite(kept_out, os.path.join(self.root, "kept"), ["batch_id"])
+        # the seen set records EVERY batch vector, kept or dropped
+        vec_out = bucketed.select(
+            "id", "v", "bucket", bid,
+            F.pmod(F.col("bucket"), F.lit(self.n_parts)).alias("bpart"),
+        )
+        self._overwrite(vec_out, os.path.join(self.root, "vectors"), ["batch_id", "bpart"])
+        with open(self._marker(batch_id), "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "schemas": {
+                        "dups": dups_out.schema.jsonValue(),
+                        "kept": kept_out.schema.jsonValue(),
+                        "vectors": vec_out.schema.jsonValue(),
+                    },
+                },
+                f,
+            )
+
+        out = batch.join(
+            self._read("kept", kept_out.schema)
+            .where(F.col("batch_id").cast("string") == batch_id)
+            .select(F.col("id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        bucketed.unpersist()
+        return out

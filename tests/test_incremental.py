@@ -193,3 +193,85 @@ def test_probe_scan_prunes_store_partitions(spark, docs, tmp_root):
     dup = spark.createDataFrame([(30, BASE)], "doc_id long, text string")
     assert idx.process_batch(dup, 3).count() == 0
     assert (30, 0) in {(r.id, r.seen_id) for r in idx.dup_log().collect()}
+
+
+# ---------------------------------------------------------------------------
+# EmbeddingIndex — the same seen-set/ledger discipline over sign-LSH buckets
+# ---------------------------------------------------------------------------
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.0, 1.0, 0.0, 0.0]),
+    (2, [0.99, 0.1, 0.0, 0.0]),     # within-batch near-dup of 0
+    (10, [1.0, 0.01, 0.0, 0.0]),    # cross-batch dup of seen 0
+    (11, [0.0, 0.0, 1.0, 0.0]),
+    (20, [0.98, 0.12, 0.0, 0.01]),  # dup of 0/2 — and of DROPPED 10
+    (21, [0.0, 0.0, 0.0, 1.0]),
+]
+
+
+@pytest.fixture()
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def _vbatches(df):
+    for b in range(3):
+        yield b, df.where((F.col("vec_id") >= b * 10) & (F.col("vec_id") < b * 10 + 10))
+
+
+def test_embedding_index_seen_set_semantics(spark, vecs, tmp_root):
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+
+    idx = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx"), threshold=0.9, n_parts=8)
+    kept = {}
+    for b, batch in _vbatches(vecs):
+        kept[b] = sorted(r.vec_id for r in idx.process_batch(batch, b).collect())
+    assert kept == {0: [0, 1], 1: [11], 2: [21]}
+    log = {(r.id, r.seen_id) for r in idx.dup_log().collect()}
+    # dropped vectors still join the seen set: 20 matches the DROPPED 10
+    assert (20, 10) in log and (2, 0) in log and (10, 0) in log
+
+
+def test_embedding_index_matches_batch_operator(spark, tmp_root):
+    """Cumulative dup log over id-ordered batches == embedding_near_dup_lsh
+    on the union (same planes, exact verify) — with a mid-stream compaction
+    and an idempotent replay of an absorbed batch."""
+    from data_pipelines_spark.operators.dedup import embedding_near_dup_lsh
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hi = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    step = (hi + 2) // 3
+    idx = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx"), threshold=0.3)
+    for b in range(3):
+        idx.process_batch(
+            e.where((F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)), b
+        )
+        if b == 1:
+            assert idx.compact()["compacted"]
+    inc = {(r.seen_id, r.id, round(r.cosine, 6)) for r in idx.dup_log().collect()}
+    full = {
+        (r.a, r.b, round(r.cosine, 6))
+        for r in embedding_near_dup_lsh(e, threshold=0.3, n_planes=8).collect()
+    }
+    assert inc == full and len(inc) > 0
+    # replay of a batch absorbed by the compaction: state unchanged
+    before = idx.seen_vectors().count()
+    idx.process_batch(e.where(F.col("vec_id") < step), 0)
+    assert idx.seen_vectors().count() == before
+    assert idx.dup_log().count() == len(inc)
+
+
+def test_embedding_probe_scan_prunes_store_partitions(spark, vecs, tmp_root):
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+
+    idx = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx"), threshold=0.9, n_parts=8)
+    for b, batch in _vbatches(vecs):
+        idx.process_batch(batch, b)
+    pruned = idx.seen_vectors([0, 1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters:"):].split("]")[0]
+    assert "bpart" in pf, pf
