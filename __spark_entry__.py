@@ -29,6 +29,7 @@ from data_pipelines_spark.extract.textqa import (
     token_count,
 )
 from data_pipelines_spark.functions.normalize import (
+    _LOCALE_MONTHS,
     bout_id,
     height_to_cm,
     normalize_date,
@@ -37,6 +38,11 @@ from data_pipelines_spark.functions.normalize import (
     normalize_url,
     slugify,
 )
+
+# the f6 fixture's localized month literals — taken from the engine's own
+# locale table so the Spark fixture and the DuckDB oracle can never drift
+_DE_MONTHS = [names[0] for names in _LOCALE_MONTHS["de"]]
+_FR_MONTHS = [names[0] for names in _LOCALE_MONTHS["fr"]]
 from data_pipelines_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -636,52 +642,64 @@ def f5_slug(spark, sf):
 
 
 def f6_date_normalization(spark, sf):
-    """F6 date normalization long tail: eight deterministic format variants
+    """F6 date normalization long tail: ten deterministic format variants
     (slashed, US slashed, month names, ordinal suffixes, two-digit years,
-    period-abbreviated months, dotted day-first two-digit years) all
-    normalize to the canonical yyyy-MM-dd the oracle computes directly
-    from the source date."""
+    period-abbreviated months, dotted day-first two-digit years, and
+    German/French month names via the opt-in locale table) all normalize
+    to the canonical yyyy-MM-dd the oracle computes directly from the
+    source date. Month-name literals are explicit arrays on BOTH sides so
+    neither engine's locale settings can leak into the fixture."""
     li = _t(spark, sf, "lineitem")
     d = F.col("l_shipdate")
     day_s = F.dayofmonth(d).cast("string")
+    de = F.element_at(F.array(*[F.lit(m) for m in _DE_MONTHS]), F.month(d))
+    fr = F.element_at(F.array(*[F.lit(m) for m in _FR_MONTHS]), F.month(d))
     raw = (
-        F.when(F.col("l_linenumber") % 8 == 0, F.date_format(d, "yyyy/MM/dd"))
-        .when(F.col("l_linenumber") % 8 == 1, F.date_format(d, "MM/dd/yyyy"))
-        .when(F.col("l_linenumber") % 8 == 2, F.date_format(d, "MMM d yyyy"))
-        .when(F.col("l_linenumber") % 8 == 3, F.date_format(d, "d MMMM yyyy"))
+        F.when(F.col("l_linenumber") % 10 == 0, F.date_format(d, "yyyy/MM/dd"))
+        .when(F.col("l_linenumber") % 10 == 1, F.date_format(d, "MM/dd/yyyy"))
+        .when(F.col("l_linenumber") % 10 == 2, F.date_format(d, "MMM d yyyy"))
+        .when(F.col("l_linenumber") % 10 == 3, F.date_format(d, "d MMMM yyyy"))
         .when(
-            F.col("l_linenumber") % 8 == 4,
+            F.col("l_linenumber") % 10 == 4,
             F.concat(
                 F.date_format(d, "MMM"), F.lit(" "), day_s, F.lit("th "),
                 F.date_format(d, "yyyy"),
             ),
         )
         .when(
-            F.col("l_linenumber") % 8 == 5,
+            F.col("l_linenumber") % 10 == 5,
             F.concat(
                 F.month(d).cast("string"), F.lit("/"), day_s, F.lit("/"),
                 F.date_format(d, "yy"),
             ),
         )
         .when(
-            F.col("l_linenumber") % 8 == 6,
+            F.col("l_linenumber") % 10 == 6,
             F.concat(
                 F.date_format(d, "MMM"), F.lit(". "), day_s, F.lit(" "),
                 F.date_format(d, "yyyy"),
             ),
         )
-        .otherwise(
+        .when(
+            F.col("l_linenumber") % 10 == 7,
             F.concat(
                 day_s, F.lit("."), F.month(d).cast("string"), F.lit("."),
                 F.date_format(d, "yy"),
-            )
+            ),
+        )
+        .when(
+            F.col("l_linenumber") % 10 == 8,
+            F.concat(day_s, F.lit(". "), de, F.lit(" "), F.date_format(d, "yyyy")),
+        )
+        .otherwise(
+            F.concat(day_s, F.lit(" "), fr, F.lit(" "), F.date_format(d, "yyyy"))
         )
     )
     return li.select(
         "l_orderkey",
         "l_linenumber",
         raw.alias("raw_date"),
-        normalize_date(raw).alias("norm_date"),
+        normalize_date(raw, locales=("de", "fr")).alias("norm_date"),
     )
 
 
@@ -2897,9 +2915,9 @@ def oracle_sql() -> dict[str, str]:
                      '(^-+)|(-+$)', '', 'g') AS slug
             FROM documents
         """,
-        "f6_date_normalization": """
+        "f6_date_normalization": f"""
             SELECT l_orderkey, l_linenumber,
-                   CASE l_linenumber % 8
+                   CASE l_linenumber % 10
                         WHEN 0 THEN strftime(l_shipdate, '%Y/%m/%d')
                         WHEN 1 THEN strftime(l_shipdate, '%m/%d/%Y')
                         WHEN 2 THEN concat(strftime(l_shipdate, '%b'), ' ',
@@ -2917,9 +2935,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 6 THEN concat(strftime(l_shipdate, '%b'), '. ',
                                            CAST(day(l_shipdate) AS VARCHAR), ' ',
                                            strftime(l_shipdate, '%Y'))
-                        ELSE concat(CAST(day(l_shipdate) AS VARCHAR), '.',
+                        WHEN 7 THEN concat(CAST(day(l_shipdate) AS VARCHAR), '.',
                                     CAST(month(l_shipdate) AS VARCHAR), '.',
                                     strftime(l_shipdate, '%y'))
+                        WHEN 8 THEN concat(CAST(day(l_shipdate) AS VARCHAR), '. ',
+                                    ({_DE_MONTHS!r})[month(l_shipdate)], ' ',
+                                    strftime(l_shipdate, '%Y'))
+                        ELSE concat(CAST(day(l_shipdate) AS VARCHAR), ' ',
+                                    ({_FR_MONTHS!r})[month(l_shipdate)], ' ',
+                                    strftime(l_shipdate, '%Y'))
                    END AS raw_date,
                    strftime(l_shipdate, '%Y-%m-%d') AS norm_date
             FROM lineitem

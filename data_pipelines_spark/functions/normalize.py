@@ -7,6 +7,8 @@ in the hot path. Each function takes and returns ``Column``.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -87,6 +89,31 @@ _DATE_FORMATS = [
 #: wall clock: replay determinism forbids now()-relative pivots)
 _YY_PIVOT = 2049
 
+#: opt-in non-English month names (the reference's ``dateparser`` accepts
+#: them natively; java.time formats are en-locale only, so matching names
+#: are pre-translated to the English abbreviation before the format chain).
+#: Accent-stripped spellings are included — scraped text frequently loses
+#: diacritics in transit.
+_LOCALE_MONTHS: dict[str, list[list[str]]] = {
+    "de": [["Januar", "Jaenner", "Jänner"], ["Februar"], ["März", "Maerz", "Marz"],
+           ["April"], ["Mai"], ["Juni"], ["Juli"], ["August"], ["September"],
+           ["Oktober"], ["November"], ["Dezember"]],
+    "fr": [["janvier"], ["février", "fevrier"], ["mars"], ["avril"], ["mai"],
+           ["juin"], ["juillet"], ["août", "aout"], ["septembre"], ["octobre"],
+           ["novembre"], ["décembre", "decembre"]],
+    "es": [["enero"], ["febrero"], ["marzo"], ["abril"], ["mayo"], ["junio"],
+           ["julio"], ["agosto"], ["septiembre", "setiembre"], ["octubre"],
+           ["noviembre"], ["diciembre"]],
+    "it": [["gennaio"], ["febbraio"], ["marzo"], ["aprile"], ["maggio"],
+           ["giugno"], ["luglio"], ["agosto"], ["settembre"], ["ottobre"],
+           ["novembre"], ["dicembre"]],
+    "pt": [["janeiro"], ["fevereiro"], ["março", "marco"], ["abril"], ["maio"],
+           ["junho"], ["julho"], ["agosto"], ["setembro"], ["outubro"],
+           ["novembro"], ["dezembro"]],
+}
+_EN_MONTH_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                  "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
 
 def _past_pivot(ts: Column) -> Column:
     """Two-digit years parse into 2000-2099; pull anything past the fixed
@@ -99,7 +126,10 @@ def _past_pivot(ts: Column) -> Column:
 
 
 def normalize_date(
-    col: Column, base_year: Column | None = None, day_first: bool = False
+    col: Column,
+    base_year: Column | None = None,
+    day_first: bool = False,
+    locales: "Sequence[str] | None" = None,
 ) -> Column:
     """Arbitrary common date formats → 'yyyy-MM-dd' string; NULL if unparseable.
 
@@ -114,6 +144,14 @@ def normalize_date(
     European way ("04/02/2024" → Feb 4; dateparser's DATE_ORDER=DMY),
     month-first otherwise. Genuinely ambiguous leftovers fall to NULL
     rather than a locale-dependent guess.
+
+    ``locales`` (opt-in, e.g. ``("de", "fr")`` — see ``_LOCALE_MONTHS``)
+    pre-translates non-English month names to the English abbreviation
+    before the format chain (one JVM-side regexp pass per month, all
+    requested locales folded into a single alternation), and strips the
+    ordinal day period German dates carry ("17. März 1995"). The
+    reference's ``dateparser`` accepts these natively; explicitly opt-in
+    here so en-only pipelines pay nothing.
     """
     cleaned = F.trim(F.regexp_replace(col, ",", " "))
     # strip ordinal suffixes on day numbers: 17th → 17 (dateparser accepts
@@ -123,6 +161,21 @@ def normalize_date(
     # "Sept" dateparser accepts but java.time does not
     cleaned = F.regexp_replace(cleaned, "(?<=[A-Za-z])\\.", "")
     cleaned = F.regexp_replace(cleaned, "(?i)\\bsept\\b", "Sep")
+    if locales:
+        for i in range(12):
+            names = sorted(
+                {nm for loc in locales for nm in _LOCALE_MONTHS[loc][i]},
+                key=len,
+                reverse=True,
+            )
+            cleaned = F.regexp_replace(
+                cleaned,
+                "(?iu)\\b(" + "|".join(names) + ")\\b",
+                _EN_MONTH_ABBR[i],
+            )
+        # the German ordinal day period ("17. März") — digit-period-space
+        # only, so dotted numeric dates ("17.8.95") are untouched
+        cleaned = F.regexp_replace(cleaned, "(?<=\\d)\\.(?=\\s)", "")
     cleaned = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
     slashed4 = "d/M/yyyy" if day_first else "MM/dd/yyyy"
     fmts = [f for f in _DATE_FORMATS if f != "MM/dd/yyyy"] + [slashed4]

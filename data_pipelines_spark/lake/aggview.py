@@ -221,20 +221,67 @@ class AggView:
             nn for _, _, nn, _e in self._avg_pairs
         ]
 
-    def _contrib(self, rows: DataFrame, sign: int) -> DataFrame:
+    def _contrib(self, rows: DataFrame, sign) -> DataFrame:
         """Signed per-group contribution of a set of table rows (the
         SUM-decomposable measures only — min/max are recomputed, not
-        delta-folded; see :meth:`_minmax_recompute`)."""
+        delta-folded; see :meth:`_minmax_recompute`). ``sign`` is ±1 or a
+        per-row Column (the fused path tags each row with its sign)."""
+        sgn = F.lit(sign) if isinstance(sign, int) else sign
         groups = [F.expr(e).alias(n) for n, e in self.group_cols.items()]
-        aggs = [F.sum(F.lit(sign)).cast("long").alias("cnt")]
-        aggs += [F.sum(F.expr(e) * F.lit(sign)).alias(s) for s, e in self._sum_cols]
+        return rows.groupBy(*groups).agg(*self._contrib_aggs(sgn))
+
+    def _fused_delta(self, table: LakeTable, pre: DataFrame, log: DataFrame) -> DataFrame:
+        """Both signed contributions from ONE pre-image read + the commit's
+        own change-log rows — no post-snapshot scan. The batch's log rows are
+        its per-key LWW winners, so plain LWW replays as: the batch row
+        stands iff its sequence tuple >= the stored pre winner's (ties are
+        re-deliveries of identical content); a winning 'D' drops the key.
+        ``pre`` is read WITH tombstones: a stored tombstone contributes
+        nothing but its sequence still defeats a stale batch row (the
+        resurrection edge out-of-order deletes exist to prevent). Guarded by
+        the caller: a batch carrying seq-bump rows ('B') falls back to the
+        post-snapshot read, because a bump's materialization may come from a
+        stored content row that the RESOLVED pre image no longer shows
+        (lww_resolve_bumps' hash-matched payload)."""
+        from data_pipelines_spark.lake.table import DELETED_COL
+
+        key, seqs = table.key, list(table.seq_cols)
+        pcols = [c for c in pre.columns if c != DELETED_COL]
+        left = log.select(*pcols, "op").alias("l")
+        j = left.join(pre.alias("p"), F.col(f"l.{key}") == F.col(f"p.{key}"), "left")
+        lseq = F.struct(*[F.col(f"l.{s}") for s in seqs])
+        pseq = F.struct(*[F.col(f"p.{s}") for s in seqs])
+        batch_wins = F.col(f"p.{key}").isNull() | (lseq >= pseq)
+        p_live = F.col(f"p.{key}").isNotNull() & ~F.col(f"p.{DELETED_COL}")
+        lrow = F.struct(*[F.col(f"l.{c}").alias(c) for c in pcols])
+        prow = F.struct(*[F.col(f"p.{c}").alias(c) for c in pcols])
+        post_side = F.when(batch_wins & (F.col("l.op") != F.lit("D")), lrow).when(
+            ~batch_wins & p_live, prow
+        )
+        pre_side = F.when(p_live, prow)
+        pair = F.array(
+            F.struct(F.lit(1).alias("_sign"), post_side.alias("r")),
+            F.struct(F.lit(-1).alias("_sign"), pre_side.alias("r")),
+        )
+        rows = (
+            j.select(F.explode(pair).alias("x"))
+            .select(F.col("x._sign").alias("_sign"), "x.r.*")
+            .where(F.col(key).isNotNull())
+        )
+        return rows.groupBy(
+            *[F.expr(e).alias(n) for n, e in self.group_cols.items()]
+        ).agg(*self._contrib_aggs(F.col("_sign")))
+
+    def _contrib_aggs(self, sgn) -> list:
+        aggs = [F.sum(sgn).cast("long").alias("cnt")]
+        aggs += [F.sum(F.expr(e) * sgn).alias(s) for s, e in self._sum_cols]
         aggs += [
-            F.sum(F.when(F.expr(e).isNotNull(), F.lit(sign)).otherwise(F.lit(0)))
+            F.sum(F.when(F.expr(e).isNotNull(), sgn).otherwise(F.lit(0)))
             .cast("long")
             .alias(nn)
             for _n, _s, nn, e in self._avg_pairs
         ]
-        return rows.groupBy(*groups).agg(*aggs)
+        return aggs
 
     def _minmax_recompute(self, table: LakeTable, version: int, touched_groups: DataFrame) -> DataFrame:
         """Exact min/max per touched group at ``version``: one column-pruned
@@ -317,8 +364,10 @@ class AggView:
         pre_v = post_v - 1
 
         key = table.key
+        log = None
         try:
-            touched = table.change_log(pre_v, post_v).select(key).distinct()
+            log = table.change_log(pre_v, post_v)
+            touched = log.select(key).distinct()
         except ChangeLogUnavailableError:
             # CoW merges fold deltas into base files; the snapshot diff
             # still yields the touched keys (O(affected buckets), not O(batch))
@@ -331,12 +380,45 @@ class AggView:
         # touched-bucket pruning must use EACH version's own layout: across a
         # rebucket pre_v and post_v disagree on n_buckets, and hashing the
         # keys with the current layout would prune away the very files that
-        # hold them (silently losing contributions). Bounded driver collect:
-        # at most that snapshot's n_buckets distinct values, cached per layout.
+        # hold them (silently losing contributions).
+        #
+        # Fast path — zero Spark jobs: when pre and post share a layout, the
+        # commit's own manifest diff names every bucket it wrote, and any key
+        # whose state changed MUST live in such a bucket (an untouched bucket's
+        # files are identical across the two versions), so those bucket ids
+        # are a safe superset of the touched keys' buckets under BOTH
+        # versions. Falls back to hashing the touched keys (bounded collect,
+        # ≤ n_buckets values, cached per layout) across layout changes or on
+        # legacy inline-files snapshots with no manifest diff.
+        nb_by_v = {
+            v: int(table._snapshot(v).get("n_buckets", table.n_buckets))
+            for v in (pre_v, post_v)
+            if v >= 0 and os.path.exists(os.path.join(table._meta_dir, f"v{v}.json"))
+        }
+        manifest_bkts: list[int] | None = None
+        batch_has_bumps = True  # conservative until the manifest diff proves not
+        if nb_by_v.get(pre_v) == nb_by_v.get(post_v) and pre_v in nb_by_v:
+            prior = set(table._snapshot(pre_v).get("manifests", []))
+            new_manifests = [
+                m
+                for m in table._snapshot(post_v).get("manifests", [])
+                if m not in prior
+            ]
+            if new_manifests:
+                touched_b: set[int] = set()
+                batch_has_bumps = False
+                for name in new_manifests:
+                    files = table._load_manifest(name)["files"]
+                    touched_b.update(int(b) for b in files)
+                    if any(fe.get("bumps") for fl in files.values() for fe in fl):
+                        batch_has_bumps = True
+                manifest_bkts = sorted(touched_b)
         bkt_cache: dict[int, list[int]] = {}
 
         def bkts_for(v: int) -> list[int]:
             nb = int(table._snapshot(v).get("n_buckets", table.n_buckets))
+            if manifest_bkts is not None and nb == nb_by_v.get(post_v):
+                return manifest_bkts
             if nb not in bkt_cache:
                 bkt_cache[nb] = [
                     r["b"]
@@ -346,27 +428,40 @@ class AggView:
                 ]
             return bkt_cache[nb]
 
-        def state(v: int) -> DataFrame:
+        def state(v: int, include_tombstones: bool = False) -> DataFrame:
             try:
                 rows = table.read(
-                    version=v, buckets=bkts_for(v), columns=self.source_columns
+                    version=v,
+                    buckets=bkts_for(v),
+                    columns=self.source_columns,
+                    include_tombstones=include_tombstones,
                 )
             except (ValueError, FileNotFoundError):
                 # pre-data snapshot: no schema yet → empty state
                 return None
             return rows.join(keys, key, "left_semi")
 
-        pre, post = state(pre_v), state(post_v)
-        delta = self._contrib(post, 1)
-        if pre is not None:
-            delta = (
-                delta.unionByName(self._contrib(pre, -1))
-                .groupBy(*self.group_cols)
-                .agg(
-                    F.sum("cnt").alias("cnt"),
-                    *[F.sum(c).alias(c) for c in self._fold_cols],
+        use_fused = log is not None and not batch_has_bumps
+        pre = state(pre_v, include_tombstones=use_fused)
+        if use_fused:
+            # fused fast path: ONE snapshot read (pre image) — the post image
+            # replays from the commit's own change-log rows (see _fused_delta)
+            if pre is None:
+                delta = self._contrib(log.where(F.col("op") != F.lit("D")), 1)
+            else:
+                delta = self._fused_delta(table, pre, log)
+        else:
+            post = state(post_v)
+            delta = self._contrib(post, 1)
+            if pre is not None:
+                delta = (
+                    delta.unionByName(self._contrib(pre, -1))
+                    .groupBy(*self.group_cols)
+                    .agg(
+                        F.sum("cnt").alias("cnt"),
+                        *[F.sum(c).alias(c) for c in self._fold_cols],
+                    )
                 )
-            )
         pinned = None
         if self._minmax:
             # min/max may change even when every signed sum nets to zero

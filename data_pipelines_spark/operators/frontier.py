@@ -57,6 +57,17 @@ def schedule_fetches(
     no-priority case fall back to ``url_col`` so the plan is total-order
     deterministic). ``crawl_delay_s`` may be a per-row column name (robots
     crawl-delay per host) or a constant seconds value.
+
+    Scale bound (explicit): the ``dispatch_pos`` window sorts each worker's
+    WHOLE queue in one task — frontier/n_workers rows per task, the largest
+    single-task unit in this module. That is acceptable because n_workers
+    scales with the real fetch fleet (the plan exists to feed exactly those
+    workers, so a queue a worker can fetch, a task can sort), and the
+    per-domain ``slot`` window above it is bounded by the largest single
+    host. If a deployment needs dispatch_pos without the per-worker sort,
+    the segment + prefix-sum machinery in ``operators/ranking.py``
+    (value-bin exact rank over ``fetch_offset_s``, worker-segmented) removes
+    the edge at the cost of a second shuffle; not wired here by default.
     """
     order = (
         [F.col(priority_col).desc_nulls_last(), F.col(url_col)]

@@ -106,6 +106,61 @@ def test_stale_lww_loser_contributes_nothing(spark, table, view):
     assert _as_dict(view.read()) == {"en": (1, 100)}
 
 
+def test_stale_row_loses_to_stored_tombstone(spark, table, view):
+    """Resurrection edge on the fused update path: the pre image is read
+    WITH tombstones, so a stale batch row (its batch-LWW winner) must still
+    lose to a stored delete's sequence — the key stays absent."""
+    _merge(spark, table, [("I", "a", ts(5), 10, "en", 100)], 1)
+    _merge(spark, table, [("D", "a", ts(6), 11, None, None)], 2)
+    view.update_all(table)
+    assert _as_dict(view.read()) == {}
+    # out-of-order arrival: older than the tombstone
+    _merge(spark, table, [("U", "a", ts(2), 3, "en", 999)], 3)
+    view.update(table, 3)
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table)) == {}
+    # and a genuinely newer row re-creates the key
+    _merge(spark, table, [("U", "a", ts(9), 20, "de", 7)], 4)
+    view.update(table, 4)
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table)) == {
+        "de": (1, 7)
+    }
+
+
+def test_view_tracks_change_filter_bump_batches(spark, tmp_root):
+    """A change_filter pipeline emits seq-bump ('B') deltas for
+    hash-unchanged re-scrapes; bump batches take the post-snapshot fallback
+    (their materialization may need stored rows the resolved pre image no
+    longer shows) and the view must still equal the full recompute."""
+    from data_pipelines_spark.gen.changegen import change_stream
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    changes = change_stream(spark, n_events=200, n_keys=30, seed=11)
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            table_root=os.path.join(tmp_root, "bt"), n_buckets=4, change_filter=True
+        ),
+    )
+    view = AggView.create(
+        spark,
+        os.path.join(tmp_root, "bv"),
+        group_cols={"lang": "lang"},
+        measures={"chars": "length(text)"},
+        source_columns=["lang", "text"],
+    )
+    pipe.attach_view(view)
+    pipe.run_batches(changes, n_batches=2)
+    # re-scrape the whole stream (hash-unchanged → bump deltas) as batch 2
+    pipe.process_batch(changes, 2)
+    view.update(pipe.table, 2)
+    full = (
+        pipe.table.read()
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum(F.length("text")).alias("chars"))
+    )
+    assert _as_dict(view.read(), "chars") == _as_dict(full, "chars")
+
+
 def test_crash_retry_overwrites_partial_partition(spark, table, view):
     _merge(spark, table, [("I", "a", ts(1), 1, "en", 10)], 1)
     view.update(table, 1)

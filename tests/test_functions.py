@@ -369,3 +369,39 @@ def test_unicode_normalize_forms_and_control_strip(spark):
 
     with _pytest.raises(ValueError):
         unicode_normalize(F2.col("s"), "NFX")
+
+
+def test_normalize_date_locale_months(spark):
+    """F6 locale long tail (round-4 VERDICT #8): non-English month names —
+    which the reference's dateparser accepts natively — parse behind the
+    opt-in locale table, including accent-stripped spellings, uppercase
+    forms, and the German ordinal day period; en-only calls are unchanged."""
+    from data_pipelines_spark.functions.normalize import normalize_date
+
+    cases = [
+        ("17. März 1995", "1995-03-17"),     # German + day period
+        ("17 Marz 1995", "1995-03-17"),      # accent-stripped
+        ("3 août 2001", "2001-08-03"),       # French
+        ("3 AOUT 2001", "2001-08-03"),       # unicode-insensitive casing
+        ("1 enero 2020", "2020-01-01"),      # Spanish
+        ("22 settembre 1999", "1999-09-22"), # Italian
+        ("5 fevereiro 1988", "1988-02-05"),  # Portuguese
+        ("12. Dezember 2012", "2012-12-12"),
+        ("17.8.95", "1995-08-17"),           # dotted numeric: day period untouched
+        ("Aug 17th 1995", "1995-08-17"),     # English still parses
+        ("not a date", None),
+    ]
+    locs = ("de", "fr", "es", "it", "pt")
+    df = spark.createDataFrame([(c,) for c, _ in cases], "raw string")
+    got = [
+        r.n
+        for r in df.select(
+            normalize_date(F.col("raw"), locales=locs).alias("n")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+    # opt-in means OFF by default: the German form stays NULL without locales
+    off = df.where(F.col("raw") == "17. März 1995").select(
+        normalize_date(F.col("raw")).alias("n")
+    )
+    assert [r.n for r in off.collect()] == [None]
