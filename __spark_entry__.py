@@ -879,10 +879,13 @@ def cdc_embdup_ingest(spark, sf):
     from data_pipelines_spark.operators.incremental import EmbeddingIndex
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    hi = e.agg(F.max("vec_id")).collect()[0][0] + 1
-    step = (hi + 2) // 3
+    hi, dim = e.agg(
+        F.max("vec_id"), F.max(F.size("embedding"))
+    ).collect()[0]
+    hi, step = hi + 1, (hi + 3) // 3
     idx = EmbeddingIndex(
-        spark, tempfile.mkdtemp(prefix="embidx_"), threshold=0.3, n_planes=8
+        spark, tempfile.mkdtemp(prefix="embidx_"), threshold=0.3, n_planes=8,
+        dim=int(dim),
     )
     for b in range(3):
         idx.process_batch(
@@ -895,6 +898,38 @@ def cdc_embdup_ingest(spark, sf):
         F.col("seen_id").alias("a"),
         F.col("id").alias("b"),
         F.round("cosine", 4).alias("cosine"),
+    )
+
+
+def cdc_ann_index_topk(spark, sf):
+    """ANN query path of the incremental embedding index: vectors ingested
+    in three batches (the store compacted after), then a top-10 cosine query
+    answered FROM the store — probe buckets prune the scan (bpart partitions
+    + bucket isin), no corpus re-signing. Because the index uses the same
+    seed-deterministic hyperplanes as the batch operator, the result equals
+    `similarity.lsh_topk` over the union — the same SQL oracle as
+    sim_topk_lsh (plane literals, Hamming-≤2 probing, exact cosine)."""
+    import tempfile
+
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    hi, dim = e.agg(F.max("vec_id"), F.max(F.size("embedding"))).collect()[0]
+    hi, step = hi + 1, (hi + 3) // 3
+    idx = EmbeddingIndex(
+        spark, tempfile.mkdtemp(prefix="annidx_"), threshold=0.3, n_planes=8,
+        dim=int(dim),
+    )
+    for b in range(3):
+        idx.process_batch(
+            e.where((F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)),
+            b,
+        )
+    idx.compact()
+    q = e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    out = idx.topk(q, k=10, multiprobe=2)
+    return out.select(
+        F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine")
     )
 
 
@@ -1942,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "cdc_embdup_ingest": cdc_embdup_ingest,
+        "cdc_ann_index_topk": cdc_ann_index_topk,
         "f4_bout_id_gen": f4_bout_id_gen,
         "f8_filename_codec": f8_filename_codec,
         "f10_height_conversion": f10_height_conversion,
@@ -3722,6 +3758,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(max_hamming=3),
         "doc_fingerprint": _fingerprint_oracle(k=8, sketch=16),
         "sim_topk_lsh": _lsh_topk_oracle(n_planes=8, multiprobe=2, k=10),
+        # the index's query path answers from the store with the same planes
+        "cdc_ann_index_topk": _lsh_topk_oracle(n_planes=8, multiprobe=2, k=10),
         "sim_batch_topk": _batch_topk_oracle(k=5),
         "sim_batch_lsh_topk": _batch_lsh_topk_oracle(k=5, n_planes=8, multiprobe=1),
         "sim_topk_ivf": _ivf_topk_oracle(n_centroids=16, sample_mod=37, nprobe=4, k=10),

@@ -188,6 +188,8 @@ def main() -> None:
         "m2_media_decode",
         "x6_staging_records",
         "cdc_incr_agg",
+        "cdc_incr_agg_minmax",
+        "cdc_embdup_ingest",
         "warc_round_trip",
         "frontier_schedule",
         "quality_ntile",

@@ -530,6 +530,46 @@ class EmbeddingIndex(_BatchStore):
             return df
         return df.where(F.col("bpart").isin([int(p) for p in bparts]))
 
+    def topk(self, query_vec, k: int = 10, multiprobe: int = 1) -> DataFrame:
+        """ANN top-k against the persistent store — the query path of the
+        index: no corpus re-signing (``similarity.lsh_topk`` buckets the
+        whole corpus per query). The query's probe set (its own bucket plus
+        every bucket within ``multiprobe`` bit flips, C(n_planes, ≤m)
+        masks) prunes the store scan twice over: file-level via the bpart
+        partitions those buckets map to, then the bucket ``isin`` filter;
+        exact cosine ranks the survivors. Same seed-deterministic planes as
+        ingest, so results equal ``lsh_topk`` over the seen corpus. Returns
+        (id, cosine) ordered desc, ties by id. The store is append-only:
+        an id re-ingested with a DIFFERENT vector under a new batch id
+        contributes each stored vector (same-id versioning is the lake
+        table's LWW concern, mirroring process_batch's stance); a replayed
+        batch overwrites its own partitions, so exact re-delivery never
+        duplicates."""
+        import numpy as np
+
+        from data_pipelines_spark.operators.dedup import cosine_similarity
+        from data_pipelines_spark.operators.similarity import (
+            _fold_dot,
+            _hyperplanes,
+            _probe_buckets,
+            _query_lit,
+        )
+
+        q = np.asarray(query_vec, dtype=float)
+        planes = _hyperplanes(len(q), self.n_planes, self.seed)
+        qb = int(sum((1 << b) for b, p in enumerate(planes) if _fold_dot(q, p) > 0))
+        probes = _probe_buckets(qb, self.n_planes, multiprobe)
+        store = self.seen_vectors(sorted({p % self.n_parts for p in probes}))
+        if store is None:
+            return self.spark.createDataFrame([], "id long, cosine double")
+        cand = store.where(F.col("bucket").isin(probes))
+        cos = cosine_similarity(F.col("v"), _query_lit(q))
+        return (
+            cand.select("id", cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("id"))
+            .limit(k)
+        )
+
     def process_batch(
         self,
         batch: DataFrame,

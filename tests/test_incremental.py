@@ -275,3 +275,36 @@ def test_embedding_probe_scan_prunes_store_partitions(spark, vecs, tmp_root):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     pf = plan[plan.index("PartitionFilters:"):].split("]")[0]
     assert "bpart" in pf, pf
+
+
+def test_embedding_index_topk_matches_lsh_topk(spark, tmp_root):
+    """The index's query path (probe buckets → pruned store scan → exact
+    cosine) must equal similarity.lsh_topk over the seen corpus — same
+    planes, no re-signing."""
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+    from data_pipelines_spark.operators.similarity import lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hi = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(e.select("embedding").first()[0])
+    idx = EmbeddingIndex(
+        spark, os.path.join(tmp_root, "eidx"), threshold=0.3, dim=dim
+    )
+    step = (hi + 1) // 2
+    for b in range(2):
+        idx.process_batch(
+            e.where((F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)), b
+        )
+    idx.compact()
+    q = e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    got = [(r.id, round(r.cosine, 6)) for r in idx.topk(q, k=10, multiprobe=2).collect()]
+    want = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in lsh_topk(e, q, k=10, n_planes=8, multiprobe=2).collect()
+    ]
+    assert got == want and len(got) == 10
+    # empty-store query path
+    idx2 = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx2"), dim=dim)
+    assert idx2.topk(q, k=5).count() == 0
