@@ -372,9 +372,12 @@ class AggView:
             # CoW merges fold deltas into base files; the snapshot diff
             # still yields the touched keys (O(affected buckets), not O(batch))
             touched = table.changes(pre_v, post_v).select(key).distinct()
-        # the touched-key frame is referenced three times below (bucket
-        # probe + both semi-joins) and Spark does not CSE repeated plan
-        # subtrees — persist it, materialized by the bucket collect
+        # the touched-key frame can be referenced several times below (the
+        # layout-fallback bucket probe + the pre/post semi-joins) and Spark
+        # does not CSE repeated plan subtrees — persist it (materialized by
+        # the bucket collect on the fallback path; lazily deduped within the
+        # single write job on the manifest fast path, where it is referenced
+        # at most twice and is O(batch) to recompute anyway)
         touched = touched.persist()
         keys = F.broadcast(touched)
         # touched-bucket pruning must use EACH version's own layout: across a
