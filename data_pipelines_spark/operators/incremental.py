@@ -84,7 +84,13 @@ class _BatchStore:
         compacted (absorbed) batch's marker is gone; its rows live on under
         the compaction's own batch id."""
         d = os.path.join(self.root, "_ledger")
-        return sorted(f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json"))
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(d)
+            # "_"-prefixed ledger files are control records (_expired.json),
+            # not batch markers
+            if f.endswith(".json") and not f.startswith("_")
+        )
 
     def _absorbed(self) -> set[str]:
         out: set[str] = set()
@@ -142,8 +148,73 @@ class _BatchStore:
     def dup_log(self) -> DataFrame | None:
         """(batch_id, id, seen_id, score) of every drop decision so far —
         including batches since folded into a compaction (their dups
-        partitions survive; only bulk store partitions are absorbed)."""
+        partitions survive; only bulk store partitions are absorbed).
+        Batches expired via :meth:`expire_replay` no longer contribute."""
         return self._read_part("dups", include_absorbed=True)
+
+    def _expired(self) -> set[str]:
+        path = os.path.join(self.root, "_ledger", "_expired.json")
+        if not os.path.exists(path):
+            return set()
+        with open(path) as f:
+            return set(json.load(f))
+
+    def expire_replay(self, batch_ids) -> dict:
+        """Retention for the per-batch replay records: delete the ``kept``/
+        ``dups`` partitions of ABSORBED batches the source can no longer
+        re-deliver (the caller owns that watermark). At 10^5 microbatches
+        compaction consolidates the bulk stores but the replay records
+        otherwise grow one partition per batch forever — this is the
+        index-side analog of the lake table's snapshot expiry.
+
+        Only absorbed batches are eligible (a live batch's marker still
+        feeds reads and schema resolution); expired ids are recorded so a
+        straggler re-delivery BELOW the watermark fails loud in
+        ``process_batch`` instead of silently replaying an empty kept set.
+        Crash-safe: the expiry record is appended before the partitions are
+        deleted, so a crash between the two leaves a fail-loud superset."""
+        import shutil
+
+        ids = {str(b) for b in batch_ids}
+        absorbed = self._absorbed()
+        live = set(self.committed_batches())
+        bad = sorted((ids - absorbed) | (ids & live))
+        if bad:
+            raise ValueError(
+                f"only absorbed (compacted-away) batches can be expired: {bad}"
+            )
+        path = os.path.join(self.root, "_ledger", "_expired.json")
+        merged = sorted(self._expired() | ids)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, path)
+        removed = 0
+        for b in ids:
+            for sub in ("kept", "dups"):
+                d = os.path.join(self.root, sub, f"batch_id={b}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+                    removed += 1
+        return {"expired": sorted(ids), "partitions_removed": removed}
+
+    def _replay_kept(self, batch: DataFrame, batch_id: str, id_col: str) -> DataFrame:
+        """The idempotent-re-delivery path: replay the recorded kept set.
+        A batch expired via :meth:`expire_replay` fails loud — silently
+        returning an empty kept set would turn a straggler re-delivery
+        into 'drop everything'."""
+        if batch_id in self._expired():
+            raise ValueError(
+                f"batch {batch_id!r} was committed but its replay records "
+                "were expired (expire_replay watermark) — re-delivery below "
+                "the watermark is a source-contract violation"
+            )
+        kept_ids = (
+            self._read("kept", self._stored_schema("kept"))
+            .where(F.col("batch_id").cast("string") == batch_id)
+            .select(F.col("id").alias(id_col))
+        )
+        return batch.join(kept_ids, id_col, "left_semi")
 
     # ------------------------------------------------------------- write
 
@@ -308,10 +379,7 @@ class MinHashIndex(_BatchStore):
         """
         batch_id = str(batch_id)
         if self.is_committed(batch_id):
-            kept_ids = self._read("kept", self._stored_schema("kept")).where(
-                F.col("batch_id").cast("string") == batch_id
-            ).select(F.col("id").alias(id_col))
-            return batch.join(kept_ids, id_col, "left_semi")
+            return self._replay_kept(batch, batch_id, id_col)
 
         # one pass: shingles → signature → exploded bands. Repartition BEFORE
         # deriving shingles (a projection ahead of the exchange would run on
@@ -588,10 +656,7 @@ class EmbeddingIndex(_BatchStore):
 
         batch_id = str(batch_id)
         if self.is_committed(batch_id):
-            kept_ids = self._read("kept", self._stored_schema("kept")).where(
-                F.col("batch_id").cast("string") == batch_id
-            ).select(F.col("id").alias(id_col))
-            return batch.join(kept_ids, id_col, "left_semi")
+            return self._replay_kept(batch, batch_id, id_col)
 
         v = F.col(vec_col).cast("array<double>")
         dim = self.dim

@@ -308,3 +308,36 @@ def test_embedding_index_topk_matches_lsh_topk(spark, tmp_root):
     # empty-store query path
     idx2 = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx2"), dim=dim)
     assert idx2.topk(q, k=5).count() == 0
+
+
+def test_expire_replay_retention(spark, docs, tmp_root):
+    """Replay-record retention: absorbed batches' kept/dups partitions can
+    be expired once the source's re-delivery watermark passes them — the
+    dup log drops their rows, new batches keep flowing, a straggler
+    re-delivery below the watermark fails LOUD (never an empty kept set),
+    and live/unabsorbed batches are not eligible."""
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=8)
+    for b, batch in _batches(docs):
+        idx.process_batch(batch, b)
+    with pytest.raises(ValueError, match="absorbed"):
+        idx.expire_replay(["1"])  # still live: compaction hasn't absorbed it
+    assert idx.compact()["compacted"]
+    dups_before = idx.dup_log().count()
+    out = idx.expire_replay(["0", "1"])
+    assert set(out["expired"]) == {"0", "1"}
+    # batch 1 had no dups; batch 0's (2, 0) pair is gone, batch 2's survive
+    log = {(r.id, r.seen_id) for r in idx.dup_log().collect()}
+    assert (2, 0) not in log and (20, 10) in log
+    assert idx.dup_log().count() < dups_before
+    # straggler re-delivery below the watermark: loud, not silent-empty
+    with pytest.raises(ValueError, match="expired"):
+        idx.process_batch(docs.where(F.col("doc_id") < 10), 0)
+    # unexpired absorbed batches still replay; new batches still dedup
+    assert sorted(
+        r.doc_id for r in idx.process_batch(
+            docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)), 2
+        ).collect()
+    ) == [21]
+    new = spark.createDataFrame([(30, BASE)], "doc_id long, text string")
+    assert idx.process_batch(new, 3).count() == 0  # dup of seen 0 via store
+    assert idx.is_committed("0")  # ledger memory survives expiry
