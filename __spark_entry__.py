@@ -863,6 +863,36 @@ def cdc_neardup_ingest(spark, sf):
     return pipe.table.read().select("doc_id", "lang")
 
 
+def cdc_neardup_probe(spark, sf):
+    """Query-only near-dup lookup against the index's seen set
+    (`MinHashIndex.probe`): the first two thirds of documents are ingested
+    in two batches, the last third is PROBED without committing — the
+    decide-before-work path (skip re-fetching/re-extracting a page whose
+    text already near-dups the corpus). The probe runs only the cross-store
+    plan (partition-pruned band probe + broadcast shingle lookup + exact
+    Jaccard — no within-query pairs, no writes), so the result equals the
+    exact cross-cutoff Jaccard pair set the oracle recomputes in SQL."""
+    import tempfile
+
+    from data_pipelines_spark.operators.incremental import MinHashIndex
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = (hi + 2) // 3
+    idx = MinHashIndex(spark, tempfile.mkdtemp(prefix="mhprobe_"), threshold=0.9)
+    for b in range(2):
+        idx.process_batch(
+            d.where((F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)),
+            b,
+        )
+    out = idx.probe(d.where(F.col("doc_id") >= 2 * step))
+    return out.select(
+        F.col("seen_id").alias("a"),
+        F.col("id").alias("b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
 def cdc_embdup_ingest(spark, sf):
     """Incremental embedding near-dup index (operators/incremental.py
     EmbeddingIndex): vectors arrive in three id-ordered batches; each batch
@@ -1978,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "cdc_embdup_ingest": cdc_embdup_ingest,
         "cdc_ann_index_topk": cdc_ann_index_topk,
+        "cdc_neardup_probe": cdc_neardup_probe,
         "f4_bout_id_gen": f4_bout_id_gen,
         "f8_filename_codec": f8_filename_codec,
         "f10_height_conversion": f10_height_conversion,
@@ -2208,6 +2239,34 @@ WITH d AS (
 )
 SELECT doc_id, lang FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+def _probe_rule_oracle(threshold: float = 0.9, n: int = 3) -> str:
+    """Cross-cutoff form of the probe semantics: every (seen, query) pair
+    with word-{n}-shingle Jaccard ≥ threshold where the seen doc is below
+    the two-thirds cutoff and the query doc at or above it — the store side
+    of the seen-set rule, with no within-query pairs (probe() does not
+    match query docs against each other)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(ws) - {n - 1}, 1)),
+             i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, ' ') AS ws
+        FROM documents)
+), lim AS (
+  SELECT 2 * ((max(doc_id) + 3) // 3) AS cut FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh))::double /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM d a JOIN d b
+  ON a.doc_id < (SELECT cut FROM lim) AND b.doc_id >= (SELECT cut FROM lim)
+WHERE len(list_intersect(a.sh, b.sh))::double /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
 """
 
 
@@ -3750,6 +3809,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(threshold=0.9, n=3),
         "dedup_incremental": _seen_rule_oracle(threshold=0.9, n=3),
+        "cdc_neardup_probe": _probe_rule_oracle(threshold=0.9, n=3),
         "cdc_neardup_ingest": _seen_rule_oracle(threshold=0.9, n=3),
         "dedup_embedding_lsh": _embedding_lsh_oracle(threshold=0.3, n_planes=8),
         # the incremental index telescopes to the same global pair set

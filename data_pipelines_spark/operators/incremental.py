@@ -364,6 +364,143 @@ class MinHashIndex(_BatchStore):
     def seen_shingles(self) -> DataFrame | None:
         return self._read_part("shingles")
 
+    # ------------------------------------------------------------- plumbing
+
+    def _sign(self, docs: DataFrame, text_col: str, id_col: str):
+        """One pass: shingles → signature → exploded bands, both persisted
+        (each is referenced more than once downstream). Repartition BEFORE
+        deriving shingles (a projection ahead of the exchange would run on
+        the input partitioning — CLAUDE.md hard-won fact)."""
+        src = ensure_parallelism(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col))
+        ).select("id", word_shingles(F.col(text_col), self.shingle_n).alias("sh"))
+        sh = src.persist()
+        bands = (
+            sh.select(
+                "id",
+                minhash_signature(F.col("sh"), self.num_hashes, self.seed).alias("sig"),
+            )
+            .select(
+                "id",
+                F.explode(
+                    lsh_bands(F.col("sig"), self.num_bands, self.rows_per_band)
+                ).alias("bb"),
+            )
+            .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+            .persist()
+        )
+        return sh, bands
+
+    def _store_pairs(self, bands: DataFrame) -> DataFrame | None:
+        """(seen_id, new_id) candidates from the store probe, or None when
+        the store is empty / the input has no bands. The query's buckets can
+        only collide inside their own bpart partitions — a bounded collect
+        (≤ n_parts values, which also materializes the ``bands`` persist)
+        prunes the store scan to those files instead of re-reading the whole
+        seen-corpus band table (over 10^5 microbatches that scan is
+        quadratic)."""
+        bparts = [
+            int(r["p"])
+            for r in bands.select(
+                F.pmod(F.col("bucket"), F.lit(self.n_parts)).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        store_bands = self.seen_bands(bparts) if bparts else None
+        if store_bands is None:
+            return None
+        new_bands = bands.select(F.col("id").alias("new_id"), "band", "bucket")
+        if self.broadcast_probe:
+            new_bands = F.broadcast(new_bands)
+        return (
+            store_bands.select(F.col("id").alias("seen_id"), "band", "bucket")
+            .join(new_bands, ["band", "bucket"])
+            # same-id re-ingestion is the lake table's LWW concern, not a
+            # near-dup of itself
+            .where(F.col("seen_id") != F.col("new_id"))
+            .select("seen_id", "new_id")
+        )
+
+    def _cap_probe(self, cands: DataFrame) -> DataFrame:
+        """A boilerplate bucket in the store can collide a new doc with
+        millions of seen docs; ONE verified match suffices to drop it, so
+        cap verification work per newcomer deterministically (lowest seen
+        ids first). Same spirit — and same recall caveat — as
+        minhash_lsh_candidates' max_bucket chain fallback."""
+        if self.max_probe is None:
+            return cands
+        w = Window.partitionBy("new_id").orderBy("seen_id")
+        return (
+            cands.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= self.max_probe)
+            .drop("_rn")
+        )
+
+    def _store_shingles_for(self, cands: DataFrame) -> DataFrame | None:
+        """(seen_id, seen_sh) for the candidates' seen side: the candidate
+        ids are few, so broadcast them and let dynamic partition pruning
+        skip every spart partition without a candidate."""
+        store_sh = self.seen_shingles()
+        if store_sh is None:
+            return None
+        lookups = cands.select("seen_id").distinct().withColumn(
+            "spart", F.pmod(F.xxhash64(F.col("seen_id")), F.lit(self.n_parts))
+        )
+        hits = store_sh.join(
+            F.broadcast(lookups),
+            (store_sh["spart"] == lookups["spart"])
+            & (store_sh["id"] == lookups["seen_id"]),
+            "left_semi",
+        )
+        return hits.select(F.col("id").alias("seen_id"), F.col("sh").alias("seen_sh"))
+
+    @staticmethod
+    def _jaccard() -> "F.Column":
+        inter = F.size(F.array_intersect(F.col("seen_sh"), F.col("new_sh")))
+        union = F.size(F.array_union(F.col("seen_sh"), F.col("new_sh")))
+        return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+    # ------------------------------------------------------------- query
+
+    def probe(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """Query-only near-dup lookup against the seen set — nothing is
+        committed and the query docs do NOT join the store (the
+        decide-before-work path: skip re-fetching/re-extracting a page whose
+        text already near-dups the corpus). Same plan as ``process_batch``'s
+        cross-store side — sign once O(docs), partition-pruned band probe,
+        broadcast shingle point-lookup, exact Jaccard — minus the within-set
+        pairs and all writes. Returns (id, seen_id, jaccard), one row per
+        store match at or above ``threshold`` (defaults to the index's);
+        ``max_probe`` caps verification per query doc as on ingest."""
+        t = self.threshold if threshold is None else threshold
+        id_type = docs.schema[id_col].dataType.simpleString()
+        sh, bands = self._sign(docs, text_col, id_col)
+        cands = self._store_pairs(bands)
+        if cands is None:
+            for frame in (sh, bands):
+                frame.unpersist()
+            return self.spark.createDataFrame(
+                [], f"id {id_type}, seen_id {id_type}, jaccard double"
+            )
+        cands = self._cap_probe(cands.distinct())
+        seen_sh = self._store_shingles_for(cands)
+        verified = cands.join(seen_sh, "seen_id").join(
+            sh.select(F.col("id").alias("new_id"), F.col("sh").alias("new_sh")),
+            "new_id",
+        )
+        # sh/bands stay persisted for the returned (lazy) plan; the
+        # ContextCleaner reclaims them when the frames are GC'd
+        return verified.select(
+            F.col("new_id").alias("id"), "seen_id", self._jaccard().alias("jaccard")
+        ).where(F.col("jaccard") >= t)
+
     # ------------------------------------------------------------- core
 
     def process_batch(
@@ -381,104 +518,32 @@ class MinHashIndex(_BatchStore):
         if self.is_committed(batch_id):
             return self._replay_kept(batch, batch_id, id_col)
 
-        # one pass: shingles → signature → exploded bands. Repartition BEFORE
-        # deriving shingles (a projection ahead of the exchange would run on
-        # the input partitioning — CLAUDE.md hard-won fact).
-        src = ensure_parallelism(
-            batch.select(F.col(id_col).alias("id"), F.col(text_col))
-        ).select("id", word_shingles(F.col(text_col), self.shingle_n).alias("sh"))
-        sh = src.persist()
-        bands = (
-            sh.select(
-                "id",
-                minhash_signature(F.col("sh"), self.num_hashes, self.seed).alias("sig"),
-            )
-            .select(
-                "id",
-                F.explode(
-                    lsh_bands(F.col("sig"), self.num_bands, self.rows_per_band)
-                ).alias("bb"),
-            )
-            .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-            .persist()
-        )
+        sh, bands = self._sign(batch, text_col, id_col)
 
         # candidates: within-batch pairs (a < b → b is the newcomer) ∪
         # store probe (store id is always the seen side)
         within = bucket_pairs(bands, max_bucket=self.max_bucket).select(
             F.col("a").alias("seen_id"), F.col("b").alias("new_id")
         )
-        # the batch's buckets can only collide inside their own bpart
-        # partitions — a bounded collect (≤ n_parts values, and it also
-        # materializes the `bands` persist) prunes the store scan to those
-        # files instead of re-reading the whole seen-corpus band table
-        # every batch (over 10^5 microbatches that scan is quadratic)
-        batch_bparts = [
-            int(r["p"])
-            for r in bands.select(
-                F.pmod(F.col("bucket"), F.lit(self.n_parts)).alias("p")
-            )
-            .distinct()
-            .collect()
-        ]
-        store_bands = self.seen_bands(batch_bparts) if batch_bparts else None
-        if store_bands is not None:
-            batch_bands = bands.select(F.col("id").alias("new_id"), "band", "bucket")
-            if self.broadcast_probe:
-                batch_bands = F.broadcast(batch_bands)
-            probe = (
-                store_bands.select(F.col("id").alias("seen_id"), "band", "bucket")
-                .join(batch_bands, ["band", "bucket"])
-                # same-id re-ingestion is the lake table's LWW concern, not a
-                # near-dup of itself
-                .where(F.col("seen_id") != F.col("new_id"))
-                .select("seen_id", "new_id")
-            )
-            cands = within.unionByName(probe).distinct()
+        store_pairs = self._store_pairs(bands)
+        if store_pairs is not None:
+            cands = within.unionByName(store_pairs).distinct()
         else:
             cands = within.distinct()
-        if self.max_probe is not None:
-            # a boilerplate bucket in the store can collide a new doc with
-            # millions of seen docs; ONE verified match suffices to drop it,
-            # so cap verification work per newcomer deterministically
-            # (lowest seen ids first). Same spirit — and same recall caveat —
-            # as minhash_lsh_candidates' max_bucket chain fallback.
-            w = Window.partitionBy("new_id").orderBy("seen_id")
-            cands = (
-                cands.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") <= self.max_probe)
-                .drop("_rn")
-            )
-        cands = cands.persist()
+        cands = self._cap_probe(cands).persist()
 
         # exact-verify with prebuilt shingle arrays; seen-side shingles come
         # from the batch itself or a partition-pruned store point lookup
         seen_sh = sh.select(F.col("id").alias("seen_id"), F.col("sh").alias("seen_sh"))
-        store_sh = self.seen_shingles()
-        if store_sh is not None:
-            # candidate ids are few: broadcast them and let dynamic partition
-            # pruning skip every spart partition without a candidate
-            lookups = cands.select("seen_id").distinct().withColumn(
-                "spart", F.pmod(F.xxhash64(F.col("seen_id")), F.lit(self.n_parts))
-            )
-            hits = store_sh.join(
-                F.broadcast(lookups),
-                (store_sh["spart"] == lookups["spart"])
-                & (store_sh["id"] == lookups["seen_id"]),
-                "left_semi",
-            )
-            seen_sh = seen_sh.unionByName(
-                hits.select(F.col("id").alias("seen_id"), F.col("sh").alias("seen_sh"))
-            )
+        store_hits = self._store_shingles_for(cands)
+        if store_hits is not None:
+            seen_sh = seen_sh.unionByName(store_hits)
         verified = (
             cands.join(seen_sh, "seen_id")
             .join(sh.select(F.col("id").alias("new_id"), F.col("sh").alias("new_sh")), "new_id")
         )
-        inter = F.size(F.array_intersect(F.col("seen_sh"), F.col("new_sh")))
-        union = F.size(F.array_union(F.col("seen_sh"), F.col("new_sh")))
-        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
         dups = (
-            verified.select("new_id", "seen_id", jac.alias("jaccard"))
+            verified.select("new_id", "seen_id", self._jaccard().alias("jaccard"))
             .where(F.col("jaccard") >= self.threshold)
         )
 

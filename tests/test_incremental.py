@@ -341,3 +341,26 @@ def test_expire_replay_retention(spark, docs, tmp_root):
     new = spark.createDataFrame([(30, BASE)], "doc_id long, text string")
     assert idx.process_batch(new, 3).count() == 0  # dup of seen 0 via store
     assert idx.is_committed("0")  # ledger memory survives expiry
+
+
+def test_probe_is_query_only(spark, docs, tmp_root):
+    """probe(): matches candidates against the seen set with exact Jaccard,
+    commits NOTHING (state byte-identical), and does not pair query docs
+    against each other."""
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=8)
+    idx.process_batch(docs.where(F.col("doc_id") < 10), 0)
+    bands_before = idx.seen_bands().count()
+    queries = spark.createDataFrame(
+        [(50, BASE), (51, BASE + " extra"), (52, "entirely unrelated words about sailing boats")],
+        "doc_id long, text string",
+    )
+    got = {(r.id, r.seen_id) for r in idx.probe(queries).collect()}
+    # 50 and 51 match seen 0 and 2; 52 matches nothing; the near-identical
+    # query pair (50, 51) is NOT reported — probe has no within-query side
+    assert {(50, 0), (51, 2)} <= got
+    assert all(q in (50, 51) and s < 10 for q, s in got)
+    assert idx.seen_bands().count() == bands_before  # nothing committed
+    assert idx.committed_batches() == ["0"]
+    # empty store: clean empty frame
+    idx2 = MinHashIndex(spark, os.path.join(tmp_root, "idx2"), n_parts=8)
+    assert idx2.probe(queries).count() == 0
