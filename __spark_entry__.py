@@ -963,6 +963,43 @@ def cdc_ann_index_topk(spark, sf):
     )
 
 
+def cdc_ann_index_batch_topk(spark, sf):
+    """Batch ANN serving from the incremental index (`EmbeddingIndex.
+    batch_topk`): vectors ingested in two batches, then EVERY query row's
+    top-5 answered from the store in one job — per-query flip-mask probe
+    expansion, store scan partition-pruned to the union of probe bparts,
+    bucket equi-join with the broadcast query side, exact cosine rank. Same
+    planes as the batch operator, so the result equals `batch_lsh_topk`
+    over the union — the same plane-literal SQL oracle as
+    sim_batch_lsh_topk."""
+    import tempfile
+
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    hi, dim = e.agg(F.max("vec_id"), F.max(F.size("embedding"))).collect()[0]
+    hi, step = hi + 1, (hi + 2) // 2
+    idx = EmbeddingIndex(
+        spark, tempfile.mkdtemp(prefix="annbidx_"), threshold=0.3, n_planes=8,
+        dim=int(dim),
+    )
+    for b in range(2):
+        idx.process_batch(
+            e.where((F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)),
+            b,
+        )
+    queries = e.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = idx.batch_topk(queries, k=5, multiprobe=1)
+    return out.select(
+        "q_id",
+        F.col("id").alias("vec_id"),
+        F.round("cosine", 4).alias("cosine"),
+        "rank",
+    )
+
+
 def dedup_simhash(spark, sf):
     """SimHash near-dup pairs (Hamming ≤ 3), md5 60-bit variant.
 
@@ -2008,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "cdc_embdup_ingest": cdc_embdup_ingest,
         "cdc_ann_index_topk": cdc_ann_index_topk,
+        "cdc_ann_index_batch_topk": cdc_ann_index_batch_topk,
         "cdc_neardup_probe": cdc_neardup_probe,
         "f4_bout_id_gen": f4_bout_id_gen,
         "f8_filename_codec": f8_filename_codec,
@@ -3822,6 +3860,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_ann_index_topk": _lsh_topk_oracle(n_planes=8, multiprobe=2, k=10),
         "sim_batch_topk": _batch_topk_oracle(k=5),
         "sim_batch_lsh_topk": _batch_lsh_topk_oracle(k=5, n_planes=8, multiprobe=1),
+        # the index's batch query path answers from the store, same planes
+        "cdc_ann_index_batch_topk": _batch_lsh_topk_oracle(k=5, n_planes=8, multiprobe=1),
         "sim_topk_ivf": _ivf_topk_oracle(n_centroids=16, sample_mod=37, nprobe=4, k=10),
         "sim_topk_ivf_kmeans": _ivf_topk_oracle(
             n_centroids=16, sample_mod=37, nprobe=4, k=10, lloyd_iters=1

@@ -703,6 +703,78 @@ class EmbeddingIndex(_BatchStore):
             .limit(k)
         )
 
+    def batch_topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        multiprobe: int = 1,
+        q_id_col: str = "q_id",
+        q_vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Batch ANN against the persistent store — ``similarity.
+        batch_lsh_topk``'s serving shape with the corpus side ALREADY
+        bucketed at ingest (no corpus re-signing): each query row expands
+        to its C(n_planes, ≤multiprobe) probe buckets JVM-side (flip-mask
+        XOR), the store scan is partition-pruned to the union of the
+        queries' probe bparts (bounded collect, ≤ n_parts values),
+        candidates come from the bucket equi-join with the probed query
+        side broadcast, and exact cosine ranks per query. Returns
+        (q_id, id, cosine, rank ≤ k); equals ``batch_lsh_topk`` over the
+        seen corpus (same seed-deterministic planes). Same append-only
+        caveat as :meth:`topk`."""
+        from data_pipelines_spark.operators.dedup import cosine_similarity
+        from data_pipelines_spark.operators.similarity import (
+            _flip_masks,
+            _hyperplanes,
+            random_hyperplane_bucket,
+        )
+
+        dim = self.dim
+        if dim is None:
+            row = queries.where(F.col(q_vec_col).isNotNull()).select(q_vec_col).first()
+            dim = len(row[0]) if row is not None else 1
+        planes = _hyperplanes(dim, self.n_planes, self.seed)
+        qv = F.col(q_vec_col).cast("array<double>")
+        masks = _flip_masks(self.n_planes, multiprobe)
+        probes = F.explode(
+            F.transform(
+                F.array(*[F.lit(m).cast("long") for m in masks]),
+                lambda m: m.bitwiseXOR(F.col("_qb")),
+            )
+        ).alias("bucket")
+        q_probed = (
+            queries.select(
+                F.col(q_id_col).alias("q_id"),
+                qv.alias("_qv"),
+                random_hyperplane_bucket(qv, planes).alias("_qb"),
+            )
+            .select("q_id", "_qv", probes)
+            .persist()
+        )
+        bparts = sorted(
+            int(r["p"])
+            for r in q_probed.select(
+                F.pmod(F.col("bucket"), F.lit(self.n_parts)).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        store = self.seen_vectors(bparts) if bparts else None
+        if store is None:
+            q_probed.unpersist()
+            qt = queries.schema[q_id_col].dataType.simpleString()
+            return self.spark.createDataFrame(
+                [], f"q_id {qt}, id long, cosine double, rank int"
+            )
+        cand = store.select("id", "v", "bucket").join(F.broadcast(q_probed), "bucket")
+        scored = cand.select(
+            "q_id", "id", cosine_similarity(F.col("v"), F.col("_qv")).alias("cosine")
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("id"))
+        return scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+
     def process_batch(
         self,
         batch: DataFrame,

@@ -364,3 +364,32 @@ def test_probe_is_query_only(spark, docs, tmp_root):
     # empty store: clean empty frame
     idx2 = MinHashIndex(spark, os.path.join(tmp_root, "idx2"), n_parts=8)
     assert idx2.probe(queries).count() == 0
+
+
+def test_embedding_index_batch_topk_matches_operator(spark, tmp_root):
+    """batch_topk: every query answered from the store in one job equals
+    similarity.batch_lsh_topk over the seen corpus (same planes)."""
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+    from data_pipelines_spark.operators.similarity import batch_lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(e.select("embedding").first()[0])
+    idx = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx"), threshold=0.3, dim=dim)
+    idx.process_batch(e, 0)
+    queries = e.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = {
+        (r.q_id, r.id, round(r.cosine, 6), r.rank)
+        for r in idx.batch_topk(queries, k=5, multiprobe=1).collect()
+    }
+    want = {
+        (r.q_id, r.vec_id, round(r.cosine, 6), r.rank)
+        for r in batch_lsh_topk(e, queries, k=5, n_planes=8, multiprobe=1).collect()
+    }
+    assert got == want and len(got) > 0
+    # empty store
+    idx2 = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx2"), dim=dim)
+    assert idx2.batch_topk(queries, k=3).count() == 0
