@@ -299,12 +299,19 @@ def test_embedding_index_topk_matches_lsh_topk(spark, tmp_root):
         )
     idx.compact()
     q = e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
-    got = [(r.id, round(r.cosine, 6)) for r in idx.topk(q, k=10, multiprobe=2).collect()]
+    out = idx.topk(q, k=10, multiprobe=2)
+    got = [(r.id, round(r.cosine, 6)) for r in out.collect()]
     want = [
         (r.vec_id, round(r.cosine, 6))
         for r in lsh_topk(e, q, k=10, n_planes=8, multiprobe=2).collect()
     ]
     assert got == want and len(got) == 10
+    # plan pin: top-k straight off ONE pruned scan — the bucket filter is
+    # PUSHED to parquet and ranking is TakeOrderedAndProject (no sort+limit
+    # of the full store, no join, no Python)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "In(bucket" in plan, plan[plan.index("PushedFilters"):][:200]
     # empty-store query path
     idx2 = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx2"), dim=dim)
     assert idx2.topk(q, k=5).count() == 0
