@@ -251,6 +251,75 @@ def bucket_pairs(banded: DataFrame, max_bucket: int = 1000) -> DataFrame:
     )
 
 
+def bucketed_vector_pairs(df: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Expand an (id, v, bucket) frame to candidate pairs carrying both
+    vectors inline: (a_id, a_v, b_id, b_v) with a_id < b_id.
+
+    The vector analog of :func:`bucket_pairs`, shared by
+    :func:`embedding_near_dup_lsh` and the incremental
+    ``EmbeddingIndex``'s within-batch pass — with the same ``max_bucket``
+    degenerate-bucket guard, enforced BEFORE any aggregation: buckets up to
+    ``max_bucket`` members expand all pairs via group-then-expand (the
+    aggregated member array is bounded at ``max_bucket`` vectors), while
+    larger buckets emit the id-sorted adjacent chain from a window ``lag``
+    — no aggregated row ever holds the hot bucket (a ``collect_set`` of a
+    degenerate sign-LSH bucket is |bucket|·dim doubles in ONE row, an
+    executor OOM at scale; with only 2^n_planes buckets a templated corpus
+    concentrates mass in few buckets), pair count stays linear, and the
+    oversized partition streams through Spark's spillable window sort.
+    Same recall caveat as :func:`bucket_pairs`: a chain pair that fails
+    downstream verification can hide a transitive true pair, so raise
+    ``max_bucket`` when exact recall inside degenerate clusters matters.
+
+    One exchange total: the window's hash partitioning on ``bucket`` also
+    satisfies the small-bucket ``groupBy``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sized = df.select(
+        "bucket",
+        "id",
+        "v",
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        F.lag("id").over(w).alias("_pid"),
+        F.lag("v").over(w).alias("_pv"),
+    )
+    groups = (
+        sized.where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_set(F.struct("id", "v"))).alias("ms"))
+    )
+    ms = F.col("ms")
+    expanded = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("a_id"),
+                    x["v"].alias("a_v"),
+                    y["id"].alias("b_id"),
+                    y["v"].alias("b_v"),
+                ),
+            ),
+        )
+    )
+    all_pairs = groups.select(F.explode(expanded).alias("p")).select(
+        "p.a_id", "p.a_v", "p.b_id", "p.b_v"
+    )
+    chain = sized.where(
+        (F.col("_n") > max_bucket) & F.col("_pid").isNotNull()
+    ).select(
+        F.col("_pid").alias("a_id"),
+        F.col("_pv").alias("a_v"),
+        F.col("id").alias("b_id"),
+        F.col("v").alias("b_v"),
+    )
+    return all_pairs.unionByName(chain)
+
+
 def shingle_jaccard(df: DataFrame, left_text: str, right_text: str, n: int = 3) -> Column:
     """Exact Jaccard over word-shingle sets — the verification predicate."""
     ls, rs = word_shingles(F.col(left_text), n), word_shingles(F.col(right_text), n)
@@ -687,6 +756,7 @@ def embedding_near_dup_lsh(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding near-dups at scale: sign-LSH bucket blocking + exact verify.
 
@@ -696,8 +766,10 @@ def embedding_near_dup_lsh(
     bucket size shrinks ~2^n_planes-fold. High-cosine pairs land in the same
     bucket with probability (1 − θ/π)^n_planes (θ = angle at the threshold);
     every candidate is verified with exact cosine, so no false positives.
-    Group-then-expand like the other blockers: one groupBy on the bucket,
-    pairs generated JVM-side from each bucket's member list, no self-join.
+    Pair expansion is :func:`bucketed_vector_pairs`: group-then-expand for
+    buckets up to ``max_bucket`` members, id-sorted chain fallback above it
+    (linear worst case, no hot-bucket aggregated row — see its docstring
+    for the recall caveat inside degenerate clusters).
     """
     from data_pipelines_spark.operators.partitioning import ensure_parallelism
     from data_pipelines_spark.operators.similarity import (
@@ -721,30 +793,15 @@ def embedding_near_dup_lsh(
     bucketed = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         v.alias("v"),
-        random_hyperplane_bucket(v, planes).alias("bkt"),
+        random_hyperplane_bucket(v, planes).alias("bucket"),
     )
-    groups = (
-        bucketed.groupBy("bkt")
-        .agg(F.array_sort(F.collect_set(F.struct("id", "v"))).alias("ms"))
-        .where(F.size("ms") > 1)
-    )
-    ms = F.col("ms")
-    pairs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(
-                    x["id"].alias("a"),
-                    y["id"].alias("b"),
-                    cosine_similarity(x["v"], y["v"]).alias("cosine"),
-                ),
-            ),
-        )
-    )
+    pairs = bucketed_vector_pairs(bucketed, max_bucket=max_bucket)
     return (
-        groups.select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b", "p.cosine")
+        pairs.select(
+            F.col("a_id").alias("a"),
+            F.col("b_id").alias("b"),
+            cosine_similarity(F.col("a_v"), F.col("b_v")).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
         .distinct()
     )

@@ -52,6 +52,7 @@ from pyspark.sql.types import StructType
 
 from data_pipelines_spark.operators.dedup import (
     bucket_pairs,
+    bucketed_vector_pairs,
     lsh_bands,
     minhash_signature,
     word_shingles,
@@ -642,7 +643,8 @@ class EmbeddingIndex(_BatchStore):
         seed: int = 42,
         dim: int | None = None,
         n_parts: int = 64,
-        max_probe: int | None = None,
+        max_bucket: int = 1000,
+        max_probe: int | None = 1000,
         broadcast_probe: bool = True,
     ):
         super().__init__(spark, root)
@@ -651,8 +653,18 @@ class EmbeddingIndex(_BatchStore):
         self.seed = seed
         self.dim = dim
         self.n_parts = n_parts
+        self.max_bucket = max_bucket
         self.max_probe = max_probe
         self.broadcast_probe = broadcast_probe
+
+    def _id_type(self) -> str:
+        """Id type for empty-result schemas: the stored vector table's ACTUAL
+        id type whenever the store has ever committed (a string-id store must
+        not yield a long-id frame on the empty path — it would break
+        downstream unions/joins that work on the non-empty path), falling
+        back to ``long`` only for a never-written store."""
+        s = self._stored_schema("vectors")
+        return s["id"].dataType.simpleString() if s is not None else "long"
 
     def seen_vectors(self, bparts: list[int] | None = None) -> DataFrame | None:
         """The store's vector table; ``bparts`` partition-prunes the scan to
@@ -694,7 +706,9 @@ class EmbeddingIndex(_BatchStore):
         probes = _probe_buckets(qb, self.n_planes, multiprobe)
         store = self.seen_vectors(sorted({p % self.n_parts for p in probes}))
         if store is None:
-            return self.spark.createDataFrame([], "id long, cosine double")
+            return self.spark.createDataFrame(
+                [], f"id {self._id_type()}, cosine double"
+            )
         cand = store.where(F.col("bucket").isin(probes))
         cos = cosine_similarity(F.col("v"), _query_lit(q))
         return (
@@ -764,7 +778,7 @@ class EmbeddingIndex(_BatchStore):
             q_probed.unpersist()
             qt = queries.schema[q_id_col].dataType.simpleString()
             return self.spark.createDataFrame(
-                [], f"q_id {qt}, id long, cosine double, rank int"
+                [], f"q_id {qt}, id {self._id_type()}, cosine double, rank int"
             )
         cand = store.select("id", "v", "bucket").join(F.broadcast(q_probed), "bucket")
         scored = cand.select(
@@ -810,30 +824,16 @@ class EmbeddingIndex(_BatchStore):
         )
 
         # candidate pairs carry both vectors inline: within-batch pairs
-        # (group-then-expand per bucket, a < b → b is the newcomer) ∪ the
-        # partition-pruned store probe (store id is always the seen side)
-        groups = (
-            bucketed.groupBy("bucket")
-            .agg(F.array_sort(F.collect_set(F.struct("id", "v"))).alias("ms"))
-            .where(F.size("ms") > 1)
-        )
-        ms = F.col("ms")
-        expanded = F.flatten(
-            F.transform(
-                ms,
-                lambda x, i: F.transform(
-                    F.slice(ms, i + 2, F.size(ms)),
-                    lambda y: F.struct(
-                        x["id"].alias("seen_id"),
-                        x["v"].alias("seen_v"),
-                        y["id"].alias("new_id"),
-                        y["v"].alias("new_v"),
-                    ),
-                ),
-            )
-        )
-        within = groups.select(F.explode(expanded).alias("p")).select(
-            "p.seen_id", "p.seen_v", "p.new_id", "p.new_v"
+        # (bucketed_vector_pairs — group-then-expand up to max_bucket
+        # members, id-sorted chain above it so a degenerate sign-LSH bucket
+        # never materializes an O(|bucket|·dim) aggregated row or O(m²)
+        # pairs; a < b → b is the newcomer) ∪ the partition-pruned store
+        # probe (store id is always the seen side)
+        within = bucketed_vector_pairs(bucketed, max_bucket=self.max_bucket).select(
+            F.col("a_id").alias("seen_id"),
+            F.col("a_v").alias("seen_v"),
+            F.col("b_id").alias("new_id"),
+            F.col("b_v").alias("new_v"),
         )
         batch_bparts = [
             int(r["p"])
@@ -850,10 +850,30 @@ class EmbeddingIndex(_BatchStore):
             )
             if self.broadcast_probe:
                 probe = F.broadcast(probe)
-            cross = (
-                store.select(
-                    F.col("id").alias("seen_id"), F.col("v").alias("seen_v"), "bucket"
+            store_side = store.select(
+                F.col("id").alias("seen_id"), F.col("v").alias("seen_v"), "bucket"
+            )
+            if self.max_probe is not None:
+                # Bound the probe join's fan-out BEFORE it happens: a hot
+                # store bucket × a hot batch bucket is the same quadratic the
+                # within-batch cap kills. Every newcomer in a bucket collides
+                # with the SAME store rows (one bucket per vector — no
+                # bands), and the post-join _cap keeps each newcomer's
+                # max_probe lowest seen ids, so keeping the max_probe+1
+                # lowest store ids per bucket (+1: one may be excluded as
+                # the newcomer's own id) yields the IDENTICAL final
+                # candidate set — any pre-dropped id is dominated by
+                # max_probe smaller survivors. One exchange of the
+                # partition-pruned store scan (spillable window sort), in
+                # exchange for an O(max_probe·|batch bucket|) join ceiling.
+                wb = Window.partitionBy("bucket").orderBy("seen_id")
+                store_side = (
+                    store_side.withColumn("_rn", F.row_number().over(wb))
+                    .where(F.col("_rn") <= self.max_probe + 1)
+                    .drop("_rn")
                 )
+            cross = (
+                store_side
                 .join(probe, "bucket")
                 # same-id re-ingestion is the lake table's LWW concern, not
                 # a near-dup of itself

@@ -400,3 +400,37 @@ def test_embedding_index_batch_topk_matches_operator(spark, tmp_root):
     # empty store
     idx2 = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx2"), dim=dim)
     assert idx2.batch_topk(queries, k=3).count() == 0
+
+
+def test_embedding_index_degenerate_bucket_capped(spark, tmp_root):
+    """EmbeddingIndex under a degenerate batch (4k identical vectors, one
+    bucket): within-batch candidates are the id-sorted chain (linear, no
+    O(|bucket|²) expand, no whole-bucket aggregated row), the seen-set rule
+    still drops everything but the first id (dropped docs remain seen —
+    non-recursive), and a follow-up batch into the same hot bucket is
+    bounded by the pre-join store-side cap yet still fully dropped."""
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+
+    n = 4000
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    idx = EmbeddingIndex(
+        spark, os.path.join(tmp_root, "eidx"),
+        threshold=0.95, max_bucket=50, max_probe=7, n_parts=4,
+    )
+    kept = idx.process_batch(vecs, 0)
+    assert [r.vec_id for r in kept.collect()] == [0]
+    assert idx.dup_log().count() == n - 1  # one chain predecessor per newcomer
+
+    m = 100
+    vecs2 = spark.range(n, n + m).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    kept2 = idx.process_batch(vecs2, 1)
+    assert kept2.count() == 0
+    batch2 = idx.dup_log().where(F.col("batch_id") == "1")
+    # per newcomer: ≤ max_probe verified dups survive the caps
+    assert 0 < batch2.count() <= m * 7
