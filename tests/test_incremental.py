@@ -434,3 +434,147 @@ def test_embedding_index_degenerate_bucket_capped(spark, tmp_root):
     batch2 = idx.dup_log().where(F.col("batch_id") == "1")
     # per newcomer: ≤ max_probe verified dups survive the caps
     assert 0 < batch2.count() <= m * 7
+
+
+def test_minhash_index_retraction(spark, docs, tmp_root):
+    """CDC deletes retract old content from the seen set: a near-dup of a
+    retracted doc is KEPT, later batches still dedup against live content
+    (incl. the newly kept doc), raw store rows are hidden at read time and
+    purged physically by compact(), and retraction is idempotent."""
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=8)
+    b0 = docs.where(F.col("doc_id") < 10)
+    assert sorted(r.doc_id for r in idx.process_batch(b0, 0).collect()) == [0, 1]
+    # delete the two BASE-content docs (0 kept, 2 dropped-but-seen)
+    idx.retract([0, 2], "r0")
+    # 10 (BASE) now has NO live seen partner → kept; 11 unique → kept
+    b1 = docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    assert sorted(r.doc_id for r in idx.process_batch(b1, 1).collect()) == [10, 11]
+    # the re-ingested content is seen again: 20 (BASE+extra) drops vs 10
+    b2 = docs.where(F.col("doc_id") >= 20)
+    assert sorted(r.doc_id for r in idx.process_batch(b2, 2).collect()) == [21]
+    assert (20, 10) in {(r.id, r.seen_id) for r in idx.dup_log().collect()}
+    # hidden at read time…
+    live_ids = {r.id for r in idx.seen_bands().select("id").distinct().collect()}
+    assert live_ids == {1, 10, 11, 20, 21}
+    raw = spark.read.parquet(os.path.join(tmp_root, "idx", "bands"))
+    assert {r.id for r in raw.select("id").distinct().collect()} == {
+        0, 1, 2, 10, 11, 20, 21,
+    }
+    # …purged physically by compaction (retraction records retired with it)
+    assert idx.compact()["compacted"]
+    raw = spark.read.parquet(os.path.join(tmp_root, "idx", "bands"))
+    assert {r.id for r in raw.select("id").distinct().collect()} == live_ids
+    assert idx._live_retractions() is None
+    assert {r.id for r in idx.seen_bands().select("id").distinct().collect()} == live_ids
+    # idempotent re-delivery of the retraction batch
+    assert idx.retract([0, 2], "r0") == {"batch_id": "r0", "replayed": True}
+
+
+def test_embedding_index_retraction_and_serving(spark, vecs, tmp_root):
+    """Same retraction contract on the vector store: a retracted vector's
+    near-dups are kept, and topk never serves retracted ids."""
+    from data_pipelines_spark.operators.incremental import EmbeddingIndex
+
+    idx = EmbeddingIndex(spark, os.path.join(tmp_root, "eidx"), threshold=0.9, n_parts=8)
+    b0 = vecs.where(F.col("vec_id") < 10)
+    assert sorted(r.vec_id for r in idx.process_batch(b0, 0).collect()) == [0, 1]
+    idx.retract([0, 2], "r0")
+    # 10 ≈ 0: with 0 and 2 retracted it is kept
+    b1 = vecs.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    assert sorted(r.vec_id for r in idx.process_batch(b1, 1).collect()) == [10, 11]
+    # ANN serving hides retracted ids
+    got = {r.id for r in idx.topk([1.0, 0.0, 0.0, 0.0], k=5, multiprobe=2).collect()}
+    assert 0 not in got and 2 not in got and 10 in got
+    # physical purge + store-size assertion across the vacuum analog
+    pre = idx.seen_vectors().count()
+    idx.compact()
+    raw = spark.read.parquet(os.path.join(tmp_root, "eidx", "vectors"))
+    assert raw.count() == pre == idx.seen_vectors().count()
+
+
+def test_retract_then_reingest_same_id(spark, tmp_root):
+    """Epoch ordering: retract-then-reingest leaves the NEW version live —
+    the index tracks the lake table's rewrite instead of keeping dead
+    content forever."""
+    idx = MinHashIndex(spark, os.path.join(tmp_root, "idx"), threshold=0.8, n_parts=8)
+    old = spark.createDataFrame(
+        [(5, BASE), (6, "unrelated words about gardening tulips in spring soil")],
+        "doc_id long, text string",
+    )
+    idx.process_batch(old, 0)
+    idx.retract([5], "r1")
+    new = spark.createDataFrame(
+        [(5, "rewritten page content entirely about sailing boats on lakes")],
+        "doc_id long, text string",
+    )
+    idx.process_batch(new, 1)
+    # the rewritten content (epoch after the retraction) is live and seen
+    live = {r.id for r in idx.seen_shingles().select("id").distinct().collect()}
+    assert live == {5, 6}
+    probe = spark.createDataFrame(
+        [(100, "rewritten page content entirely about sailing boats on lakes")],
+        "doc_id long, text string",
+    )
+    hits = idx.probe(probe)
+    assert {r.seen_id for r in hits.collect()} == {5}
+    # but a probe matching the OLD (retracted) content finds nothing
+    old_probe = spark.createDataFrame([(101, BASE)], "doc_id long, text string")
+    assert idx.probe(old_probe).count() == 0
+
+
+def test_pipeline_near_dup_retract_end_to_end(spark, tmp_root):
+    """near_dup_retract=True on the CDC pipeline: a delete batch retracts
+    the dead page's content from the index, so a later near-dup of it is
+    KEPT in the table; near-dups of live content still drop; all-insert
+    batches write EMPTY retractions that cost no hide-set join."""
+    import datetime as dt
+
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    def ch(rows):
+        return spark.createDataFrame(
+            [
+                (u, dt.datetime(2024, 1, d), off, op,
+                 t.encode() if t else None, t, "en")
+                for u, d, off, op, t in rows
+            ],
+            "url string, warc_ts timestamp, offset long, op string, "
+            "html binary, text string, lang string",
+        )
+
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            os.path.join(tmp_root, "t"),
+            n_buckets=4,
+            decode=False,
+            near_dup_threshold=0.8,
+            near_dup_retract=True,
+        ),
+    )
+    uniq = "completely unrelated article about mountain hiking trails and gear"
+    pipe.process_batch(ch([("a", 1, 1, "I", BASE), ("b", 1, 2, "I", uniq)]), 0)
+    # all-'I' batch → empty retraction partition → skipped driver-side
+    assert pipe.near_dup._live_retractions() is None
+    pipe.process_batch(ch([("a", 2, 10, "D", None)]), 1)
+    assert pipe.near_dup._live_retractions() is not None
+    # c ≈ a(BASE): with a retracted it is kept
+    pipe.process_batch(ch([("c", 3, 20, "I", BASE + " extra")]), 2)
+    live = {r.url for r in pipe.table.read().select("url").collect()}
+    assert live == {"b", "c"}
+    # rewrite ('U') retracts the OLD content: a re-scrape of b with new text
+    # stops suppressing near-dups of b's old text — e(≈ old b) is kept,
+    # while f(≈ c, still live) drops
+    pipe.process_batch(
+        ch([("b", 4, 30, "U", "fully rewritten body on sailing boats regatta")]), 3
+    )
+    pipe.process_batch(
+        ch([("e", 5, 40, "I", uniq + " extra"),
+            ("f", 5, 41, "I", BASE + " extra words")]),
+        4,
+    )
+    live = {r.url for r in pipe.table.read().select("url").collect()}
+    assert live == {"b", "c", "e"}
+    assert ("f", "c") in {
+        (r.id, r.seen_id) for r in pipe.near_dup.dup_log().collect()
+    }
