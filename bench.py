@@ -189,7 +189,11 @@ def main() -> None:
         "x6_staging_records",
         "cdc_incr_agg",
         "cdc_incr_agg_minmax",
+        "cdc_incr_agg_distinct",
         "cdc_embdup_ingest",
+        "cdc_ann_index_topk",
+        "cdc_ann_index_batch_topk",
+        "cdc_neardup_retract",
         "warc_round_trip",
         "frontier_schedule",
         "quality_ntile",
