@@ -360,6 +360,41 @@ def cdc_incr_agg_distinct(spark, sf):
     )
 
 
+def cdc_compact_sorted(spark, sf):
+    """Sort-clustered compaction (`LakeTable.compact(sort_by_seq=True,
+    target_file_rows=N)` — the Delta OPTIMIZE-with-sort analog): after the
+    5-batch replay each bucket's base is rewritten seq-clustered and split
+    into fixed-size files with contiguous, non-overlapping ts ranges, so
+    the per-file zone map lets `read(min_seq_ts=...)` skip cold files
+    INSIDE a bucket (pre-sort, a bucket is one file and the incremental
+    consumer scans all of it). The entry returns that pruned incremental
+    read and asserts pruning engaged (fewer input files than the full
+    scan); the oracle recomputes the fresh LWW winners in SQL, so equality
+    proves the physical re-layout changed nothing logical."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_cs_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    pipe.run_batches(changes, n_batches=5)
+    t = pipe.table
+    t.compact(sort_by_seq=True, target_file_rows=4, batch_id="optimize")
+    bound = "2024-01-30 12:00:00"
+    fresh = t.read(min_seq_ts=bound)
+    if len(fresh.inputFiles()) >= len(t.read().inputFiles()):
+        raise AssertionError(
+            "sorted compaction must let min_seq_ts prune base files"
+        )
+    return fresh.select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+    )
+
+
 def cdc_rebucket(spark, sf):
     """Bucket-layout evolution (`LakeTable.rebucket`): replay 5 batches at
     16 buckets, rewrite the table to 32, merge one more batch on the new
@@ -2108,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ann_index_batch_topk": cdc_ann_index_batch_topk,
         "cdc_neardup_probe": cdc_neardup_probe,
         "cdc_neardup_retract": cdc_neardup_retract,
+        "cdc_compact_sorted": cdc_compact_sorted,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
         "quality_ntile": quality_ntile,
         "link_pagerank": link_pagerank,
@@ -2932,6 +2968,8 @@ def oracle_sql() -> dict[str, str]:
               AND warc_ts >= TIMESTAMP '2024-01-16 00:00:00'
         """,
         "cdc_rebucket": _CDC_ORACLE,
+        "cdc_compact_sorted": _CDC_ORACLE
+        + " AND warc_ts >= TIMESTAMP '2024-01-30 12:00:00'",
         "cdc_backfill": """
             WITH ch AS (
               SELECT event_id AS off,

@@ -1007,15 +1007,35 @@ class LakeTable:
 
     # ------------------------------------------------------------ compaction
 
-    def compact(self, buckets: list[int] | None = None, batch_id: int | str = "compact") -> MergeStats:
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        batch_id: int | str = "compact",
+        sort_by_seq: bool = False,
+        target_file_rows: int | None = None,
+    ) -> MergeStats:
         """Rewrite base+delta files of ``buckets`` into fresh base files.
 
         Resolution is the same LWW the readers apply, so compaction never
         changes query results — it trades read amplification for one
         bucket-pruned rewrite. Tombstones are preserved (see
         ``vacuum_tombstones`` for reclaiming them past the watermark).
+
+        ``sort_by_seq=True`` additionally clusters each bucket's rewrite by
+        the sequence columns and, with ``target_file_rows``, splits it into
+        fixed-size files — each covering a contiguous, non-overlapping seq
+        range, so the per-file ts zone map lets ``read(min_seq_ts=...)``
+        skip cold files instead of scanning whole buckets (the Delta
+        ``OPTIMIZE``-with-sort analog; at 100 TB a bucket's base is GBs and
+        an incremental consumer reads only the files its bound touches). A
+        physical layout change only: same rows, same LWW winners, sequences
+        untouched — state-invisible to every logical surface, like
+        :meth:`rebucket`.
         """
-        return self._rewrite_buckets(buckets, batch_id, "compact", None)
+        return self._rewrite_buckets(
+            buckets, batch_id, "compact", None,
+            sort_by_seq=sort_by_seq, target_file_rows=target_file_rows,
+        )
 
     def backfill(
         self,
@@ -1124,7 +1144,10 @@ class LakeTable:
         self.n_buckets = n_buckets
         return out
 
-    def _rewrite_buckets(self, buckets, batch_id, operation, transform) -> MergeStats:
+    def _rewrite_buckets(
+        self, buckets, batch_id, operation, transform,
+        sort_by_seq: bool = False, target_file_rows: int | None = None,
+    ) -> MergeStats:
         """Shared CoW rewrite: LWW-resolve the buckets (tombstones kept),
         optionally transform, rewrite as fresh base files, ledger-commit."""
         stats = MergeStats(batch_id=batch_id)
@@ -1145,7 +1168,10 @@ class LakeTable:
             resolved = transform(resolved)
         resolved = resolved.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
         commit_dir = self._new_commit_dir(base_version)
-        self._write_partitioned(resolved, commit_dir, len(buckets))
+        self._write_partitioned(
+            resolved, commit_dir, len(buckets),
+            sort_seq=sort_by_seq, max_file_rows=target_file_rows,
+        )
         new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="base")
         for b in buckets:
             new_files.setdefault(str(b), [])
@@ -1161,13 +1187,31 @@ class LakeTable:
             self.root, "data", f"v{base_version + 1}-{uuid.uuid4().hex[:8]}"
         )
 
-    def _write_partitioned(self, df: DataFrame, commit_dir: str, n_buckets_hint: int) -> None:
-        (
-            df.repartition(max(1, min(n_buckets_hint, 64)), F.col(_BUCKET_COL))
-            .write.partitionBy(_BUCKET_COL)
-            .mode("overwrite")
-            .parquet(commit_dir)
-        )
+    def _write_partitioned(
+        self,
+        df: DataFrame,
+        commit_dir: str,
+        n_buckets_hint: int,
+        sort_seq: bool = False,
+        max_file_rows: int | None = None,
+    ) -> None:
+        out = df.repartition(max(1, min(n_buckets_hint, 64)), F.col(_BUCKET_COL))
+        if sort_seq:
+            # Cluster each bucket by its sequence columns: with
+            # ``max_file_rows`` the writer rolls a new file every N rows, so
+            # each file covers a CONTIGUOUS, non-overlapping seq range — the
+            # per-file ts zone map (_acct_written) then lets
+            # ``read(min_seq_ts=...)`` skip most of a bucket's base files
+            # instead of scanning the whole bucket. Leading the sort with the
+            # bucket column satisfies the partitioned writer's required
+            # ordering, so no second sort is planned.
+            out = out.sortWithinPartitions(
+                F.col(_BUCKET_COL), *[F.col(c) for c in self.seq_cols]
+            )
+        writer = out.write.partitionBy(_BUCKET_COL).mode("overwrite")
+        if max_file_rows is not None:
+            writer = writer.option("maxRecordsPerFile", int(max_file_rows))
+        writer.parquet(commit_dir)
 
     def _list_written(self, commit_dir, snap, table_schema, stats, kind) -> dict[str, list[dict]]:
         sid = self._next_schema_id(snap, table_schema)
@@ -1219,7 +1263,14 @@ class LakeTable:
         track_ts = (
             new_files is not None
             and ts in acct_df.columns
-            and isinstance(acct_df.schema[ts].dataType, T.TimestampType)
+            # NTZ too: a parquet source with isAdjustedToUTC=false infers
+            # TimestampNTZType, and the merge path's footer accounting
+            # already stamps zone maps for it — rewrites must match or a
+            # compaction silently DROPS the table's file-skipping bounds
+            and isinstance(
+                acct_df.schema[ts].dataType,
+                (T.TimestampType, T.TimestampNTZType),
+            )
         )
         file_key = F.input_file_name() if track_ts else F.lit("")
         aggs = [F.count("*").alias("rows"), F.sum(dead).alias("dead")]

@@ -259,3 +259,73 @@ def test_min_seq_ts_correct_with_bump_deltas_present(spark, tmp_root):
     a = {(r.url, r.warc_ts, r.offset) for r in expect.collect()}
     b = {(r.url, r.warc_ts, r.offset) for r in got.collect()}
     assert a == b and len(a) > 0
+
+
+def test_sorted_compaction_splits_buckets_into_zone_mapped_files(spark, table):
+    """compact(sort_by_seq=True, target_file_rows=N): each bucket's rewrite
+    is seq-clustered and split into fixed-size files with contiguous,
+    non-overlapping ts ranges — so read(min_seq_ts=...) skips cold BASE
+    files inside a bucket, not just cold commits. State-invisible."""
+    rows = [("I", f"u{i:03d}", ts(1 + i % 28), i, "en") for i in range(200)]
+    _merge(spark, table, rows, 1)
+    pre = {(r.url, r.warc_ts, r.offset) for r in table.read().collect()}
+
+    st = table.compact(sort_by_seq=True, target_file_rows=20)
+    assert st.committed_version is not None
+
+    post = {(r.url, r.warc_ts, r.offset) for r in table.read().collect()}
+    assert post == pre and len(post) == 200
+
+    snap = table._snapshot(table.current_version())
+    files = table._resolve_files(snap)
+    # split actually happened, and every file carries a ts zone map
+    assert any(len(fl) > 1 for fl in files.values())
+    for fl in files.values():
+        spans = sorted((fe["ts_min"], fe["ts_max"]) for fe in fl)
+        assert all("ts_min" in fe and "ts_max" in fe for fe in fl)
+        # ranges within a bucket may touch at a shared timestamp but
+        # never properly overlap (rows are seq-sorted before the roll)
+        for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 <= lo2
+
+    bound = "2025-01-20 00:00:00"
+    fresh = table.read(min_seq_ts=bound)
+    assert len(fresh.inputFiles()) < len(table.read().inputFiles())
+    expect = {
+        r.url
+        for r in table.read()
+        .where(F.col("warc_ts") >= F.lit(bound).cast("timestamp"))
+        .collect()
+    }
+    assert {r.url for r in fresh.collect()} == expect and expect
+
+
+def test_rewrite_commits_stamp_zone_maps_for_ntz_timestamps(spark, tmp_root):
+    """A table whose seq timestamp column is TIMESTAMP_NTZ (what Spark
+    infers from parquet written with isAdjustedToUTC=false — the events
+    fixture) must KEEP per-file ts zone maps across a rewrite: the
+    merge path's footer accounting always stamped NTZ, but the rewrite
+    path's track_ts check once accepted only TimestampType, so a single
+    compact() silently dropped the table's file-skipping bounds."""
+    ntz_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampNTZType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "ntz"), key="url", n_buckets=2, overwrite=True
+    )
+    rows = [("I", f"u{i}", ts(1 + i), i, "en") for i in range(8)]
+    table.merge(spark.createDataFrame(rows, ntz_schema), batch_id=1)
+    assert all("ts_min" in fe for fe in _zone_mapped_files(table))
+
+    table.compact(sort_by_seq=True, target_file_rows=2)
+    fes = _zone_mapped_files(table)
+    assert fes and all("ts_min" in fe and "ts_max" in fe for fe in fes)
+    fresh = table.read(min_seq_ts="2025-01-06 00:00:00")
+    assert {r.url for r in fresh.collect()} == {"u5", "u6", "u7"}
+    assert len(fresh.inputFiles()) < len(table.read().inputFiles())
