@@ -188,6 +188,12 @@ class LakeTable:
         #: worst-case read amplification is threshold + stagger - 1.
         self.compact_threshold = compact_threshold
         self.compact_stagger = max(1, compact_stagger)
+        #: auto-compaction layout policy: sort_by_seq keeps steady-state base
+        #: files seq-clustered (see :meth:`compact`) so incremental
+        #: ``read(min_seq_ts=...)`` consumers stay zone-map-pruned without a
+        #: separate OPTIMIZE pass; target rows bound each file's size
+        self.compact_sort_by_seq = False
+        self.compact_target_file_rows: int | None = None
         self._meta_dir = os.path.join(root, "metadata")
         self._data_dir = os.path.join(root, "data")
         self._manifest_cache: dict[int, dict] = {}
@@ -861,7 +867,12 @@ class LakeTable:
             >= self.compact_threshold + (int(b) % self.compact_stagger)
         ]
         if over:
-            c = self.compact(buckets=over, batch_id=f"{stats.batch_id}:compact")
+            c = self.compact(
+                buckets=over,
+                batch_id=f"{stats.batch_id}:compact",
+                sort_by_seq=self.compact_sort_by_seq,
+                target_file_rows=self.compact_target_file_rows,
+            )
             stats.compacted_buckets = len(over)
             stats.committed_version = c.committed_version
         return stats

@@ -48,6 +48,8 @@ class PipelineConfig:
     merge_partitions: int | None = None  # repartition width ahead of the merge
     near_dup_threshold: float | None = None  # near-dup-on-ingest Jaccard cutoff
     near_dup_retract: bool = False  # deletes/rewrites retract old index content
+    compact_sort_by_seq: bool = False  # auto-compactions keep seq-clustered files
+    compact_target_file_rows: int | None = None  # file-roll size when sorting
 
 
 class CdcPipeline:
@@ -68,6 +70,8 @@ class CdcPipeline:
             seq_cols=cfg.seq_cols,
             n_buckets=cfg.n_buckets,
         )
+        self.table.compact_sort_by_seq = cfg.compact_sort_by_seq
+        self.table.compact_target_file_rows = cfg.compact_target_file_rows
         self._lineage_dir = os.path.join(cfg.table_root, "_lineage")
         #: incrementally-maintained aggregate views (lake.aggview.AggView),
         #: folded forward after every commit — see :meth:`attach_view`
