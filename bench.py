@@ -194,6 +194,7 @@ def main() -> None:
         "cdc_ann_index_topk",
         "cdc_ann_index_batch_topk",
         "cdc_neardup_retract",
+        "cdc_compact_sorted",
         "warc_round_trip",
         "frontier_schedule",
         "quality_ntile",
