@@ -1092,7 +1092,13 @@ class LakeTable:
 
         return self._rewrite_buckets(buckets, batch_id, "backfill", transform)
 
-    def rebucket(self, n_buckets: int, batch_id: int | str | None = None) -> MergeStats:
+    def rebucket(
+        self,
+        n_buckets: int,
+        batch_id: int | str | None = None,
+        sort_by_seq: bool = False,
+        target_file_rows: int | None = None,
+    ) -> MergeStats:
         """Bucket-layout evolution: rewrite the whole table under a new
         bucket count — the knob a table turns when it outgrows its layout
         (16 buckets is wrong at 100 TB; Iceberg calls this partition-spec
@@ -1109,6 +1115,10 @@ class LakeTable:
         ``buckets=`` pruning arguments are layout-relative: after a
         rebucket, bucket ids passed to :meth:`read` for PRE-rebucket
         versions mean the OLD layout (the snapshot's own file keys).
+
+        ``sort_by_seq`` / ``target_file_rows``: same seq-clustered file
+        layout as :meth:`compact` — a full-table rewrite is exactly when a
+        re-cluster is cheapest.
         """
         if n_buckets < 1:
             raise ValueError("n_buckets must be ≥ 1")
@@ -1131,7 +1141,10 @@ class LakeTable:
             _BUCKET_COL, bucket_id(F.col(self.key), n_buckets)
         )
         commit_dir = self._new_commit_dir(base_version)
-        self._write_partitioned(resolved, commit_dir, n_buckets)
+        self._write_partitioned(
+            resolved, commit_dir, n_buckets,
+            sort_seq=sort_by_seq, max_file_rows=target_file_rows,
+        )
         # the committed snapshot carries the new layout; bucket_stats start
         # fresh (old-layout keys must not linger)
         snap_new = json.loads(json.dumps(snap))

@@ -553,3 +553,22 @@ def test_rebucket_shrink_clears_old_layout(spark, table):
     # LWW still intact through a subsequent merge on the shrunk layout
     _merge(spark, table, [("U", "k7", ts(2), 1, b"<stale>", "en")], 3)
     assert {r.url: bytes(r.html) for r in table.read().collect()}["k7"] == b"<v2>"
+
+
+def test_rebucket_with_sorted_layout(spark, table):
+    """rebucket(sort_by_seq=True, target_file_rows=N): the full-table
+    rewrite is exactly when a re-cluster is cheapest — same layout options
+    as compact(), same state-invisibility."""
+    _merge(
+        spark,
+        table,
+        [("I", f"k{i}", ts(1 + i % 9), i, f"<p{i}>".encode(), "en") for i in range(30)],
+        1,
+    )
+    before = {(r.url, r.warc_ts, r.offset) for r in table.read().collect()}
+    table.rebucket(2, sort_by_seq=True, target_file_rows=5)
+    assert {(r.url, r.warc_ts, r.offset) for r in table.read().collect()} == before
+    files = table._resolve_files(table._snapshot())
+    fes = [fe for fl in files.values() for fe in fl]
+    assert any(len(fl) > 1 for fl in files.values())
+    assert all("ts_min" in fe and "ts_max" in fe for fe in fes)
