@@ -8,6 +8,7 @@ model (pandas/python), never against the implementation itself.
 """
 
 import datetime as dt
+import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -16,8 +17,12 @@ from pyspark.sql import functions as F
 from data_pipelines_spark.functions.normalize import normalize_id, normalize_result, slugify
 from data_pipelines_spark.operators.lww import lww_latest
 
+# HYP_MAX_EXAMPLES deepens the sweep without editing the suite (CI keeps the
+# fast default; a soak-style run sets e.g. 200). The expensive aggview
+# property scales at half rate.
+_N_EXAMPLES = int(os.environ.get("HYP_MAX_EXAMPLES", "20"))
 _SETTINGS = dict(
-    max_examples=20,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -175,7 +180,7 @@ def test_lww_resolve_bumps_matches_model(spark, events):
     ),
     st.integers(min_value=1, max_value=3),  # batches
 )
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=max(1, _N_EXAMPLES // 2), deadline=None,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
 def test_aggview_equals_model_on_arbitrary_streams(spark, tmp_root_factory, ops, n_batches):
     """Incremental view == pure-python model of (LWW final state → GROUP BY)
