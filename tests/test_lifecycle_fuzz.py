@@ -74,7 +74,10 @@ def _table_live(table, min_ts=None):
     return {(r.url, r.warc_ts, r.offset, r.lang) for r in df.collect()}
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+# FUZZ_SEEDS deepens the sweep without editing the suite (CI default: 4)
+@pytest.mark.parametrize(
+    "seed", range(1, 1 + int(os.environ.get("FUZZ_SEEDS", "4")))
+)
 def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
     rng = random.Random(seed)
     events = _gen_events(rng, 120)
