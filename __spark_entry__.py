@@ -395,6 +395,75 @@ def cdc_compact_sorted(spark, sf):
     )
 
 
+def cdc_point_lookup(spark, sf):
+    """Bucket-pruned point lookup (`LakeTable.read_keys`) — the serving path
+    ("current row for url X") that must not scan the table: replay the
+    change stream into the lake, then serve an explicit 25-url list. Each
+    key's bucket is computed under the snapshot's own layout with one tiny
+    local job (bounded by the key-list length); the read is pruned to those
+    bucket directories and the `url IN (...)` predicate pushes through the
+    LWW aggregate into the parquet scan (PushedFilters row-group pruning;
+    plan pinned in tests/test_point_lookup.py). The entry asserts the scan
+    touched only the keys' buckets; the oracle recomputes the same lookups
+    as post-LWW SQL, so equality proves pruning changed nothing logical.
+    At 100 TB a k-key lookup reads at most k bucket directories — cost is
+    independent of table size."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_pl_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    pipe.run_batches(changes, n_batches=3)
+    keys = [f"https://example.com/u/{i}" for i in range(1, 26)]
+    t = pipe.table
+    out = t.read_keys(keys)
+    from data_pipelines_spark.functions.hashing import bucket_id
+
+    want = {
+        r[0]
+        for r in spark.createDataFrame([(k,) for k in keys], "url string")
+        .select(bucket_id(F.col("url"), t.n_buckets).alias("b"))
+        .collect()
+    }
+    touched = {
+        int(p.split("=")[1])
+        for f in out.inputFiles()
+        for p in f.split("/")
+        if p.startswith("_bucket=")
+    }
+    if not touched <= want:
+        raise AssertionError(f"point lookup scanned extra buckets: {touched - want}")
+    return out.select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+    )
+
+
+_POINT_LOOKUP_ORACLE = """
+WITH ch AS (
+  SELECT event_id AS off,
+         CASE WHEN event_type='error' THEN 'D'
+              WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+         concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url,
+         ts AS warc_ts, value, props
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, off DESC) AS rn
+  FROM ch
+)
+SELECT url, warc_ts, off AS log_offset, value, props
+FROM r
+WHERE rn = 1 AND op <> 'D'
+  AND url IN ({})
+""".format(
+    ", ".join(f"'https://example.com/u/{i}'" for i in range(1, 26))
+)
+
+
 def cdc_rebucket(spark, sf):
     """Bucket-layout evolution (`LakeTable.rebucket`): replay 5 batches at
     16 buckets, rewrite the table to 32, merge one more batch on the new
@@ -2144,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_neardup_probe": cdc_neardup_probe,
         "cdc_neardup_retract": cdc_neardup_retract,
         "cdc_compact_sorted": cdc_compact_sorted,
+        "cdc_point_lookup": cdc_point_lookup,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
         "quality_ntile": quality_ntile,
         "link_pagerank": link_pagerank,
@@ -2968,6 +3038,7 @@ def oracle_sql() -> dict[str, str]:
               AND warc_ts >= TIMESTAMP '2024-01-16 00:00:00'
         """,
         "cdc_rebucket": _CDC_ORACLE,
+        "cdc_point_lookup": _POINT_LOOKUP_ORACLE,
         "cdc_compact_sorted": _CDC_ORACLE
         + " AND warc_ts >= TIMESTAMP '2024-01-30 12:00:00'",
         "cdc_backfill": """

@@ -550,6 +550,62 @@ class LakeTable:
             )
         return df
 
+    def read_keys(
+        self,
+        keys,
+        version: int | None = None,
+        columns: list[str] | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Point lookup: current (or time-travel) rows for an explicit key
+        list — the serving path ("give me the row for url X") that must NOT
+        scan the table.
+
+        Each key's bucket is ``pmod(xxhash64(key), n_buckets)`` under the
+        requested version's OWN layout (rebucket changes ``n_buckets``
+        per-snapshot), computed with one tiny local job bounded by
+        ``len(keys)`` rows — no shuffle, no table scan. The snapshot read is
+        then pruned to those bucket directories only, and the ``key IN
+        (...)`` predicate is applied under the LWW resolution: it references
+        only the grouping key, so Catalyst pushes it through the aggregate
+        into the parquet scan (``PushedFilters: In(key, ...)`` — row groups
+        whose key range misses prune at the footer). Cost is
+        O(|keys|/n_buckets of the table) I/O upper-bounded by the pruned
+        buckets, independent of total table size — at 100 TB a k-key lookup
+        touches at most k bucket directories.
+
+        ``keys`` is a bounded serving request (an explicit list, not a
+        DataFrame); for joining against a large key set use
+        ``read(columns=...)`` with a join instead.
+        """
+        keys = list(dict.fromkeys(keys))  # dedupe, keep order irrelevant
+        snap = self._snapshot(version)
+        target = self.schema_from_snap(snap)
+        if target is None:
+            raise ValueError("table has no schema yet (no data committed)")
+        if not keys:
+            return self.read(
+                version=version, buckets=[], columns=columns,
+                include_tombstones=include_tombstones,
+            )
+        n = int(snap.get("n_buckets", self.n_buckets))
+        key_field = next(f for f in target.fields if f.name == self.key)
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([key_field])
+        )
+        # bounded collect: ≤ len(keys) bucket ids from a single local stage
+        bks = sorted(
+            r[0]
+            for r in kdf.select(
+                bucket_id(F.col(self.key), n).alias("b")
+            ).distinct().collect()
+        )
+        df = self.read(
+            version=version, buckets=bks, columns=columns,
+            include_tombstones=include_tombstones,
+        )
+        return df.where(F.col(self.key).isin(keys))
+
     # ------------------------------------------------------------ change feed
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
