@@ -163,6 +163,26 @@ def main() -> None:
             cdc_elapsed = el
             final_rows = pipe.table.read().count()
     results["cdc_ingest"] = round(cdc_elapsed, 3)
+    # best-of-N per query, same rationale as the ingest trials
+    query_trials = max(1, int(os.environ.get("BENCH_QUERY_TRIALS", "2")))
+
+    # ---- serving path: bucket-pruned point lookup on the ingested table ---
+    # "current row for url X" latency at the headline table size — read_keys
+    # prunes the scan to the keys' bucket directories and pushes In(url)
+    # into parquet, so this cost is bounded by the keys' buckets, not the
+    # table. Key selection (one scan) stays outside the timed window.
+    lookup_keys = [
+        r[0]
+        for r in pipe.table.read(columns=[]).select("url").limit(20).collect()
+    ]
+    best = None
+    for _ in range(query_trials):
+        t0 = time.time()
+        pipe.table.read_keys(lookup_keys).collect()
+        el = time.time() - t0
+        if best is None or el < best:
+            best = el
+    results["cdc_point_lookup"] = round(best, 3)
 
     # ---- flagship queries -------------------------------------------------
     qs = em.queries()
@@ -200,13 +220,12 @@ def main() -> None:
         "quality_ntile",
         "corpus_top_ngrams",
     ]
-    # best-of-N per query, same as the ingest: a single draw on this shared
-    # host can absorb a 2x neighbor stall (round-2's dedup_exact "+57%" was
-    # exactly that — unattributable with a single-shot sweep)
-    query_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "2"))
+    # a single draw on this shared host can absorb a 2x neighbor stall
+    # (round-2's dedup_exact "+57%" was exactly that — unattributable with a
+    # single-shot sweep), hence best-of-query_trials per entry
     for name in headline:
         best = None
-        for _ in range(max(1, query_trials)):
+        for _ in range(query_trials):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
