@@ -142,6 +142,15 @@ def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
         got = _table_live(table, min_ts=str(cut))
         want = {r for r in _model_live(model) if r[1] >= cut}
         assert got == want, actions
+        # point-lookup serving path over the same mixed layout: probe keys
+        # spanning live, tombstoned, and never-seen ids (k24+ don't exist)
+        probe = [f"k{rng.randrange(30)}" for _ in range(5)]
+        got_pl = {
+            (r.url, r.warc_ts, r.offset, r.lang)
+            for r in table.read_keys(probe).collect()
+        }
+        want_pl = {r for r in _model_live(model) if r[0] in set(probe)}
+        assert got_pl == want_pl, actions
 
     # the final state also survives a reload in a fresh handle
     t2 = LakeTable.load(spark, table.root)
