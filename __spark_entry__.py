@@ -139,6 +139,47 @@ FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_ledger_retention(spark, sf):
+    """Exactly-once ledger retention (`LakeTable.ledger_keep`): without it
+    the batch_id→version dict rides inside EVERY snapshot JSON and grows one
+    entry per microbatch forever — at 10^6 batches each commit would parse
+    and rewrite a million-entry dict driver-side. Replay the stream in 5
+    batches with a 3-commit window, then re-deliver the LAST batch (inside
+    the window — recognized, skipped, no commit) and the FIRST batch (beyond
+    the window — undetectable by contract, re-applies, but merge is
+    value-idempotent under LWW). Final state must equal the single-pass LWW
+    oracle; the ledger stays O(window) and the floor is recorded."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_ledg_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            table_root=os.path.join(root, "t"), n_buckets=16, decode=False,
+            ledger_keep=3,
+        ),
+    )
+    pipe.run_batches(changes, n_batches=5)
+    assert len(pipe.table.ledger()) <= 3, "retention did not bound the ledger"
+    assert pipe.table.ledger_floor() is not None
+    lo_hi = changes.agg(F.min("offset"), F.max("offset")).collect()[0]
+    step = max(1, (lo_hi[1] - lo_hi[0] + 1) // 5)
+    # inside the window: duplicate recognized, no new commit
+    v = pipe.table.current_version()
+    last = changes.where(F.col("offset") >= lo_hi[0] + 4 * step)
+    assert pipe.process_batch(last, batch_id=4).skipped_duplicate_batch
+    assert pipe.table.current_version() == v
+    # beyond the window: re-applies (wasted work, not wrong answers)
+    first = changes.where(F.col("offset") < lo_hi[0] + step)
+    assert not pipe.process_batch(first, batch_id=0).skipped_duplicate_batch
+    return pipe.table.read().select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+    )
+
+
 def a9_throughput_report(spark, sf):
     """A9 run-rate counters: the per-batch lineage/throughput report of a
     3-batch CDC replay (rows in, upserts, deletes, offset span per commit).
@@ -2214,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_neardup_retract": cdc_neardup_retract,
         "cdc_compact_sorted": cdc_compact_sorted,
         "cdc_point_lookup": cdc_point_lookup,
+        "cdc_ledger_retention": cdc_ledger_retention,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
         "quality_ntile": quality_ntile,
         "link_pagerank": link_pagerank,
@@ -3041,6 +3083,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": _POINT_LOOKUP_ORACLE,
         "cdc_compact_sorted": _CDC_ORACLE
         + " AND warc_ts >= TIMESTAMP '2024-01-30 12:00:00'",
+        # retention + re-deliveries are state-invisible: same LWW oracle
+        "cdc_ledger_retention": _CDC_ORACLE,
         "cdc_backfill": """
             WITH ch AS (
               SELECT event_id AS off,

@@ -194,6 +194,21 @@ class LakeTable:
         #: separate OPTIMIZE pass; target rows bound each file's size
         self.compact_sort_by_seq = False
         self.compact_target_file_rows: int | None = None
+        #: exactly-once ledger retention: keep entries for the last N commits
+        #: only (None = unbounded). The ledger rides inside every snapshot
+        #: JSON, so without retention a 10^6-microbatch stream makes every
+        #: commit serialize/parse a million-entry dict driver-side — the one
+        #: snapshot component not already bounded (manifests squash, bucket
+        #: stats are O(n_buckets)). Contract mirrors ``vacuum_tombstones`` /
+        #: the index store's ``expire_replay``: size the window beyond the
+        #: source's maximum re-delivery horizon (checkpointed foreachBatch
+        #: replays only the LAST batch, so even a tiny window is sound
+        #: there). A re-delivery older than the window is undetectable —
+        #: but a re-applied MERGE batch is also VALUE-idempotent under LWW
+        #: (same winners, duplicate delta rows resolve away), so the failure
+        #: mode is wasted files, not wrong answers. Trimmed entries raise the
+        #: monotone ``ledger_floor`` snapshot field for observability.
+        self.ledger_keep: int | None = None
         self._meta_dir = os.path.join(root, "metadata")
         self._data_dir = os.path.join(root, "data")
         self._manifest_cache: dict[int, dict] = {}
@@ -1438,6 +1453,15 @@ class LakeTable:
                 "tombstones": tomb,
             }
         new_snap["ledger"][str(stats.batch_id)] = new_snap["version"]
+        if self.ledger_keep is not None:
+            floor = new_snap["version"] - self.ledger_keep
+            dropped = [b for b, v in new_snap["ledger"].items() if v <= floor]
+            if dropped:
+                for b in dropped:
+                    del new_snap["ledger"][b]
+                new_snap["ledger_floor"] = max(
+                    new_snap.get("ledger_floor", -1), floor
+                )
         self._write_snapshot(new_snap)
         self._swap_pointer(expected=base_version, new_version=new_snap["version"])
         stats.committed_version = new_snap["version"]
@@ -1480,6 +1504,13 @@ class LakeTable:
 
     def ledger(self) -> dict[str, int]:
         return dict(self._snapshot()["ledger"])
+
+    def ledger_floor(self) -> int | None:
+        """Highest version whose ledger entries were trimmed by
+        ``ledger_keep`` retention (None = nothing ever trimmed): batch ids
+        committed at or below this version can no longer be recognized as
+        duplicates."""
+        return self._snapshot().get("ledger_floor")
 
     def stats(self) -> dict:
         return dict(self._snapshot()["stats"])

@@ -50,6 +50,9 @@ class PipelineConfig:
     near_dup_retract: bool = False  # deletes/rewrites retract old index content
     compact_sort_by_seq: bool = False  # auto-compactions keep seq-clustered files
     compact_target_file_rows: int | None = None  # file-roll size when sorting
+    #: exactly-once ledger retention window in commits (None = unbounded);
+    #: size beyond the source's re-delivery horizon — see LakeTable.ledger_keep
+    ledger_keep: int | None = None
 
 
 class CdcPipeline:
@@ -72,6 +75,7 @@ class CdcPipeline:
         )
         self.table.compact_sort_by_seq = cfg.compact_sort_by_seq
         self.table.compact_target_file_rows = cfg.compact_target_file_rows
+        self.table.ledger_keep = cfg.ledger_keep
         self._lineage_dir = os.path.join(cfg.table_root, "_lineage")
         #: incrementally-maintained aggregate views (lake.aggview.AggView),
         #: folded forward after every commit — see :meth:`attach_view`

@@ -572,3 +572,43 @@ def test_rebucket_with_sorted_layout(spark, table):
     fes = [fe for fl in files.values() for fe in fl]
     assert any(len(fl) > 1 for fl in files.values())
     assert all("ts_min" in fe and "ts_max" in fe for fe in fes)
+
+
+def test_ledger_retention_bounds_snapshot_metadata(spark, table):
+    """ledger_keep trims exactly-once entries past the retention window:
+    the per-snapshot dict stays O(keep) over any number of commits,
+    duplicates inside the window still skip, and a re-delivery from beyond
+    the window re-applies but converges to the same state (merge is
+    value-idempotent under LWW)."""
+    table.ledger_keep = 3
+    for i in range(8):
+        _merge(spark, table, [("I", f"k{i}", ts(1 + i), i, b"<x>", "en")], i)
+    led = table.ledger()
+    assert len(led) <= 3 and "7" in led and "0" not in led
+    floor = table.ledger_floor()
+    assert floor is not None and floor == table.current_version() - 3
+
+    # duplicate INSIDE the window: recognized, state untouched
+    v = table.current_version()
+    s = _merge(spark, table, [("I", "k7", ts(8), 7, b"<x>", "en")], 7)
+    assert s.skipped_duplicate_batch and table.current_version() == v
+
+    # re-delivery from BEYOND the window: not recognized (documented
+    # watermark contract) — re-applies, but LWW makes it value-idempotent
+    before = {
+        (r.url, r.warc_ts, r.offset, bytes(r.html))
+        for r in table.read().collect()
+    }
+    s = _merge(spark, table, [("I", "k0", ts(1), 0, b"<x>", "en")], 0)
+    assert not s.skipped_duplicate_batch
+    after = {
+        (r.url, r.warc_ts, r.offset, bytes(r.html))
+        for r in table.read().collect()
+    }
+    assert after == before
+
+    # retention survives a reload only via explicit re-set (instance knob,
+    # like compact_* policies) — but the floor is persistent metadata
+    t2 = LakeTable.load(spark, table.root)
+    assert t2.ledger_floor() == table.ledger_floor()
+    assert len(t2.ledger()) <= 5
