@@ -532,7 +532,31 @@ class AggView:
     def update_all(self, table: LakeTable) -> int:
         """Apply every table batch this view hasn't seen, in commit order.
         The catch-up path after a view outage or a fresh view over an
-        existing table. Returns the number of batches applied."""
+        existing table. Returns the number of batches applied.
+
+        Fails loud if the table's ``ledger_keep`` retention already trimmed
+        batches this view never applied — those batch ids are gone from the
+        ledger, so silent catch-up would leave the view stale forever; the
+        remedy is :meth:`rebuild` (full refresh re-baselines and re-marks).
+        """
+        floor = table.ledger_floor()
+        if floor is not None:
+            # batches are applied in commit order, so the view is caught up
+            # through the highest table_version its markers record; any
+            # trimmed entry above that point is lost history the ledger can
+            # no longer name
+            applied_v = -1
+            for b in self.committed_batches():
+                with open(self._marker(b)) as f:
+                    applied_v = max(applied_v, json.load(f).get("table_version", -1))
+            if applied_v < floor:
+                raise ValueError(
+                    f"table ledger was trimmed through v{floor} "
+                    f"(ledger_keep retention) but this view last applied "
+                    f"v{applied_v} — the trimmed batch ids can no longer be "
+                    "enumerated for catch-up; use rebuild() for a full "
+                    "refresh"
+                )
         n = 0
         for bid, _v in sorted(table.ledger().items(), key=lambda kv: kv[1]):
             if self.update(table, bid):
@@ -689,8 +713,21 @@ class AggView:
             .parquet(self._deltas)
         )
         schema = StructType([f for f in folded.schema.fields if f.name != "batch_id"])
+        # carry the catch-up watermark forward: the consolidated marker must
+        # still prove how far this view has applied (update_all's
+        # ledger_floor guard reads it) after the absorbed markers are gone
+        maxv = -1
+        for b in live:
+            try:
+                with open(self._marker(b)) as f:
+                    maxv = max(maxv, json.load(f).get("table_version", -1))
+            except FileNotFoundError:
+                pass
+        doc = {"absorbs": live, "schema": schema.jsonValue()}
+        if maxv >= 0:
+            doc["table_version"] = maxv
         with open(self._marker(cid), "w") as f:
-            json.dump({"absorbs": live, "schema": schema.jsonValue()}, f)
+            json.dump(doc, f)
         for b in live:
             try:
                 os.remove(self._marker(b))

@@ -547,3 +547,32 @@ def test_recompute_survives_compact_rebuild_and_load(spark, table, rc_view, tmp_
     assert _rc_dict(reopened.read()) == _rc_dict(_rc_full(table))
     reopened.rebuild(table)
     assert _rc_dict(reopened.read()) == _rc_dict(_rc_full(table))
+
+
+def test_update_all_fails_loud_when_ledger_trimmed_past_view(spark, table, view):
+    """ledger_keep retention can trim batch ids a lagging view never applied
+    — silent catch-up would leave the view stale forever, so update_all must
+    refuse and point at rebuild(). A view that kept pace (even through its
+    own compact(), which absorbs the markers carrying the watermark) passes.
+    """
+    table.ledger_keep = 2
+    for i in range(3):
+        _merge(spark, table, [("I", f"k{i}", ts(1 + i), i, "en", 10)], i)
+    assert table.ledger_floor() is not None
+    # fresh view, never applied anything, early batch ids already trimmed
+    with pytest.raises(ValueError, match="rebuild"):
+        view.update_all(table)
+    # rebuild re-baselines; incremental catch-up resumes from there
+    view.rebuild(table)
+    _merge(spark, table, [("I", "k9", ts(9), 9, "de", 5)], 9)
+    assert view.update_all(table) == 1
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table))
+    # a kept-pace view survives its own compact: the consolidated marker
+    # carries the applied-version watermark forward
+    _merge(spark, table, [("I", "k10", ts(10), 10, "fr", 7)], 10)
+    _merge(spark, table, [("I", "k11", ts(11), 11, "fr", 8)], 11)
+    assert view.update_all(table) == 2
+    assert view.compact()
+    _merge(spark, table, [("I", "k12", ts(12), 12, "en", 3)], 12)
+    assert view.update_all(table) == 1
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table))
