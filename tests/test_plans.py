@@ -245,3 +245,54 @@ def test_mixture_sample_is_pure_filter(spark, entrymod):
     plan = _plan(entrymod.mixture_sample(spark, SF_DIR))
     assert "Exchange" not in plan and "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_read_keys_point_lookup_pruned(spark, tmp_root):
+    """read_keys (the serving path) must prune the scan to the keys' bucket
+    directories and push the key IN-list through the LWW aggregate into the
+    parquet scan — O(|keys|) buckets touched at any table size."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_pipelines_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "pk"), key="url", n_buckets=8,
+        overwrite=True,
+    )
+    rows = [
+        ("I", f"k{i}", dt.datetime(2025, 1, 1 + i % 20), i, "en")
+        for i in range(64)
+    ]
+    t.merge(spark.createDataFrame(rows, schema), batch_id=1)
+    df = t.read_keys(["k3", "k17"])
+    plan = _formatted(df)
+    # the IN predicate reaches the scan (row-group pruning at the footer)
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "In(url" in pushed, pushed
+    # only the probed keys' bucket dirs are in the scan's file listing:
+    # every scanned location must be one of the expected bucket partitions
+    from data_pipelines_spark.lake.table import bucket_id
+
+    want = {
+        r[0]
+        for r in spark.createDataFrame([("k3",), ("k17",)], "url string")
+        .select(bucket_id(F.col("url"), 8).alias("b"))
+        .collect()
+    }
+    exec_plan = _plan(df)
+    import re
+
+    scanned = set(re.findall(r"_bucket=(\d+)", exec_plan))
+    assert scanned, "no bucket partitions visible in the scan"
+    assert scanned <= {str(b) for b in want}, (scanned, want)
