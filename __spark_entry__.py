@@ -180,6 +180,93 @@ def cdc_ledger_retention(spark, sf):
     )
 
 
+def _docs_as_inserts(spark, sf):
+    """documents → insert-only CDC batch at T0 (url-keyed, offset=doc_id)."""
+    return _t(spark, sf, "documents").select(
+        F.lit("I").alias("op"),
+        F.concat(
+            F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("doc_id").alias("offset"),
+        "text",
+        "lang",
+        "doc_id",
+    )
+
+
+def cdc_delete_where(spark, sf):
+    """Predicate delete (`LakeTable.delete_where` — SQL ``DELETE WHERE``, the
+    GDPR/domain-purge surface): ingest every document as an insert at T0;
+    purge ``lang='de' OR doc_id%7=0`` as ONE exactly-once tombstone batch at
+    T1 (the matched-set scan is column-pruned to the predicate's columns —
+    pinned in tests/test_plans.py); then re-insert the doc_id%14=0 subset at
+    T2 with lang='xx' — the purge is an ordinary LWW event that a newer
+    insert outranks (sequence-carrying tombstones, not physical erasure).
+    The oracle states the final state in one SQL pass."""
+    from data_pipelines_spark.lake import LakeTable
+
+    base = _docs_as_inserts(spark, sf)
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="delw_"),
+        key="url",
+        seq_cols=("warc_ts", "offset"),
+        n_buckets=8,
+    )
+    t.merge(base, batch_id=0)
+    t.delete_where(
+        (F.col("lang") == "de") | (F.col("doc_id") % 7 == 0),
+        batch_id=1,
+        seq={"warc_ts": "2024-01-02 00:00:00", "offset": 1_000_000},
+        predicate_columns=["lang", "doc_id"],
+    )
+    resurrect = base.where(F.col("doc_id") % 14 == 0).select(
+        "op",
+        "url",
+        F.to_timestamp(F.lit("2024-01-03 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 2_000_000).alias("offset"),
+        "text",
+        F.lit("xx").alias("lang"),
+        "doc_id",
+    )
+    t.merge(resurrect, batch_id=2)
+    return t.read().select("url", "lang", "doc_id")
+
+
+def cdc_update_where(spark, sf):
+    """Predicate update (`LakeTable.update_where` — SQL ``UPDATE ... SET ...
+    WHERE``): set expressions read the row's CURRENT values
+    (``lang → lang || '-upd'`` for doc_id%5=0, stamped T1), unnamed payload
+    columns carry forward; a second update stamped BELOW T0 must lose LWW
+    row-for-row (out-of-order DML is just a stale CDC event) and leave no
+    trace. Final state stated by the oracle in one pass."""
+    from data_pipelines_spark.lake import LakeTable
+
+    base = _docs_as_inserts(spark, sf)
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="updw_"),
+        key="url",
+        seq_cols=("warc_ts", "offset"),
+        n_buckets=8,
+    )
+    t.merge(base, batch_id=0)
+    t.update_where(
+        F.col("doc_id") % 5 == 0,
+        {"lang": F.concat(F.col("lang"), F.lit("-upd"))},
+        batch_id=1,
+        seq={"warc_ts": "2024-01-02 00:00:00", "offset": 1_000_000},
+    )
+    t.update_where(
+        F.col("doc_id") % 3 == 0,
+        {"lang": F.lit("stale")},
+        batch_id=2,
+        seq={"warc_ts": "2023-12-31 00:00:00", "offset": -1},
+    )
+    return t.read().select("url", "lang", "doc_id")
+
+
 def a9_throughput_report(spark, sf):
     """A9 run-rate counters: the per-batch lineage/throughput report of a
     3-batch CDC replay (rows in, upserts, deletes, offset span per commit).
@@ -2256,6 +2343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compact_sorted": cdc_compact_sorted,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_ledger_retention": cdc_ledger_retention,
+        "cdc_delete_where": cdc_delete_where,
+        "cdc_update_where": cdc_update_where,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
         "quality_ntile": quality_ntile,
         "link_pagerank": link_pagerank,
@@ -3085,6 +3174,30 @@ def oracle_sql() -> dict[str, str]:
         + " AND warc_ts >= TIMESTAMP '2024-01-30 12:00:00'",
         # retention + re-deliveries are state-invisible: same LWW oracle
         "cdc_ledger_retention": _CDC_ORACLE,
+        "cdc_delete_where": """
+            WITH base AS (
+              SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS url,
+                     lang, doc_id
+              FROM documents
+            )
+            SELECT url,
+                   CASE WHEN doc_id % 14 = 0 THEN 'xx' ELSE lang END AS lang,
+                   doc_id
+            FROM base
+            WHERE NOT (lang = 'de' OR doc_id % 7 = 0) OR doc_id % 14 = 0
+        """,
+        "cdc_update_where": """
+            WITH base AS (
+              SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS url,
+                     lang, doc_id
+              FROM documents
+            )
+            SELECT url,
+                   CASE WHEN doc_id % 5 = 0 THEN concat(lang, '-upd')
+                        ELSE lang END AS lang,
+                   doc_id
+            FROM base
+        """,
         "cdc_backfill": """
             WITH ch AS (
               SELECT event_id AS off,

@@ -50,7 +50,7 @@ import shutil
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1019,6 +1019,118 @@ class LakeTable:
         stats.rows_upserted = stats.rows_in - stats.rows_deleted
         stats.buckets_touched = len(new_files)
         stats.seq_min, stats.seq_max = lo, hi
+
+    # --------------------------------------------------- predicate DML sugar
+
+    def _seq_values(self, seq: dict, target: T.StructType) -> list[Column]:
+        """Validate + render a caller-supplied sequence mapping: exactly one
+        entry per seq column, each cast to the table's column type."""
+        missing = [c for c in self.seq_cols if c not in seq]
+        extra = [c for c in seq if c not in self.seq_cols]
+        if missing or extra:
+            raise ValueError(
+                f"seq must map exactly the table's seq columns "
+                f"{list(self.seq_cols)} (missing={missing}, unexpected={extra})"
+            )
+        out = []
+        for c in self.seq_cols:
+            v = seq[c]
+            col = v if isinstance(v, Column) else F.lit(v)
+            out.append(col.cast(target[c].dataType).alias(c))
+        return out
+
+    def delete_where(
+        self,
+        predicate: Column | str,
+        batch_id: int | str,
+        seq: dict,
+        predicate_columns: list[str] | None = None,
+    ) -> MergeStats:
+        """Predicate delete — SQL ``DELETE FROM t WHERE ...`` over the lake
+        table (the GDPR/domain-purge surface): tombstone every live key whose
+        LWW-resolved row matches ``predicate``, as ONE exactly-once CDC batch
+        through the standard merge path (ledger-checked ``batch_id``, same
+        single-exchange plan, tombstones survive until ``vacuum_tombstones``).
+
+        ``seq`` maps each of the table's seq columns to the sequence the
+        tombstones carry (Column or literal) — the delete is an ordinary CDC
+        event and participates in normal LWW: it beats stored winners with a
+        strictly smaller sequence tuple, loses to anything newer, and a later
+        re-insert with a higher sequence resurrects the key exactly as any
+        CDC delete would. Supply a sequence beyond the stream position being
+        superseded (the caller knows its watermark); replay determinism is
+        the caller's values, never wall-clock.
+
+        ``predicate_columns`` prunes the matched-set scan to key + seq + the
+        named columns (the predicate may only reference those) — at 100 TB
+        a purge predicate usually touches one or two columns and the scan
+        should read just their chunks. Cost: one LWW-resolved read of the
+        live table (inherent to predicate DML on a merge-on-read table —
+        the predicate applies to resolved winners, not raw deltas) feeding
+        O(matched) tombstone rows through merge.
+        """
+        target = self.schema_from_snap(self._snapshot())
+        if target is None:
+            raise ValueError("table has no schema yet (no data committed)")
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        live = self.read(columns=predicate_columns)
+        seq_exprs = self._seq_values(seq, target)
+        payload = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+            if f.name != self.key and f.name not in self.seq_cols
+        ]
+        tomb = live.where(pred).select(
+            F.lit("D").alias("op"), F.col(self.key), *seq_exprs, *payload
+        )
+        return self.merge(tomb, batch_id)
+
+    def update_where(
+        self,
+        predicate: Column | str,
+        set: dict,
+        batch_id: int | str,
+        seq: dict,
+    ) -> MergeStats:
+        """Predicate update — SQL ``UPDATE t SET ... WHERE ...``: rewrite the
+        named payload columns of every live row matching ``predicate`` (set
+        expressions may reference the row's current columns, e.g.
+        ``{"lang": F.upper(F.col("lang"))}``), carried as full-row 'U' events
+        with the caller-supplied ``seq`` through the standard exactly-once
+        merge. Unnamed payload columns carry the current value forward (LWW
+        replaces whole rows). Same LWW interplay and cost shape as
+        :meth:`delete_where`, except the matched-set scan always reads full
+        rows (unreferenced columns must be carried)."""
+        target = self.schema_from_snap(self._snapshot())
+        if target is None:
+            raise ValueError("table has no schema yet (no data committed)")
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        names = {f.name for f in target.fields}
+        bad = [
+            k
+            for k in set
+            if k == self.key or k in self.seq_cols or k not in names
+        ]
+        if bad:
+            raise ValueError(
+                f"set may only name payload columns of the table; bad: {bad}"
+            )
+        set_exprs = {
+            k: (v if isinstance(v, Column) else F.lit(v)) for k, v in set.items()
+        }
+        live = self.read()
+        seq_exprs = self._seq_values(seq, target)
+        payload = [
+            (set_exprs[f.name] if f.name in set_exprs else F.col(f.name))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in target.fields
+            if f.name != self.key and f.name not in self.seq_cols
+        ]
+        upd = live.where(pred).select(
+            F.lit("U").alias("op"), F.col(self.key), *seq_exprs, *payload
+        )
+        return self.merge(upd, batch_id)
 
     # ---------------------------------------------------------- cow strategy
 

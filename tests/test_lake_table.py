@@ -612,3 +612,94 @@ def test_ledger_retention_bounds_snapshot_metadata(spark, table):
     t2 = LakeTable.load(spark, table.root)
     assert t2.ledger_floor() == table.ledger_floor()
     assert len(t2.ledger()) <= 5
+
+
+def test_delete_where_tombstones_matching_live_rows(spark, table):
+    _merge(
+        spark,
+        table,
+        [("I", f"u{i}", ts(1), i, b"<x>", "en" if i % 2 else "de") for i in range(12)],
+        1,
+    )
+    s = table.delete_where(
+        F.col("lang") == "de",
+        batch_id=2,
+        seq={"warc_ts": ts(2), "offset": 100},
+        predicate_columns=["lang"],
+    )
+    assert not s.skipped_duplicate_batch
+    live = table.read().select("url", "lang").collect()
+    assert len(live) == 6 and {r.lang for r in live} == {"en"}
+    # deleted keys survive as sequence-carrying tombstones (LWW invariant)
+    with_dead = table.read(include_tombstones=True)
+    assert with_dead.count() == 12
+    # exactly-once: re-delivered batch_id is a ledger no-op
+    v = table.current_version()
+    s2 = table.delete_where(
+        F.col("lang") == "en", batch_id=2, seq={"warc_ts": ts(9), "offset": 999}
+    )
+    assert s2.skipped_duplicate_batch and table.current_version() == v
+    assert table.read().count() == 6
+
+
+def test_delete_where_is_an_ordinary_lww_event(spark, table):
+    _merge(spark, table, [("I", "a", ts(5), 10, b"<a>", "en")], 1)
+    # a delete stamped BELOW the stored winner loses LWW — correct CDC
+    # semantics for an out-of-order purge, stated in the docstring
+    table.delete_where(
+        F.col("lang") == "en", batch_id=2, seq={"warc_ts": ts(2), "offset": 1}
+    )
+    assert table.read().count() == 1
+    # stamped above: wins; a later higher-seq re-insert resurrects
+    table.delete_where(
+        F.col("lang") == "en", batch_id=3, seq={"warc_ts": ts(6), "offset": 11}
+    )
+    assert table.read().count() == 0
+    _merge(spark, table, [("I", "a", ts(7), 12, b"<back>", "en")], 4)
+    got = table.read().collect()
+    assert len(got) == 1 and bytes(got[0].html) == b"<back>"
+
+
+def test_update_where_rewrites_matched_rows_from_current_values(spark, table):
+    _merge(
+        spark,
+        table,
+        [("I", f"u{i}", ts(1), i, b"<x>", "en" if i % 2 else "de") for i in range(6)],
+        1,
+    )
+    table.update_where(
+        F.col("lang") == "de",
+        {"lang": F.upper(F.col("lang"))},
+        batch_id=2,
+        seq={"warc_ts": ts(2), "offset": 100},
+    )
+    got = {r.url: (r.lang, bytes(r.html), r.offset) for r in table.read().collect()}
+    assert len(got) == 6
+    for i in range(6):
+        lang, html, off = got[f"u{i}"]
+        # unnamed payload columns carried forward; seq advanced on matched
+        assert html == b"<x>"
+        if i % 2:
+            assert lang == "en" and off == i
+        else:
+            assert lang == "DE" and off == 100
+
+
+def test_predicate_dml_validates_inputs(spark, table):
+    _merge(spark, table, [("I", "a", ts(1), 1, b"<a>", "en")], 1)
+    with pytest.raises(ValueError, match="seq must map exactly"):
+        table.delete_where("lang = 'en'", 2, seq={"warc_ts": ts(2)})
+    with pytest.raises(ValueError, match="payload columns"):
+        table.update_where(
+            "lang = 'en'",
+            {"url": F.lit("nope")},
+            2,
+            seq={"warc_ts": ts(2), "offset": 9},
+        )
+    with pytest.raises(ValueError, match="payload columns"):
+        table.update_where(
+            "lang = 'en'",
+            {"offset": F.lit(5)},
+            2,
+            seq={"warc_ts": ts(2), "offset": 9},
+        )

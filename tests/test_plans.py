@@ -296,3 +296,41 @@ def test_read_keys_point_lookup_pruned(spark, tmp_root):
     scanned = set(re.findall(r"_bucket=(\d+)", exec_plan))
     assert scanned, "no bucket partitions visible in the scan"
     assert scanned <= {str(b) for b in want}, (scanned, want)
+
+
+def test_predicate_dml_matched_scan_column_pruned(spark, tmp_root):
+    """delete_where(predicate_columns=[...]) matches against a read() pruned
+    to key + seq + the named columns — the parquet scan must read ONLY those
+    column chunks (a 100 TB purge predicate on `lang` must not drag `html`
+    through the LWW resolve)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_pipelines_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "dml"), key="url", n_buckets=4,
+        overwrite=True,
+    )
+    rows = [
+        ("I", f"k{i}", dt.datetime(2025, 1, 1), i, b"<x>", "tt", "en")
+        for i in range(32)
+    ]
+    t.merge(spark.createDataFrame(rows, schema), batch_id=1)
+    plan = _formatted(t.read(columns=["lang"]).where(F.col("lang") == "de"))
+    for rs in plan.split("ReadSchema: ")[1:]:
+        line = rs.splitlines()[0]
+        assert "html" not in line and "text" not in line, line
+        assert "lang" in line, line
