@@ -215,6 +215,7 @@ def main() -> None:
         "cdc_ann_index_batch_topk",
         "cdc_neardup_retract",
         "cdc_compact_sorted",
+        "cdc_delete_where",
         "warc_round_trip",
         "frontier_schedule",
         "quality_ntile",
