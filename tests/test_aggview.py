@@ -576,3 +576,38 @@ def test_update_all_fails_loud_when_ledger_trimmed_past_view(spark, table, view)
     _merge(spark, table, [("I", "k12", ts(12), 12, "en", 3)], 12)
     assert view.update_all(table) == 1
     assert _as_dict(view.read()) == _as_dict(_full_recompute(table))
+
+
+def test_view_tracks_predicate_dml(spark, table, view):
+    """delete_where / update_where commit through the standard merge path, so
+    an attached view maintains incrementally across them like any CDC batch
+    (no special-casing): view.read() == full recompute after each DML."""
+    _merge(
+        spark,
+        table,
+        [
+            ("I", f"u{i}", ts(1), i, "en" if i % 2 else "de", 10 * (i + 1))
+            for i in range(10)
+        ],
+        1,
+    )
+    assert view.update_all(table) == 1
+    table.delete_where(
+        F.col("lang") == "de",
+        batch_id=2,
+        seq={"warc_ts": ts(2), "offset": 100},
+        predicate_columns=["lang"],
+    )
+    assert view.update_all(table) >= 1
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table))
+    assert set(_as_dict(view.read())) == {"en"}
+
+    table.update_where(
+        F.col("n_tokens") >= 60,
+        {"lang": F.lit("fr"), "n_tokens": F.col("n_tokens") + 1},
+        batch_id=3,
+        seq={"warc_ts": ts(3), "offset": 200},
+    )
+    assert view.update_all(table) >= 1
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table))
+    assert set(_as_dict(view.read())) == {"en", "fr"}
