@@ -1069,6 +1069,21 @@ class LakeTable:
         the predicate applies to resolved winners, not raw deltas) feeding
         O(matched) tombstone rows through merge.
         """
+        return self.merge(
+            self.delete_where_frame(predicate, seq, predicate_columns), batch_id
+        )
+
+    def delete_where_frame(
+        self,
+        predicate: Column | str,
+        seq: dict,
+        predicate_columns: list[str] | None = None,
+    ) -> DataFrame:
+        """The CDC batch :meth:`delete_where` merges — op='D' tombstones for
+        every live key matching ``predicate`` — as a DataFrame, for callers
+        that route DML through a richer commit path (``CdcPipeline.
+        delete_where`` feeds it to ``process_batch`` so the attached near-dup
+        index retracts, aggregate views maintain, and lineage rows emit)."""
         target = self.schema_from_snap(self._snapshot())
         if target is None:
             raise ValueError("table has no schema yet (no data committed)")
@@ -1080,10 +1095,9 @@ class LakeTable:
             for f in target.fields
             if f.name != self.key and f.name not in self.seq_cols
         ]
-        tomb = live.where(pred).select(
+        return live.where(pred).select(
             F.lit("D").alias("op"), F.col(self.key), *seq_exprs, *payload
         )
-        return self.merge(tomb, batch_id)
 
     def update_where(
         self,
@@ -1101,6 +1115,13 @@ class LakeTable:
         replaces whole rows). Same LWW interplay and cost shape as
         :meth:`delete_where`, except the matched-set scan always reads full
         rows (unreferenced columns must be carried)."""
+        return self.merge(self.update_where_frame(predicate, set, seq), batch_id)
+
+    def update_where_frame(
+        self, predicate: Column | str, set: dict, seq: dict
+    ) -> DataFrame:
+        """The CDC batch :meth:`update_where` merges (op='U' full rows), as a
+        DataFrame — see :meth:`delete_where_frame` for why callers want it."""
         target = self.schema_from_snap(self._snapshot())
         if target is None:
             raise ValueError("table has no schema yet (no data committed)")
@@ -1127,10 +1148,9 @@ class LakeTable:
             for f in target.fields
             if f.name != self.key and f.name not in self.seq_cols
         ]
-        upd = live.where(pred).select(
+        return live.where(pred).select(
             F.lit("U").alias("op"), F.col(self.key), *seq_exprs, *payload
         )
-        return self.merge(upd, batch_id)
 
     # ---------------------------------------------------------- cow strategy
 

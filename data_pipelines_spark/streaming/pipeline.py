@@ -306,6 +306,40 @@ class CdcPipeline:
         themselves via ``view.update_all(pipe.table)``."""
         self.views.append(view)
 
+    def delete_where(
+        self,
+        predicate,
+        batch_id: int,
+        seq: dict,
+        predicate_columns: list[str] | None = None,
+    ) -> MergeStats:
+        """Predicate delete through the FULL pipeline: the matched set
+        (:meth:`LakeTable.delete_where_frame`) commits as an ordinary CDC
+        batch via :meth:`process_batch`, so every attached side-structure
+        tracks in the same exactly-once step — the near-dup/ANN index
+        retracts the dead content (``near_dup_retract=True``), aggregate
+        views maintain incrementally, and a lineage row emits. Table-level
+        ``LakeTable.delete_where`` reaches the same final table state but
+        bypasses those structures."""
+        return self.process_batch(
+            self.table.delete_where_frame(predicate, seq, predicate_columns),
+            batch_id,
+        )
+
+    def update_where(
+        self, predicate, set: dict, batch_id: int, seq: dict
+    ) -> MergeStats:
+        """Predicate update through the FULL pipeline (see
+        :meth:`delete_where`): with ``near_dup_retract=True`` the matched
+        keys' OLD content retracts and the rewritten rows re-join the seen
+        set in the same batch (retract-then-reingest epoch ordering); with
+        ``decode=True`` derived columns (text, lang) re-derive from the
+        rewritten html — set source columns, not derived ones, on decoding
+        pipelines."""
+        return self.process_batch(
+            self.table.update_where_frame(predicate, set, seq), batch_id
+        )
+
     def _write_lineage(self, s: MergeStats, lo, hi) -> None:
         """Append one parquet file of per-bucket lineage rows.
 

@@ -117,3 +117,60 @@ def test_near_dup_with_decode_false_signs_text_column(spark, tmp_root):
     )
     pipe.process_batch(df, 0)
     assert {r.url for r in pipe.table.read().collect()} == {"a", "c"}
+
+
+def test_pipeline_delete_where_retracts_index_content(spark, tmp_root):
+    """Predicate DML through the pipeline composes with the index: a purge
+    via pipe.delete_where commits as an ordinary CDC batch, so the dead
+    content leaves the seen set (near_dup_retract) and a later near-dup of
+    purged content is KEPT, while near-dups of live content still drop."""
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            os.path.join(tmp_root, "t"), n_buckets=8,
+            near_dup_threshold=0.8, near_dup_retract=True,
+        ),
+    )
+    pipe.process_batch(
+        _batch(spark, [("a.com/x", 0, "I", T1), ("b.com/y", 1, "I", T2)]), 0
+    )
+    pipe.delete_where(
+        F.col("url").startswith("a.com"),
+        batch_id=1,
+        seq={"warc_ts": _ts(10), "offset": 10},
+    )
+    assert {r.url for r in pipe.table.read().collect()} == {"b.com/y"}
+    # near-dup of the PURGED content lands (dead content no longer suppresses)
+    pipe.process_batch(_batch(spark, [("c.com/z", 20, "I", T1 + " extra")]), 2)
+    assert {r.url for r in pipe.table.read().collect()} == {"b.com/y", "c.com/z"}
+    # near-dup of LIVE content still drops
+    pipe.process_batch(_batch(spark, [("d.com/w", 30, "I", T2 + " more")]), 3)
+    assert {r.url for r in pipe.table.read().collect()} == {"b.com/y", "c.com/z"}
+
+
+def test_pipeline_update_where_retracts_and_reingests(spark, tmp_root):
+    """update_where through the pipeline is retract-then-reingest in ONE
+    batch: the matched key's OLD content leaves the seen set, the rewritten
+    content joins it at a later epoch — near-dups of the old text land,
+    near-dups of the new text drop."""
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            os.path.join(tmp_root, "t"), n_buckets=8,
+            near_dup_threshold=0.8, near_dup_retract=True,
+        ),
+    )
+    pipe.process_batch(_batch(spark, [("a.com/x", 0, "I", T1)]), 0)
+    pipe.update_where(
+        F.col("url") == "a.com/x",
+        {"html": _html(T3)},
+        batch_id=1,
+        seq={"warc_ts": _ts(10), "offset": 10},
+    )
+    got = {r.url: r.text for r in pipe.table.read().collect()}
+    assert set(got) == {"a.com/x"} and "astronomy" in got["a.com/x"]
+    # old content (T1) was retracted → its near-dup lands
+    pipe.process_batch(_batch(spark, [("b.com/y", 20, "I", T1 + " extra")]), 2)
+    # new content (T3) is in the seen set → its near-dup drops
+    pipe.process_batch(_batch(spark, [("c.com/z", 30, "I", T3 + " more")]), 3)
+    assert {r.url for r in pipe.table.read().collect()} == {"a.com/x", "b.com/y"}
