@@ -1112,7 +1112,9 @@ class LakeTable:
         ``{"lang": F.upper(F.col("lang"))}``), carried as full-row 'U' events
         with the caller-supplied ``seq`` through the standard exactly-once
         merge. Unnamed payload columns carry the current value forward (LWW
-        replaces whole rows). Same LWW interplay and cost shape as
+        replaces whole rows); a ``set`` name NOT yet in the table schema is
+        additive schema evolution (new column set for matched rows, NULL
+        elsewhere). Same LWW interplay and cost shape as
         :meth:`delete_where`, except the matched-set scan always reads full
         rows (unreferenced columns must be carried)."""
         return self.merge(self.update_where_frame(predicate, set, seq), batch_id)
@@ -1127,11 +1129,7 @@ class LakeTable:
             raise ValueError("table has no schema yet (no data committed)")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         names = {f.name for f in target.fields}
-        bad = [
-            k
-            for k in set
-            if k == self.key or k in self.seq_cols or k not in names
-        ]
+        bad = [k for k in set if k == self.key or k in self.seq_cols]
         if bad:
             raise ValueError(
                 f"set may only name payload columns of the table; bad: {bad}"
@@ -1147,6 +1145,13 @@ class LakeTable:
             .alias(f.name)
             for f in target.fields
             if f.name != self.key and f.name not in self.seq_cols
+        ]
+        # names NOT in the table schema are additive evolution: the merge
+        # detects the new column and NULL-backfills unmatched rows, exactly
+        # as any CDC batch carrying a new field would ("set a new column for
+        # matched rows"; full-table computed backfill is `backfill()`)
+        payload += [
+            set_exprs[k].alias(k) for k in set if k not in names
         ]
         return live.where(pred).select(
             F.lit("U").alias("op"), F.col(self.key), *seq_exprs, *payload

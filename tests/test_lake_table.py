@@ -703,3 +703,22 @@ def test_predicate_dml_validates_inputs(spark, table):
             2,
             seq={"warc_ts": ts(2), "offset": 9},
         )
+
+
+def test_update_where_new_column_is_additive_evolution(spark, table):
+    _merge(
+        spark,
+        table,
+        [("I", f"u{i}", ts(1), i, b"<x>", "en") for i in range(6)],
+        1,
+    )
+    table.update_where(
+        F.col("offset") % 2 == 0,
+        {"n_words": F.octet_length(F.col("html")).cast("long")},
+        batch_id=2,
+        seq={"warc_ts": ts(2), "offset": 100},
+    )
+    got = {r.url: r.n_words for r in table.read().collect()}
+    assert len(got) == 6
+    for i in range(6):
+        assert got[f"u{i}"] == (3 if i % 2 == 0 else None)
