@@ -180,6 +180,32 @@ def cdc_ledger_retention(spark, sf):
     )
 
 
+def cdc_time_travel(spark, sf):
+    """Snapshot time travel (`LakeTable.read(version=...)` — the audit/debug
+    surface): replay the stream in 5 microbatches, then read the table AS OF
+    the 3rd batch's commit. Every snapshot's file list is immutable metadata,
+    so the historical read costs the same plan as a current read and later
+    commits (including auto-compactions) cannot disturb it. The oracle
+    replays LWW over exactly the first three offset slices of the log
+    (run_batches' slicing: step = (hi-lo+1)//5, batch i covers
+    [lo+i*step, lo+(i+1)*step))."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_tt_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    stats = pipe.run_batches(changes, n_batches=5)
+    v = stats[2].committed_version
+    return pipe.table.read(version=v).select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+    )
+
+
 def _docs_as_inserts(spark, sf):
     """documents → insert-only CDC batch at T0 (url-keyed, offset=doc_id)."""
     return _t(spark, sf, "documents").select(
@@ -2343,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compact_sorted": cdc_compact_sorted,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_ledger_retention": cdc_ledger_retention,
+        "cdc_time_travel": cdc_time_travel,
         "cdc_delete_where": cdc_delete_where,
         "cdc_update_where": cdc_update_where,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
@@ -3174,6 +3201,26 @@ def oracle_sql() -> dict[str, str]:
         + " AND warc_ts >= TIMESTAMP '2024-01-30 12:00:00'",
         # retention + re-deliveries are state-invisible: same LWW oracle
         "cdc_ledger_retention": _CDC_ORACLE,
+        "cdc_time_travel": """
+            WITH b AS (
+              SELECT min(event_id) AS lo,
+                     greatest(1, (max(event_id) - min(event_id) + 1) // 5) AS step
+              FROM events
+            ), ch AS (
+              SELECT event_id AS off,
+                     CASE WHEN event_type='error' THEN 'D'
+                          WHEN event_type='signup' THEN 'I' ELSE 'U' END AS op,
+                     concat('https://example.com/u/', CAST(user_id AS VARCHAR)) AS url,
+                     ts AS warc_ts, value, props
+              FROM events
+              WHERE event_id < (SELECT lo + 3 * step FROM b)
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, off DESC) AS rn
+              FROM ch
+            )
+            SELECT url, warc_ts, off AS log_offset, value, props
+            FROM r WHERE rn = 1 AND op <> 'D'
+        """,
         "cdc_delete_where": """
             WITH base AS (
               SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS url,
