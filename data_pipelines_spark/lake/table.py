@@ -322,10 +322,70 @@ class LakeTable:
         self._manifest_cache[v] = files
         return files
 
-    def _snapshot(self, version: int | None = None) -> dict:
+    def _snapshot(self, version: int | str | None = None) -> dict:
+        if isinstance(version, str):
+            refs = self.tags()
+            if version not in refs:
+                raise KeyError(f"unknown tag {version!r}")
+            version = refs[version]
         v = self.current_version() if version is None else version
         with open(os.path.join(self._meta_dir, f"v{v}.json")) as f:
             return json.load(f)
+
+    # ---------------------------------------------------------- named refs
+    #
+    # Iceberg tag analog: an immutable name → snapshot-version pin, stored
+    # in one atomically-replaced metadata file. Tags flow through every
+    # version-taking read surface (read / read_keys / changes take the tag
+    # name where they take a version) and expire_snapshots RETAINS tagged
+    # versions' metadata and data files until the tag is dropped — the
+    # audit/release use case ("the corpus we trained run X on").
+
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta_dir, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs: tag name → pinned version."""
+        p = self._refs_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        p = self._refs_path()
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under ``name`` (default: the current version).
+        Tags are immutable refs — re-tagging an existing name to a different
+        version refuses (``drop_tag`` first); re-creating it at the SAME
+        version is an idempotent no-op. Returns the pinned version."""
+        v = self.current_version() if version is None else int(version)
+        self._snapshot(v)  # must exist (and not be expired)
+        refs = self.tags()
+        if name in refs and refs[name] != v:
+            raise ValueError(
+                f"tag {name!r} already pins v{refs[name]} (drop_tag first)"
+            )
+        refs[name] = v
+        self._write_refs(refs)
+        return v
+
+    def drop_tag(self, name: str) -> int:
+        """Remove a tag; its snapshot becomes expirable again. Returns the
+        version the tag pinned."""
+        refs = self.tags()
+        if name not in refs:
+            raise KeyError(f"unknown tag {name!r}")
+        v = refs.pop(name)
+        self._write_refs(refs)
+        return v
 
     def _write_snapshot(self, snap: dict) -> None:
         path = os.path.join(self._meta_dir, f"v{snap['version']}.json")
@@ -435,13 +495,14 @@ class LakeTable:
 
     def read(
         self,
-        version: int | None = None,
+        version: int | str | None = None,
         buckets: list[int] | None = None,
         include_tombstones: bool = False,
         columns: list[str] | None = None,
         min_seq_ts=None,
     ) -> DataFrame:
-        """Current (or time-travel) table state as a DataFrame.
+        """Current (or time-travel) table state as a DataFrame. ``version``
+        also takes a tag name (see :meth:`create_tag`).
 
         Files are grouped by (writer schema id, kind); each group is read
         with its exact schema, aligned to the snapshot schema, unioned, and —
@@ -1666,10 +1727,13 @@ class LakeTable:
         """
         current = self.current_version()
         keep_from = max(0, current - keep_last + 1)
+        # tagged versions are pinned: their metadata, manifests, and data
+        # files survive GC until drop_tag (Iceberg ref-retention semantics)
+        tagged = set(self.tags().values())
         referenced: set[str] = set()
         live_manifests: set[str] = set()
         retained = 0
-        for v in range(keep_from, current + 1):
+        for v in sorted(set(range(keep_from, current + 1)) | tagged):
             try:
                 snap = self._snapshot(v)
             except FileNotFoundError:
@@ -1692,8 +1756,10 @@ class LakeTable:
             if not os.listdir(dirpath) and os.path.normpath(dirpath) != os.path.normpath(self._data_dir):
                 os.rmdir(dirpath)
                 stats["dirs_removed"] += 1
-        # expired snapshot metadata
+        # expired snapshot metadata (tag-pinned versions stay readable)
         for v in range(0, keep_from):
+            if v in tagged:
+                continue
             p = os.path.join(self._meta_dir, f"v{v}.json")
             if os.path.exists(p):
                 os.remove(p)

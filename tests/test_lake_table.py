@@ -722,3 +722,45 @@ def test_update_where_new_column_is_additive_evolution(spark, table):
     assert len(got) == 6
     for i in range(6):
         assert got[f"u{i}"] == (3 if i % 2 == 0 else None)
+
+
+def test_tags_pin_time_travel_and_survive_expiry(spark, table):
+    """Named refs (Iceberg tag analog): a tag pins its snapshot's metadata
+    AND data files through expire_snapshots until dropped; reads take the
+    tag name anywhere they take a version."""
+    tagged_v = None
+    for i in range(6):
+        _merge(spark, table, [("I", f"k{i}", ts(1 + i), i, b"<x>", "en")], i)
+        if i == 1:
+            tagged_v = table.create_tag("train-run-1")
+    assert table.tags() == {"train-run-1": tagged_v}
+    # idempotent re-create at the same version
+    assert table.create_tag("train-run-1", version=tagged_v) == tagged_v
+    with pytest.raises(ValueError, match="already pins"):
+        table.create_tag("train-run-1", version=tagged_v + 1)
+
+    by_tag = {r.url for r in table.read(version="train-run-1").collect()}
+    assert by_tag == {r.url for r in table.read(version=tagged_v).collect()}
+    assert by_tag == {"k0", "k1"}
+
+    st = table.expire_snapshots(keep_last=2)
+    assert st["snapshots_expired"] > 0
+    # the tagged snapshot still reads (metadata + data retained) ...
+    assert {r.url for r in table.read(version="train-run-1").collect()} == by_tag
+    # ... and is visible from a fresh instance (persistent metadata)
+    t2 = LakeTable.load(spark, table.root)
+    assert t2.tags() == {"train-run-1": tagged_v}
+    assert {r.url for r in t2.read(version="train-run-1").collect()} == by_tag
+    # an untagged expired version is gone
+    with pytest.raises(FileNotFoundError):
+        table.read(version=tagged_v + 1)
+
+    # dropping the tag releases the pin: the next expiry collects it
+    assert table.drop_tag("train-run-1") == tagged_v
+    table.expire_snapshots(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        table.read(version=tagged_v)
+    with pytest.raises(KeyError):
+        table.read(version="train-run-1")
+    with pytest.raises(KeyError):
+        table.drop_tag("train-run-1")
