@@ -196,8 +196,8 @@ def cdc_time_travel(spark, sf):
         PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
     )
     stats = pipe.run_batches(changes, n_batches=5)
-    v = stats[2].committed_version
-    return pipe.table.read(version=v).select(
+    pipe.table.create_tag("as-of-batch-2", version=stats[2].committed_version)
+    return pipe.table.read(version="as-of-batch-2").select(
         "url",
         "warc_ts",
         F.col("offset").alias("log_offset"),

@@ -1,5 +1,7 @@
 """Seeded lifecycle fuzz: random interleavings of merge / compact /
-sorted-compact / rebucket / vacuum against a pure-python LWW model.
+sorted-compact / rebucket / vacuum / predicate DML (delete_where,
+update_where at random sequences — the LWW roulette) against a pure-python
+LWW model.
 
 The per-surface tests pin each operation alone; bugs hide in COMPOSITION
 (a rebucket between a delta merge and a sorted compact, a vacuum over a
@@ -104,7 +106,7 @@ def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
         actions.append(f"merge[{len(batch)}]")
 
         # one random maintenance action between merges
-        choice = rng.randrange(5)
+        choice = rng.randrange(7)
         bid += 1
         if choice == 0:
             table.compact(batch_id=f"c{bid}")
@@ -135,6 +137,35 @@ def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
                     del model[k]
                 actions.append("vacuum")
         # choice == 4: no maintenance this round
+        elif choice == 5:
+            # predicate delete with a RANDOM sequence: the tombstone may
+            # outrank the stored winner (row dies) or lose LWW (no-op) —
+            # and may itself lose to later arrivals; the model applies the
+            # same D events and must agree either way
+            lang = rng.choice(["en", "de", "fr"])
+            dts = BASE + dt.timedelta(minutes=rng.randrange(0, len(events)))
+            doff = 10_000 + bid
+            table.delete_where(
+                F.col("lang") == lang, batch_id=f"dw{bid}",
+                seq={"warc_ts": dts, "offset": doff},
+                predicate_columns=["lang"],
+            )
+            matched = [k for k, s in model.items() if not s[1] and s[2] == lang]
+            _model_apply(model, [("D", k, dts, doff, None) for k in matched])
+            actions.append(f"delete_where[{lang}]")
+        elif choice == 6:
+            # predicate update, same random-seq LWW roulette
+            lang = rng.choice(["en", "de", "fr"])
+            new_lang = rng.choice(["pt", "it"])
+            dts = BASE + dt.timedelta(minutes=rng.randrange(0, len(events)))
+            doff = 20_000 + bid
+            table.update_where(
+                F.col("lang") == lang, {"lang": new_lang},
+                batch_id=f"uw{bid}", seq={"warc_ts": dts, "offset": doff},
+            )
+            matched = [k for k, s in model.items() if not s[1] and s[2] == lang]
+            _model_apply(model, [("U", k, dts, doff, new_lang) for k in matched])
+            actions.append(f"update_where[{lang}->{new_lang}]")
 
         assert _table_live(table) == _model_live(model), actions
         # zone-map-exercising freshness read over whatever mixed layout
