@@ -322,12 +322,19 @@ class LakeTable:
         self._manifest_cache[v] = files
         return files
 
-    def _snapshot(self, version: int | str | None = None) -> dict:
+    def _resolve_version(self, version: int | str | None) -> int | None:
+        """Tag name → pinned version; ints and None pass through. Every
+        version-taking surface (read/read_keys/changes/change_log/rollback)
+        resolves through here, so refs work anywhere a version does."""
         if isinstance(version, str):
             refs = self.tags()
             if version not in refs:
                 raise KeyError(f"unknown tag {version!r}")
-            version = refs[version]
+            return refs[version]
+        return version
+
+    def _snapshot(self, version: int | str | None = None) -> dict:
+        version = self._resolve_version(version)
         v = self.current_version() if version is None else version
         with open(os.path.join(self._meta_dir, f"v{v}.json")) as f:
             return json.load(f)
@@ -684,7 +691,7 @@ class LakeTable:
 
     # ------------------------------------------------------------ change feed
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(self, from_version: int | str, to_version: int | str | None = None) -> DataFrame:
         """Net row-level change feed between two snapshots (CDC-out).
 
         Snapshot-diff semantics (the general path — works across ANY commit
@@ -707,6 +714,8 @@ class LakeTable:
         arrive bucket-clustered from the same layout, and AQE handles the
         skewed-domain keys like any other join in the engine.
         """
+        from_version = self._resolve_version(from_version)
+        to_version = self._resolve_version(to_version)
         to_v = self.current_version() if to_version is None else to_version
         if from_version > to_v:
             raise ValueError(f"from_version {from_version} > to_version {to_v}")
@@ -746,7 +755,7 @@ class LakeTable:
         out.append(ct.alias("_change_type"))
         return joined.select(*out).where(F.col("_change_type").isNotNull())
 
-    def change_log(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def change_log(self, from_version: int | str, to_version: int | str | None = None) -> DataFrame:
         """Event-level log of the changes applied in ``(from, to]`` — the
         binlog-out surface a downstream CDC consumer tails.
 
@@ -766,6 +775,8 @@ class LakeTable:
         range snapshots may already be GC'd — expire retention bounds how far
         back the log reaches, exactly like Iceberg's changelog reads.
         """
+        from_version = self._resolve_version(from_version)
+        to_version = self._resolve_version(to_version)
         to_v = self.current_version() if to_version is None else to_version
         if from_version > to_v:
             raise ValueError(f"from_version {from_version} > to_version {to_v}")
@@ -1790,7 +1801,7 @@ class LakeTable:
         stats.schema_evolved = changed
         return self._commit(snap, base_version, {}, stats, merged, append=True, operation="schema-update")
 
-    def rollback(self, to_version: int, batch_id: int | str | None = None) -> MergeStats:
+    def rollback(self, to_version: int | str, batch_id: int | str | None = None) -> MergeStats:
         """RESTORE the table to an earlier snapshot as a NEW commit — the
         Delta ``RESTORE`` / Iceberg rollback analog, roll-forward style: no
         snapshot file is rewritten and history is preserved, the new version
@@ -1805,6 +1816,7 @@ class LakeTable:
         skipped as duplicates — exactly-once is exactly-once onto the current
         state line. Idempotent per ``batch_id`` like every commit path.
         """
+        to_version = self._resolve_version(to_version)
         base_version = self.current_version()
         if to_version >= base_version:
             raise ValueError(

@@ -764,3 +764,23 @@ def test_tags_pin_time_travel_and_survive_expiry(spark, table):
         table.read(version="train-run-1")
     with pytest.raises(KeyError):
         table.drop_tag("train-run-1")
+
+
+def test_refs_work_anywhere_a_version_goes(spark, table):
+    """changes(), change_log(), and rollback() resolve tag names like
+    read() does — refs are a universal version surface."""
+    _merge(spark, table, [("I", "a", ts(1), 1, b"<a>", "en")], 0)
+    table.create_tag("base")
+    _merge(
+        spark,
+        table,
+        [("I", "b", ts(2), 2, b"<b>", "de"), ("U", "a", ts(3), 3, b"<a2>", "en")],
+        1,
+    )
+    ch = {(r.url, r._change_type) for r in table.changes("base").collect()}
+    assert ch == {("b", "I"), ("a", "U")}
+    cl = table.change_log("base")
+    assert cl.count() == 2
+    table.rollback("base")
+    assert {r.url for r in table.read().collect()} == {"a"}
+    assert bytes(table.read().collect()[0].html) == b"<a>"
