@@ -221,6 +221,63 @@ def _docs_as_inserts(spark, sf):
     )
 
 
+def cdc_concurrent_writers(spark, sf):
+    """Optimistic concurrency (`LakeTable.commit_retries` — the Iceberg
+    commit-retry analog; multi-writer tables): two handles on one table;
+    writer A deterministically LOSES its commit CAS to writer B (a hook on
+    A's snapshot write runs B's whole commit first), so A's merge REBASES —
+    the exclusive-create of the version file is the linearization point,
+    A's already-written delta files are reused and only its metadata is
+    rebuilt on the new base. The batches overlap on keys (doc_id%6==0) and
+    DIVERGE in schema (A adds a_mark, B adds b_mark → the rebased schema is
+    the union, and A's file entries are re-stamped onto the new snapshot's
+    schema registry). LWW makes the outcome interleaving-independent: A's
+    T3 beats B's T2 on shared keys — whole-row replace, so B's b_mark is
+    NULL wherever A won. The oracle states that final state in one pass."""
+    from data_pipelines_spark.lake import LakeTable
+
+    base = _docs_as_inserts(spark, sf)
+    root = tempfile.mkdtemp(prefix="ccw_")
+    a = LakeTable.create(
+        spark, root, key="url", seq_cols=("warc_ts", "offset"), n_buckets=8
+    )
+    b = LakeTable.load(spark, root)
+    a.merge(base, batch_id="seed")
+    b_batch = base.where(F.col("doc_id") % 3 == 0).select(
+        F.lit("U").alias("op"),
+        "url",
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 1_000_000).alias("offset"),
+        "text",
+        F.concat(F.col("lang"), F.lit("-b")).alias("lang"),
+        "doc_id",
+        F.lit(1).cast("long").alias("b_mark"),
+    )
+    a_batch = base.where(F.col("doc_id") % 2 == 0).select(
+        F.lit("U").alias("op"),
+        "url",
+        F.to_timestamp(F.lit("2024-01-03 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 2_000_000).alias("offset"),
+        "text",
+        F.concat(F.col("lang"), F.lit("-a")).alias("lang"),
+        "doc_id",
+        F.lit(1).cast("long").alias("a_mark"),
+    )
+    orig = a._write_snapshot
+    fired = {"done": False}
+
+    def hooked(snap):
+        if not fired["done"]:
+            fired["done"] = True
+            b.merge(b_batch, batch_id="B")
+        orig(snap)
+
+    a._write_snapshot = hooked
+    a.merge(a_batch, batch_id="A")
+    assert a.ledger()["A"] == a.ledger()["B"] + 1  # both landed, A rebased
+    return a.read().select("url", "lang", "doc_id", "a_mark", "b_mark")
+
+
 def cdc_delete_where(spark, sf):
     """Predicate delete (`LakeTable.delete_where` — SQL ``DELETE WHERE``, the
     GDPR/domain-purge surface): ingest every document as an insert at T0;
@@ -2370,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_ledger_retention": cdc_ledger_retention,
         "cdc_time_travel": cdc_time_travel,
+        "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_delete_where": cdc_delete_where,
         "cdc_update_where": cdc_update_where,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
@@ -3220,6 +3278,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, warc_ts, off AS log_offset, value, props
             FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_concurrent_writers": """
+            WITH base AS (
+              SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS url,
+                     lang, doc_id
+              FROM documents
+            )
+            SELECT url,
+                   CASE WHEN doc_id % 2 = 0 THEN concat(lang, '-a')
+                        WHEN doc_id % 3 = 0 THEN concat(lang, '-b')
+                        ELSE lang END AS lang,
+                   doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT) END AS a_mark,
+                   CASE WHEN doc_id % 3 = 0 AND doc_id % 2 <> 0
+                        THEN CAST(1 AS BIGINT) END AS b_mark
+            FROM base
         """,
         "cdc_delete_where": """
             WITH base AS (

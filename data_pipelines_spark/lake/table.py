@@ -37,9 +37,17 @@ Scale design (targets a 1000-executor cluster over ~100 TB):
   moves (write-audit-publish), so a crash mid-commit leaves the table on
   the previous consistent snapshot.
 
-Single-writer assumption (same as the reference's single-process pipeline):
-one streaming query owns the table; the pointer swap still detects and
-refuses concurrent commits.
+Concurrent writers (optimistic concurrency, the Iceberg commit-retry
+analog): the snapshot file's exclusive create is the commit CAS — exactly
+one writer can ever own version N. A loser's data files are already on
+disk, so it rebases metadata-only onto the winner's snapshot and retries
+(``commit_retries``): LWW delta merges commute with any commit and always
+rebase; rewrite commits (compact / CoW / vacuum / backfill) revalidate
+their read set (the rewritten buckets' file lists must be untouched) and
+fail loud otherwise; rebucket / rollback never rebase. A writer that
+crashes between creating its snapshot file and moving CURRENT leaves the
+version slot taken — subsequent commits fail loud with a repair hint
+rather than guessing.
 """
 
 from __future__ import annotations
@@ -47,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -209,6 +218,19 @@ class LakeTable:
         #: mode is wasted files, not wrong answers. Trimmed entries raise the
         #: monotone ``ledger_floor`` snapshot field for observability.
         self.ledger_keep: int | None = None
+        #: optimistic concurrency (Iceberg commit-retry analog): when the
+        #: version-slot CAS is lost to a concurrent writer, rebase the commit
+        #: metadata onto the new current snapshot (data files are reused
+        #: verbatim) and retry up to this many times. 0 restores strict
+        #: single-writer refusal. Rebase is proven safe per operation — see
+        #: :meth:`_rebase` for the commute/validation rules.
+        self.commit_retries: int = 4
+        #: how long a CAS loser waits for the winner's CURRENT swap before
+        #: declaring the version slot orphaned (the winner's window between
+        #: snapshot-file create and pointer swap is microseconds; the grace
+        #: covers GC/scheduler pauses). Recovery-path pacing only — never
+        #: touches data or replay determinism.
+        self.commit_grace_s: float = 5.0
         self._meta_dir = os.path.join(root, "metadata")
         self._data_dir = os.path.join(root, "data")
         self._manifest_cache: dict[int, dict] = {}
@@ -395,13 +417,27 @@ class LakeTable:
         return v
 
     def _write_snapshot(self, snap: dict) -> None:
+        """Exclusive-create of the version file — the commit CAS.
+
+        ``os.link`` fails with EEXIST if the slot is taken, so exactly one
+        writer can ever own version N; the subsequent CURRENT swap is then
+        uncontended (a competitor would have had to win this link first).
+        """
         path = os.path.join(self._meta_dir, f"v{snap['version']}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot v{snap['version']} already exists — "
+                "lost the commit race to a concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     def _swap_pointer(self, expected: int | None, new_version: int) -> None:
         """Atomic last-step commit: tmp write + rename of the CURRENT pointer.
@@ -1010,14 +1046,21 @@ class LakeTable:
             >= self.compact_threshold + (int(b) % self.compact_stagger)
         ]
         if over:
-            c = self.compact(
-                buckets=over,
-                batch_id=f"{stats.batch_id}:compact",
-                sort_by_seq=self.compact_sort_by_seq,
-                target_file_rows=self.compact_target_file_rows,
-            )
-            stats.compacted_buckets = len(over)
-            stats.committed_version = c.committed_version
+            try:
+                c = self.compact(
+                    buckets=over,
+                    batch_id=f"{stats.batch_id}:compact",
+                    sort_by_seq=self.compact_sort_by_seq,
+                    target_file_rows=self.compact_target_file_rows,
+                )
+                stats.compacted_buckets = len(over)
+                stats.committed_version = c.committed_version
+            except ConcurrentCommitError:
+                # the MERGE is already committed; auto-compaction is an
+                # optimization, so under multi-writer contention (another
+                # writer appended to a bucket mid-rewrite) skip it — the
+                # next batch over threshold re-triggers it
+                pass
         return stats
 
     def _delta_stats_from_footers(self, new_files: dict[str, list[dict]], stats: MergeStats) -> None:
@@ -1613,7 +1656,136 @@ class LakeTable:
                 return int(sid)
         return (max((int(s) for s in snap["schemas"]), default=-1)) + 1
 
+    #: operations whose result depends on state a rebase cannot revalidate:
+    #: rebucket changes the layout every other commit's buckets key off;
+    #: rollback would silently discard whatever landed concurrently.
+    _REBASE_UNSAFE = ("rebucket", "rollback")
+
     def _commit(
+        self,
+        snap: dict,
+        base_version: int,
+        file_updates: dict[str, list[dict]],
+        stats: MergeStats,
+        table_schema: T.StructType,
+        append: bool,
+        operation: str = "merge",
+    ) -> MergeStats:
+        """Commit with optimistic-concurrency retry (Iceberg's commit loop):
+        on losing the version-slot CAS, :meth:`_rebase` revalidates the
+        commit against the new current snapshot and rebuilds its metadata —
+        the already-written data files are reused verbatim, so a retry is
+        metadata-only (no Spark job reruns)."""
+        retries = max(0, int(self.commit_retries))
+        for attempt in range(retries + 1):
+            try:
+                return self._commit_attempt(
+                    snap, base_version, file_updates, stats, table_schema,
+                    append, operation,
+                )
+            except ConcurrentCommitError:
+                # the failed attempt may have cached its (never-committed)
+                # resolved file map under the attempted version — drop it or
+                # reads of the WINNER's snapshot through this handle lie
+                self._manifest_cache.pop(base_version + 1, None)
+                if attempt >= retries:
+                    raise
+                rebased = self._rebase(
+                    snap, base_version, file_updates, stats, table_schema,
+                    append, operation,
+                )
+                if rebased is None:  # batch_id landed concurrently
+                    stats.skipped_duplicate_batch = True
+                    stats.committed_version = self._snapshot()["ledger"][
+                        str(stats.batch_id)
+                    ]
+                    return stats
+                snap, base_version, file_updates, table_schema = rebased
+        raise AssertionError("unreachable")
+
+    def _rebase(
+        self,
+        snap: dict,
+        base_version: int,
+        file_updates: dict[str, list[dict]],
+        stats: MergeStats,
+        table_schema: T.StructType,
+        append: bool,
+        operation: str,
+    ):
+        """Revalidate + rebuild a lost commit against the new current
+        snapshot. Returns ``(snap, base_version, file_updates,
+        table_schema)`` for the retry, ``None`` if the batch_id turned out
+        to be a concurrent duplicate delivery, or raises
+        ``ConcurrentCommitError`` when the commit cannot be PROVEN safe:
+
+        - **append commits** (delta merge / schema-update) commute with any
+          commit under LWW — the delta is a pure function of the batch, so
+          the rebase equals running the merge after the winner sequentially;
+        - **rewrite commits** (compact / merge-cow / backfill / vacuum)
+          were computed FROM the base file set, so every bucket they replace
+          must be byte-identical between old and new base (read-set
+          validation) — concurrent appends to OTHER buckets are inherited;
+        - **rebucket / rollback** never rebase (``_REBASE_UNSAFE``);
+        - concurrent schema evolution re-unions (additive schemas merge
+          commutatively; a genuine conflict raises ``SchemaEvolutionError``)
+          and the written files' ``schema_id`` stamps are re-pointed at the
+          written schema's id under the NEW snapshot's registry.
+        """
+        new_base = self.current_version()
+        if new_base == base_version:
+            # the slot's owner is between its snapshot-file create and its
+            # CURRENT swap (a microsecond window) — wait it out before
+            # declaring the writer dead
+            deadline = time.monotonic() + max(0.0, self.commit_grace_s)
+            while new_base == base_version and time.monotonic() < deadline:
+                time.sleep(0.02)
+                new_base = self.current_version()
+        if new_base == base_version:
+            raise ConcurrentCommitError(
+                f"version slot v{base_version + 1} is taken but CURRENT "
+                f"still points at v{base_version} — a writer crashed "
+                "mid-commit; refusing to rebase (remove the orphan "
+                "snapshot file to repair)"
+            )
+        new_snap = self._snapshot(new_base)
+        if str(stats.batch_id) in new_snap["ledger"]:
+            return None
+        if operation in self._REBASE_UNSAFE:
+            raise ConcurrentCommitError(
+                f"{operation} cannot be rebased over concurrent commit "
+                f"v{new_base} — rerun against the current snapshot"
+            )
+        if new_snap["n_buckets"] != snap["n_buckets"]:
+            raise ConcurrentCommitError(
+                "concurrent bucket-layout change (rebucket) — rerun "
+                "against the new layout"
+            )
+        if not append and file_updates:
+            old_f = self._resolve_files(self._snapshot(base_version))
+            new_f = self._resolve_files(new_snap)
+            dirty = [
+                b for b in file_updates
+                if old_f.get(b, []) != new_f.get(b, [])
+            ]
+            if dirty:
+                raise ConcurrentCommitError(
+                    f"read-set conflict: concurrent commit touched "
+                    f"rewritten bucket(s) {sorted(dirty)[:8]} — rerun "
+                    f"{operation} against the current snapshot"
+                )
+        final_schema, _ = self._evolve_schema(new_snap, table_schema)
+        snap2 = json.loads(json.dumps(new_snap))
+        if file_updates:
+            sid_w = self._next_schema_id(snap2, table_schema)
+            snap2["schemas"][str(sid_w)] = table_schema.jsonValue()
+            file_updates = {
+                b: [dict(fe, schema_id=sid_w) for fe in fl]
+                for b, fl in file_updates.items()
+            }
+        return snap2, new_base, file_updates, final_schema
+
+    def _commit_attempt(
         self,
         snap: dict,
         base_version: int,
@@ -1635,10 +1807,12 @@ class LakeTable:
         new_snap["schemas"][str(schema_id)] = table_schema.jsonValue()
         new_snap["current_schema_id"] = schema_id
         new_snap.setdefault("manifests", [])
+        attempt_manifests: list[str] = []
         if file_updates:
             # file lists go into an immutable per-commit manifest, NOT the
             # snapshot — commit metadata cost is O(files in this commit)
             name = self._write_manifest(new_snap["version"], append, file_updates)
+            attempt_manifests.append(name)
             new_snap["manifests"] = new_snap["manifests"] + [name]
         if len(new_snap["manifests"]) > self.MANIFEST_SQUASH:
             # consolidation rewrite: collapse base + chain into one replace
@@ -1646,6 +1820,7 @@ class LakeTable:
             # O(table files / MANIFEST_SQUASH) per commit)
             full = self._resolve_files(new_snap)
             name = self._write_manifest(new_snap["version"], False, full)
+            attempt_manifests.append(name)
             new_snap["manifests"] = [name]
             new_snap["files"] = {}
             self._manifest_cache.pop(new_snap["version"], None)
@@ -1671,7 +1846,17 @@ class LakeTable:
                 new_snap["ledger_floor"] = max(
                     new_snap.get("ledger_floor", -1), floor
                 )
-        self._write_snapshot(new_snap)
+        try:
+            self._write_snapshot(new_snap)
+        except ConcurrentCommitError:
+            # lost the CAS: this attempt's manifest files will never be
+            # referenced — unlink them so metadata doesn't accrete orphans
+            for name in attempt_manifests:
+                try:
+                    os.unlink(os.path.join(self._meta_dir, name))
+                except OSError:
+                    pass
+            raise
         self._swap_pointer(expected=base_version, new_version=new_snap["version"])
         stats.committed_version = new_snap["version"]
         return stats

@@ -53,6 +53,9 @@ class PipelineConfig:
     #: exactly-once ledger retention window in commits (None = unbounded);
     #: size beyond the source's re-delivery horizon — see LakeTable.ledger_keep
     ledger_keep: int | None = None
+    #: optimistic-concurrency commit retries when another writer shares the
+    #: table (0 = strict single-writer refusal) — see LakeTable.commit_retries
+    commit_retries: int = 4
 
 
 class CdcPipeline:
@@ -76,6 +79,7 @@ class CdcPipeline:
         self.table.compact_sort_by_seq = cfg.compact_sort_by_seq
         self.table.compact_target_file_rows = cfg.compact_target_file_rows
         self.table.ledger_keep = cfg.ledger_keep
+        self.table.commit_retries = cfg.commit_retries
         self._lineage_dir = os.path.join(cfg.table_root, "_lineage")
         #: incrementally-maintained aggregate views (lake.aggview.AggView),
         #: folded forward after every commit — see :meth:`attach_view`
