@@ -278,6 +278,64 @@ def cdc_concurrent_writers(spark, sf):
     return a.read().select("url", "lang", "doc_id", "a_mark", "b_mark")
 
 
+def cdc_cascade(spark, sf):
+    """Cascading CDC (`lake.cascade.Cascade` — the medallion bronze→silver
+    hop; reference parity: its raw-html lake → staging mirror → publish
+    chain re-applies upserts tier-to-tier,
+    boxing/load/to_staging_mirror_db.py:263-267): bronze ingests documents
+    in 2 insert commits plus one out-of-order delete(+update) commit; the
+    silver tier syncs — each upstream MERGE commit becomes exactly one
+    downstream batch pulled from `change_log(v-1, v)` (O(commit), never
+    O(table)), run through a filtering+enriching transform (drop lang='de',
+    derive text_len; op='D' rows pass the filter so deletes propagate) and
+    applied through the standard LWW merge with deterministic batch_id
+    `cascade:<v>` (exactly-once; a lost marker re-offers and the downstream
+    ledger skips). Updated 'de' docs survive in silver as 'de-u' — the
+    UPDATE event passes the filter even though the insert didn't. The
+    oracle states the final silver state in one pass."""
+    from data_pipelines_spark.lake import Cascade, LakeTable
+
+    base = _docs_as_inserts(spark, sf)
+    up = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="casc_u_"), key="url",
+        seq_cols=("warc_ts", "offset"), n_buckets=8,
+    )
+    down = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="casc_d_"), key="url",
+        seq_cols=("warc_ts", "offset"), n_buckets=8,
+    )
+    up.merge(base.where(F.col("doc_id") % 2 == 0), batch_id=1)
+    up.merge(base.where(F.col("doc_id") % 2 == 1), batch_id=2)
+    dels = base.where(F.col("doc_id") % 5 == 0).select(
+        F.lit("D").alias("op"),
+        "url",
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 2_000_000).alias("offset"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        "doc_id",
+    )
+    upds = base.where(F.col("doc_id") % 7 == 0).select(
+        F.lit("U").alias("op"),
+        "url",
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 1_000_000).alias("offset"),
+        "text",
+        F.concat(F.col("lang"), F.lit("-u")).alias("lang"),
+        "doc_id",
+    )
+    up.merge(dels.unionByName(upds), batch_id=3)
+
+    def to_silver(df):
+        keep = (F.col("op") == "D") | (F.col("lang") != "de")
+        return df.where(keep).withColumn("text_len", F.length("text"))
+
+    c = Cascade(up, down, transform=to_silver)
+    c.sync()
+    assert c.lag() == 0
+    return down.read().select("url", "lang", "doc_id", "text_len")
+
+
 def cdc_delete_where(spark, sf):
     """Predicate delete (`LakeTable.delete_where` — SQL ``DELETE WHERE``, the
     GDPR/domain-purge surface): ingest every document as an insert at T0;
@@ -2428,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ledger_retention": cdc_ledger_retention,
         "cdc_time_travel": cdc_time_travel,
         "cdc_concurrent_writers": cdc_concurrent_writers,
+        "cdc_cascade": cdc_cascade,
         "cdc_delete_where": cdc_delete_where,
         "cdc_update_where": cdc_update_where,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
@@ -3294,6 +3353,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0 AND doc_id % 2 <> 0
                         THEN CAST(1 AS BIGINT) END AS b_mark
             FROM base
+        """,
+        "cdc_cascade": """
+            WITH base AS (
+              SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS url,
+                     text, lang, doc_id
+              FROM documents
+            )
+            SELECT url,
+                   CASE WHEN doc_id % 7 = 0 THEN concat(lang, '-u')
+                        ELSE lang END AS lang,
+                   doc_id,
+                   CAST(length(text) AS INTEGER) AS text_len
+            FROM base
+            WHERE doc_id % 5 <> 0
+              AND (doc_id % 7 = 0 OR lang <> 'de')
         """,
         "cdc_delete_where": """
             WITH base AS (

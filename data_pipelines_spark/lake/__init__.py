@@ -4,3 +4,7 @@ from data_pipelines_spark.lake.table import (  # noqa: F401
     MergeStats,
     SchemaEvolutionError,
 )
+from data_pipelines_spark.lake.cascade import (  # noqa: F401
+    Cascade,
+    CascadeLagError,
+)

@@ -854,6 +854,11 @@ class LakeTable:
                     f"v{v} is a column backfill; values changed inside "
                     "rewritten base files with no delta rows — use changes()"
                 )
+            elif op == "overwrite":
+                raise ChangeLogUnavailableError(
+                    f"v{v} is an INSERT OVERWRITE; the whole state was "
+                    "replaced with no delta rows — use changes()"
+                )
             else:  # legacy snapshot without an operation tag: infer
                 if (prev_paths - cur_paths) or any(
                     fe.get("kind", "base") != "delta" for fe in new
@@ -1134,6 +1139,67 @@ class LakeTable:
         stats.rows_upserted = stats.rows_in - stats.rows_deleted
         stats.buckets_touched = len(new_files)
         stats.seq_min, stats.seq_max = lo, hi
+
+    def overwrite(self, batch_df: DataFrame, batch_id: int | str) -> MergeStats:
+        """INSERT OVERWRITE: replace the table's ENTIRE logical state with the
+        batch in one exactly-once commit (the bulk-reload / restore-from-
+        source surface; Delta ``INSERT OVERWRITE`` / ``replaceWhere`` on the
+        whole table). Rows use the merge wire format (``op`` + key + seq +
+        payload); ``op='D'`` rows land as sequence-carrying tombstones so a
+        late stale event still can't resurrect a key after the overwrite.
+        The batch is LWW-deduped per key like a merge, additive schema
+        evolution applies, and the commit writes a replace manifest covering
+        every old AND new bucket — prior state is unreferenced, not erased
+        (time travel to it still works until ``expire_snapshots``).
+
+        Unlike ``merge``, the result does NOT depend on the prior state —
+        stored sequences are irrelevant, so this is the one primitive that
+        can move a table "backwards" (e.g. resyncing a downstream cascade
+        after an upstream rollback). ``change_log`` is unavailable across it
+        (no delta rows); use ``changes()`` for the net row diff.
+        """
+        stats = MergeStats(batch_id=batch_id)
+        base_version = self.current_version()
+        snap = self._snapshot(base_version)
+        if str(batch_id) in snap["ledger"]:
+            stats.skipped_duplicate_batch = True
+            stats.committed_version = snap["ledger"][str(batch_id)]
+            return stats
+        seq = F.struct(*[F.col(c) for c in self.seq_cols])
+        batch_cols = [f.name for f in batch_df.schema.fields]
+        payload = F.struct(*[c for c in batch_cols if c != self.key])
+        width = max(1, min(self.n_buckets, 256))
+        deduped = (
+            batch_df.withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
+            .repartition(width, F.col(_BUCKET_COL))
+            .groupBy(_BUCKET_COL, self.key)
+            .agg(F.max_by(payload, seq).alias("_w"))
+            .select(_BUCKET_COL, self.key, "_w.*")
+        )
+        payload_schema = T.StructType(
+            [f for f in deduped.schema.fields if f.name not in ("op", _BUCKET_COL)]
+        )
+        table_schema, evolved = self._evolve_schema(snap, payload_schema)
+        stats.schema_evolved = evolved and snap["current_schema_id"] is not None
+        phys = self._phys_schema(table_schema, "base")
+        rows = self._align(
+            deduped.withColumn(DELETED_COL, F.col("op") == F.lit("D")).drop("op"),
+            phys,
+        ).withColumn(_BUCKET_COL, bucket_id(F.col(self.key), self.n_buckets))
+        commit_dir = self._new_commit_dir(base_version)
+        self._write_partitioned(rows, commit_dir, self.n_buckets)
+        new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="base")
+        self._acct_written(commit_dir, stats, kind="base", new_files=new_files)
+        # replace EVERY bucket: old-layout keys with no new files must be
+        # explicitly cleared or their files survive manifest resolution
+        for b in set(self._resolve_files(snap)) | {str(b) for b in range(self.n_buckets)}:
+            new_files.setdefault(str(b), [])
+            stats.per_bucket.setdefault(int(b), {"rows": 0, "tombstones": 0})
+        stats.buckets_touched = len(new_files)
+        return self._commit(
+            snap, base_version, new_files, stats, table_schema,
+            append=False, operation="overwrite",
+        )
 
     # --------------------------------------------------- predicate DML sugar
 
