@@ -89,6 +89,24 @@ def test_overwrite_tombstones_guard_stale_events(spark, pair):
     assert diff["a"] == "I"
 
 
+def test_overwrite_manifest_replaces_mixed_layout(spark, pair):
+    """The replace manifest must cover every OLD bucket key — including a
+    prior rebucket layout's — or stale files survive resolution. Pinned
+    over the nastiest layout: base + rebucket + un-compacted deltas."""
+    t, _ = pair
+    t.merge(_df(spark, [("I", f"k{i}", ts(1), i, "en") for i in range(12)]), 1)
+    t.rebucket(3, batch_id="rb")
+    t.merge(_df(spark, [("U", f"k{i}", ts(2), 100 + i, "de") for i in range(6)]), 2)
+    out = t.overwrite(_df(spark, [("I", "x", ts(3), 500, "fr")]), batch_id="ow")
+    files = t._resolve_files(t._snapshot())
+    live = [fe["path"] for fl in files.values() for fe in fl]
+    assert live, files
+    # every surviving file was written by the overwrite commit itself
+    marker = f"v{out.committed_version}-"
+    assert all(marker in p for p in live), live
+    assert _state(t) == {("x", "fr")}
+
+
 def test_overwrite_can_move_backwards(spark, pair):
     t, _ = pair
     t.merge(_df(spark, [("I", "a", ts(9), 99, "new")]), 1)

@@ -106,7 +106,7 @@ def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
         actions.append(f"merge[{len(batch)}]")
 
         # one random maintenance action between merges
-        choice = rng.randrange(7)
+        choice = rng.randrange(8)
         bid += 1
         if choice == 0:
             table.compact(batch_id=f"c{bid}")
@@ -166,6 +166,24 @@ def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
             matched = [k for k, s in model.items() if not s[1] and s[2] == lang]
             _model_apply(model, [("U", k, dts, doff, new_lang) for k in matched])
             actions.append(f"update_where[{lang}->{new_lang}]")
+        elif choice == 7:
+            # INSERT OVERWRITE: resync from the model itself (restore-from-
+            # source). Live rows re-land with their stored seqs, ~half the
+            # tombstones are carried (the rest are dropped — a later stale
+            # event may then resurrect the key, and the model agrees),
+            # and one random live key is dropped outright (source removal).
+            drop = rng.choice(sorted(model) + [None])
+            rows = [
+                ("D" if dead else "I", k, seq_[0], seq_[1], lang_)
+                for k, (seq_, dead, lang_) in sorted(model.items())
+                if k != drop and (not dead or rng.random() < 0.5)
+            ]
+            table.overwrite(
+                spark.createDataFrame(rows, SCHEMA), batch_id=f"ow{bid}"
+            )
+            model.clear()
+            _model_apply(model, rows)
+            actions.append(f"overwrite[{len(rows)}]")
 
         assert _table_live(table) == _model_live(model), actions
         # zone-map-exercising freshness read over whatever mixed layout

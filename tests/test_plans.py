@@ -81,6 +81,50 @@ def test_merge_dedup_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_overwrite_dedup_single_exchange(spark, tmp_root):
+    """INSERT OVERWRITE commits through the same single-exchange dedup as
+    merge (lake/table.py:1170-1180): bucket repartition satisfies the
+    groupBy(bucket, key) distribution, so a full-table reload is still one
+    shuffle end-to-end. Pinned on the table's own construction."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_pipelines_spark.functions.hashing import bucket_id
+    from data_pipelines_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "ow_plan"), key="url", n_buckets=8,
+        overwrite=True,
+    )
+    batch = spark.createDataFrame(
+        [("I", f"k{i}", dt.datetime(2025, 1, 1), i) for i in range(64)], schema
+    )
+    seq = F.struct(F.col("warc_ts"), F.col("offset"))
+    payload = F.struct(*[c for c in batch.columns if c != "url"])
+    deduped = (
+        batch.withColumn("_bucket", bucket_id(F.col("url"), t.n_buckets))
+        .repartition(t.n_buckets, F.col("_bucket"))
+        .groupBy("_bucket", "url")
+        .agg(F.max_by(payload, seq).alias("_w"))
+        .select("_bucket", "url", "_w.*")
+    )
+    assert _plan(deduped).count("Exchange") == 1
+    # and the committed result is the replace semantics, exactly once
+    t.merge(batch, batch_id=0)
+    out = t.overwrite(batch.where(F.col("offset") < 8), batch_id="ow")
+    assert not out.skipped_duplicate_batch
+    assert t.read().count() == 8
+
+
 def test_lww_window_single_exchange(spark):
     from data_pipelines_spark.operators.lww import lww_latest
 
