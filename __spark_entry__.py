@@ -336,6 +336,74 @@ def cdc_cascade(spark, sf):
     return down.read().select("url", "lang", "doc_id", "text_len")
 
 
+def cdc_overwrite(spark, sf):
+    """INSERT OVERWRITE (`LakeTable.overwrite` — the bulk-reload /
+    restore-from-source surface; reference parity: the rescrape loop's
+    source-of-truth reload, boxing/load/to_staging_mirror_db.py:125-186):
+    ingest every document at T0, delete doc_id%4=0 at T2, then OVERWRITE
+    with a reload taken at the OLDER sequence T1 — live rows are the
+    lang!='de' subset and doc_id%9=0 keys are carried as sequence-bearing
+    tombstones (within the batch the T1 tombstone outranks the T1 insert by
+    offset). The overwrite ignores ALL stored sequences, so the T2 deletes
+    are obliterated — the one primitive that moves a table backwards. Then
+    two post-overwrite merges prove the guard semantics: a stale T0
+    re-insert of the %9 keys LOSES to the carried tombstones, and a fresh
+    T3 update of doc_id%6=0 wins whole-row (resurrecting even 'de' and
+    tombstoned keys — LWW). Exactly-once: a re-delivered overwrite batch_id
+    is skipped. The oracle states the final state in one SQL pass."""
+    from data_pipelines_spark.lake import LakeTable
+
+    base = _docs_as_inserts(spark, sf)
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="ow_"), key="url",
+        seq_cols=("warc_ts", "offset"), n_buckets=8,
+    )
+    t.merge(base, batch_id=0)
+    dels = base.where(F.col("doc_id") % 4 == 0).select(
+        F.lit("D").alias("op"),
+        "url",
+        F.to_timestamp(F.lit("2024-01-03 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 2_000_000).alias("offset"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        "doc_id",
+    )
+    t.merge(dels, batch_id=1)
+    reload_live = base.where(F.col("lang") != "de").select(
+        "op",
+        "url",
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("warc_ts"),
+        "offset",
+        "text",
+        "lang",
+        "doc_id",
+    )
+    reload_dead = base.where(F.col("doc_id") % 9 == 0).select(
+        F.lit("D").alias("op"),
+        "url",
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 3_000_000).alias("offset"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        "doc_id",
+    )
+    t.overwrite(reload_live.unionByName(reload_dead), batch_id="ow")
+    redo = t.overwrite(reload_live, batch_id="ow")
+    assert redo.skipped_duplicate_batch  # exactly-once across re-delivery
+    t.merge(base.where(F.col("doc_id") % 9 == 0), batch_id=2)  # stale: loses
+    upd = base.where(F.col("doc_id") % 6 == 0).select(
+        F.lit("U").alias("op"),
+        "url",
+        F.to_timestamp(F.lit("2024-01-04 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 4_000_000).alias("offset"),
+        "text",
+        F.concat(F.col("lang"), F.lit("-n")).alias("lang"),
+        "doc_id",
+    )
+    t.merge(upd, batch_id=3)
+    return t.read().select("url", "lang", "doc_id")
+
+
 def cdc_delete_where(spark, sf):
     """Predicate delete (`LakeTable.delete_where` — SQL ``DELETE WHERE``, the
     GDPR/domain-purge surface): ingest every document as an insert at T0;
@@ -2487,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": cdc_time_travel,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_cascade": cdc_cascade,
+        "cdc_overwrite": cdc_overwrite,
         "cdc_delete_where": cdc_delete_where,
         "cdc_update_where": cdc_update_where,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
@@ -3368,6 +3437,19 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             WHERE doc_id % 5 <> 0
               AND (doc_id % 7 = 0 OR lang <> 'de')
+        """,
+        "cdc_overwrite": """
+            WITH base AS (
+              SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS url,
+                     lang, doc_id
+              FROM documents
+            )
+            SELECT url,
+                   CASE WHEN doc_id % 6 = 0 THEN concat(lang, '-n')
+                        ELSE lang END AS lang,
+                   doc_id
+            FROM base
+            WHERE doc_id % 6 = 0 OR (lang <> 'de' AND doc_id % 9 <> 0)
         """,
         "cdc_delete_where": """
             WITH base AS (
