@@ -1975,18 +1975,31 @@ class LakeTable:
     def stats(self) -> dict:
         return dict(self._snapshot()["stats"])
 
-    def expire_snapshots(self, keep_last: int = 10) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 10, orphan_grace_s: float | None = None
+    ) -> dict:
         """Snapshot GC (Iceberg's ``expireSnapshots`` analog): drop snapshot
         metadata older than the ``keep_last`` most recent versions and delete
         every data file no retained snapshot references — including orphan
         commit directories left by crashes before the pointer swap.
 
         Without this, a 10^10-event stream accrues unbounded metadata and
-        dead delta/base files (every compaction strands its inputs). Safe
-        under the single-writer assumption; idempotent (re-running deletes
-        nothing new). Time travel afterwards reaches only retained versions.
+        dead delta/base files (every compaction strands its inputs).
+        Idempotent (re-running deletes nothing new). Time travel afterwards
+        reaches only retained versions.
+
+        **Concurrent writers** (``commit_retries``): a writer mid-commit has
+        written its data files but not yet won the snapshot CAS — those files
+        are unreferenced by every snapshot and default GC would delete them
+        out from under the commit. Either quiesce writers around GC, or pass
+        ``orphan_grace_s``: unreferenced files younger than the grace window
+        (by mtime) are spared, exactly Iceberg's ``remove_orphan_files
+        (older_than=...)`` contract — size it well beyond the longest
+        in-flight commit (e.g. 3600). The grace check is maintenance-only
+        wall-clock; table state and replay stay deterministic.
         Returns {files_deleted, bytes_deleted, snapshots_expired, dirs_removed}.
         """
+        cutoff = None if orphan_grace_s is None else time.time() - orphan_grace_s
         current = self.current_version()
         keep_from = max(0, current - keep_last + 1)
         # tagged versions are pinned: their metadata, manifests, and data
@@ -2012,6 +2025,8 @@ class LakeTable:
                 fp = os.path.join(dirpath, fn)
                 rel = os.path.normpath(os.path.relpath(fp, self.root))
                 if rel not in referenced:
+                    if cutoff is not None and os.path.getmtime(fp) > cutoff:
+                        continue  # inside the grace window: may be in-flight
                     stats["bytes_deleted"] += os.path.getsize(fp)
                     os.remove(fp)
                     stats["files_deleted"] += 1
@@ -2026,10 +2041,15 @@ class LakeTable:
             if os.path.exists(p):
                 os.remove(p)
                 stats["snapshots_expired"] += 1
-        # manifest files no retained snapshot references
+        # manifest files no retained snapshot references (an in-flight
+        # commit's manifest lands on disk BEFORE its snapshot CAS — the
+        # grace window covers it exactly like its data files)
         for fn in os.listdir(self._meta_dir):
             if fn.startswith("m") and fn.endswith(".json") and fn not in live_manifests:
-                os.remove(os.path.join(self._meta_dir, fn))
+                mp = os.path.join(self._meta_dir, fn)
+                if cutoff is not None and os.path.getmtime(mp) > cutoff:
+                    continue
+                os.remove(mp)
                 stats["manifests_deleted"] += 1
         return stats
 

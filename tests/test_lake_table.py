@@ -261,6 +261,57 @@ def test_expire_snapshots_gc(spark, table):
     assert again["files_deleted"] == 0 and again["snapshots_expired"] == 0
 
 
+def test_expire_orphan_grace_spares_in_flight_commits(spark, table):
+    """GC × optimistic concurrency: a writer mid-commit has written data
+    files but not yet won the snapshot CAS — unreferenced by every
+    snapshot, so default GC would delete them under the commit.
+    orphan_grace_s (Iceberg remove_orphan_files(older_than=...)) spares
+    young unreferenced files; backdated ones still collect."""
+    for i in range(3):
+        _merge(
+            spark, table,
+            [("U", "u1", ts(i + 1), i, f"<p>{i}</p>".encode(), "en")],
+            batch_id=i,
+        )
+    # "in-flight": files on disk, pointer not yet moved (fresh mtime)
+    inflight = table._new_commit_dir(table.current_version())
+    os.makedirs(os.path.join(inflight, "_bucket=0"), exist_ok=True)
+    fresh = os.path.join(inflight, "_bucket=0", "part-inflight.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"inflight")
+    # a genuinely dead crash orphan: same shape, mtime backdated past grace
+    dead_dir = table._new_commit_dir(table.current_version())
+    os.makedirs(os.path.join(dead_dir, "_bucket=0"), exist_ok=True)
+    dead = os.path.join(dead_dir, "_bucket=0", "part-dead.parquet")
+    with open(dead, "wb") as f:
+        f.write(b"dead")
+    os.utime(dead, (1, 1))
+
+    table.expire_snapshots(keep_last=2, orphan_grace_s=3600)
+    assert os.path.exists(fresh)  # spared: inside the grace window
+    assert not os.path.exists(dead)  # collected: older than the grace
+
+    # the real interleaving: GC fires DURING a commit's CAS window
+    other = type(table).load(spark, table.root)
+    orig = other._write_snapshot
+    ran = {"done": False}
+
+    def hooked(snap):
+        if not ran["done"]:
+            ran["done"] = True
+            table.expire_snapshots(keep_last=2, orphan_grace_s=3600)
+        orig(snap)
+
+    other._write_snapshot = hooked
+    out = _merge(
+        spark, other,
+        [("U", "u9", ts(9), 99, b"<p>new</p>", "en")],
+        batch_id="inflight",
+    )
+    assert not out.skipped_duplicate_batch
+    assert {r.url for r in table.read().collect()} >= {"u1", "u9"}
+
+
 def test_snapshot_metadata_is_o1_per_commit(spark, tmp_root):
     """Manifest split (Iceberg shape): a commit writes its file list into an
     immutable per-commit manifest, so snapshot JSON stays ~constant size as
