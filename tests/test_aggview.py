@@ -363,6 +363,53 @@ def test_minmax_avg_track_updates_and_deletes(spark, table, mm_view):
     assert got["en"] == (1, 40, 40, 40, 40.0)  # max really shrank
 
 
+def test_view_tracks_insert_overwrite(spark, table, view, mm_view):
+    """INSERT OVERWRITE (no change_log) rides the signed pre/post diff via
+    changes(): a key moving groups AND shrinking, a carried tombstone, and
+    a key dropped outright all retract correctly — then post-overwrite
+    merges fold incrementally on top (the fused fast path, whose pre image
+    must see the overwrite's carried tombstone)."""
+    _merge(
+        spark,
+        table,
+        [
+            ("I", "a", ts(2), 10, "en", 100),
+            ("I", "b", ts(2), 11, "de", 50),
+            ("I", "c", ts(2), 12, "fr", 70),
+        ],
+        1,
+    )
+    assert view.update(table, 1) and mm_view.update(table, 1)
+    # restore-from-source at an OLDER sequence: 'a' moves group and shrinks,
+    # 'b' becomes a carried tombstone, 'c' is dropped outright
+    table.overwrite(
+        spark.createDataFrame(
+            [("I", "a", ts(1), 1, "de", 40), ("D", "b", ts(1), 2, None, None)],
+            SCHEMA,
+        ),
+        batch_id="ow",
+    )
+    assert view.update_all(table) == 1 and mm_view.update_all(table) == 1
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table)) == {
+        "de": (1, 40)
+    }
+    assert _mm_dict(mm_view.read()) == _mm_dict(_mm_full(table))
+    # post-overwrite: a stale event loses to the carried tombstone, a fresh
+    # insert lands — both through the incremental (fused) path
+    _merge(
+        spark,
+        table,
+        [("I", "b", ts(1), 0, "en", 999), ("I", "c", ts(3), 30, "fr", 20)],
+        2,
+    )
+    assert view.update_all(table) == 1 and mm_view.update_all(table) == 1
+    assert _as_dict(view.read()) == _as_dict(_full_recompute(table)) == {
+        "de": (1, 40),
+        "fr": (1, 20),
+    }
+    assert _mm_dict(mm_view.read()) == _mm_dict(_mm_full(table))
+
+
 def test_minmax_survives_compact_and_rebuild(spark, table, mm_view):
     _merge(spark, table, [("I", "a", ts(1), 1, "en", 9)], 1)
     _merge(spark, table, [("I", "b", ts(2), 2, "en", 3)], 2)
