@@ -146,6 +146,29 @@ def test_sync_out_of_order_deletes_propagate(spark, pair):
     assert _state(up) == _state(down) == set()
 
 
+def test_sync_propagates_predicate_dml(spark, pair):
+    """delete_where/update_where commit as ordinary MERGE batches (op rows
+    with a caller-supplied sequence), so a cascade propagates the purge /
+    rewrite downstream like any other change — the GDPR-erasure hop."""
+    up, down = pair
+    c = Cascade(up, down)
+    up.merge(
+        _df(spark, [("I", f"k{i}", ts(1), i, "de" if i % 2 else "en") for i in range(8)]),
+        1,
+    )
+    up.delete_where(
+        F.col("lang") == "de", batch_id="purge",
+        seq={"warc_ts": ts(2), "offset": 100}, predicate_columns=["lang"],
+    )
+    up.update_where(
+        F.col("lang") == "en", {"lang": "en-US"}, batch_id="rewrite",
+        seq={"warc_ts": ts(2), "offset": 101},
+    )
+    c.sync()
+    assert c.lag() == 0
+    assert _state(down) == _state(up) == {(f"k{i}", "en-US") for i in range(0, 8, 2)}
+
+
 def test_sync_skips_reorganizations_with_zero_commits(spark, pair):
     up, down = pair
     c = Cascade(up, down)
