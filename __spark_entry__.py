@@ -404,6 +404,70 @@ def cdc_overwrite(spark, sf):
     return t.read().select("url", "lang", "doc_id")
 
 
+def cdc_maintenance_lifecycle(spark, sf):
+    """The full table-maintenance lifecycle in one graded pass (Iceberg/Delta
+    ops parity: tags, OPTIMIZE, tombstone vacuum, RESTORE, expireSnapshots):
+    ingest at T1; update doc_id%3=0 at T3; deliver doc_id%5=0 deletes at T2
+    OUT OF ORDER (after the updates) — %15 keys hold both and the T3 update
+    outranks the T2 tombstone; tag that state `pre_gc`; compact (seq-sorted)
+    and vacuum the dead tombstones (watermark above T2) — both state-
+    invisible; merge a T4 batch (doc_id%7=0 → lang='xx') and ROLL IT BACK to
+    the tag (metadata-only restore, ledger reverts); finally
+    expire_snapshots(keep_last=2) GCs unreferenced files while the tag keeps
+    its version readable. The oracle states the surviving LWW state — the
+    T4 batch must be gone, the out-of-order delete resolution intact."""
+    from data_pipelines_spark.lake import LakeTable
+
+    base = _docs_as_inserts(spark, sf)
+    t = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="mlc_"), key="url",
+        seq_cols=("warc_ts", "offset"), n_buckets=8,
+    )
+    t.merge(base, batch_id=0)
+    upds = base.where(F.col("doc_id") % 3 == 0).select(
+        F.lit("U").alias("op"),
+        "url",
+        F.to_timestamp(F.lit("2024-01-03 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 3_000_000).alias("offset"),
+        "text",
+        F.concat(F.col("lang"), F.lit("-u")).alias("lang"),
+        "doc_id",
+    )
+    t.merge(upds, batch_id=1)
+    dels = base.where(F.col("doc_id") % 5 == 0).select(
+        F.lit("D").alias("op"),
+        "url",
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("warc_ts"),
+        (F.col("offset") + 2_000_000).alias("offset"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        "doc_id",
+    )
+    t.merge(dels, batch_id=2)  # out-of-order: %15 updates already outrank
+    t.create_tag("pre_gc")
+    tagged_v = t.current_version()
+    t.compact(batch_id="opt", sort_by_seq=True)
+    t.vacuum_tombstones("vac", "2024-01-02 12:00:00")  # > T2: purge dead rows
+    t.merge(
+        base.where(F.col("doc_id") % 7 == 0).select(
+            F.lit("U").alias("op"),
+            "url",
+            F.to_timestamp(F.lit("2024-01-04 00:00:00")).alias("warc_ts"),
+            (F.col("offset") + 4_000_000).alias("offset"),
+            "text",
+            F.lit("xx").alias("lang"),
+            "doc_id",
+        ),
+        batch_id=3,
+    )
+    t.rollback("pre_gc")  # RESTORE by tag: the T4 batch is undone
+    st = t.expire_snapshots(keep_last=2)
+    assert st["files_deleted"] > 0  # GC really collected dead files
+    assert t.read(version="pre_gc").count() == t.read().count()  # tag pinned
+    assert t.current_version() > tagged_v
+    return t.read().select("url", "lang", "doc_id")
+
+
 def cdc_delete_where(spark, sf):
     """Predicate delete (`LakeTable.delete_where` — SQL ``DELETE WHERE``, the
     GDPR/domain-purge surface): ingest every document as an insert at T0;
@@ -2556,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_cascade": cdc_cascade,
         "cdc_overwrite": cdc_overwrite,
+        "cdc_maintenance_lifecycle": cdc_maintenance_lifecycle,
         "cdc_delete_where": cdc_delete_where,
         "cdc_update_where": cdc_update_where,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
@@ -3450,6 +3515,19 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM base
             WHERE doc_id % 6 = 0 OR (lang <> 'de' AND doc_id % 9 <> 0)
+        """,
+        "cdc_maintenance_lifecycle": """
+            WITH base AS (
+              SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS url,
+                     lang, doc_id
+              FROM documents
+            )
+            SELECT url,
+                   CASE WHEN doc_id % 3 = 0 THEN concat(lang, '-u')
+                        ELSE lang END AS lang,
+                   doc_id
+            FROM base
+            WHERE doc_id % 5 <> 0 OR doc_id % 3 = 0
         """,
         "cdc_delete_where": """
             WITH base AS (
