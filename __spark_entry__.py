@@ -865,6 +865,68 @@ WHERE rn = 1 AND op <> 'D'
 )
 
 
+def cdc_point_lookup_sorted(spark, sf):
+    """Serving-optimized layout: after the replay, `compact(sort_by_key=True,
+    target_file_rows=4)` clusters each bucket's base by url and stamps
+    per-file Iceberg-style truncated key bounds (`key_min`/`key_max`) into
+    the manifest; `read_keys` then skips — driver-side, before the scan is
+    planned — every file whose key range misses all 25 looked-up urls, on
+    top of the bucket pruning `cdc_point_lookup` pins. The entry asserts the
+    scan touched strictly fewer files than the pruned buckets hold (the
+    zone map did prune) and only the keys' buckets; oracle equality proves
+    the layout + pruning changed nothing logical. At 100 TB this is the
+    lookup-path difference between a bucket's whole base (GBs) and ~one
+    file per key (MBs)."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_pls_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+    )
+    pipe.run_batches(changes, n_batches=3)
+    t = pipe.table
+    t.compact(batch_id="keysort", sort_by_key=True, target_file_rows=4)
+    keys = [f"https://example.com/u/{i}" for i in range(1, 26)]
+    out = t.read_keys(keys)
+    from data_pipelines_spark.functions.hashing import bucket_id
+
+    want = {
+        r[0]
+        for r in spark.createDataFrame([(k,) for k in keys], "url string")
+        .select(bucket_id(F.col("url"), t.n_buckets).alias("b"))
+        .collect()
+    }
+    touched_files = out.inputFiles()
+    touched_buckets = {
+        int(p.split("=")[1])
+        for f in touched_files
+        for p in f.split("/")
+        if p.startswith("_bucket=")
+    }
+    if not touched_buckets <= want:
+        raise AssertionError(
+            f"point lookup scanned extra buckets: {touched_buckets - want}"
+        )
+    snap = t._snapshot()
+    in_want = sum(
+        len(fes)
+        for b, fes in t._resolve_files(snap).items()
+        if int(b) in want
+    )
+    if not 0 < len(touched_files) < in_want:
+        raise AssertionError(
+            f"key zone map did not prune: {len(touched_files)} files "
+            f"touched of {in_want} in the keys' buckets"
+        )
+    return out.select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+    )
+
+
 def cdc_rebucket(spark, sf):
     """Bucket-layout evolution (`LakeTable.rebucket`): replay 5 batches at
     16 buckets, rewrite the table to 32, merge one more batch on the new
@@ -2615,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_neardup_retract": cdc_neardup_retract,
         "cdc_compact_sorted": cdc_compact_sorted,
         "cdc_point_lookup": cdc_point_lookup,
+        "cdc_point_lookup_sorted": cdc_point_lookup_sorted,
         "cdc_ledger_retention": cdc_ledger_retention,
         "cdc_time_travel": cdc_time_travel,
         "cdc_concurrent_writers": cdc_concurrent_writers,
@@ -3448,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_rebucket": _CDC_ORACLE,
         "cdc_point_lookup": _POINT_LOOKUP_ORACLE,
+        "cdc_point_lookup_sorted": _POINT_LOOKUP_ORACLE,
         "cdc_compact_sorted": _CDC_ORACLE
         + " AND warc_ts >= TIMESTAMP '2024-01-30 12:00:00'",
         # retention + re-deliveries are state-invisible: same LWW oracle

@@ -184,6 +184,22 @@ def main() -> None:
             best = el
     results["cdc_point_lookup"] = round(best, 3)
 
+    # same lookup on the serving-optimized layout: key-clustered base files
+    # whose key_min/key_max zone maps prune the scan to ~one file per key
+    # (compaction cost excluded — it's a one-off layout choice, not lookup
+    # latency; file/byte pruning ratios are reported in BENCH/BASELINE.md)
+    pipe.table.compact(
+        batch_id="bench-keysort", sort_by_key=True, target_file_rows=512
+    )
+    best = None
+    for _ in range(query_trials):
+        t0 = time.time()
+        pipe.table.read_keys(lookup_keys).collect()
+        el = time.time() - t0
+        if best is None or el < best:
+            best = el
+    results["cdc_point_lookup_keysorted"] = round(best, 3)
+
     # ---- flagship queries -------------------------------------------------
     qs = em.queries()
     headline = [] if os.environ.get("BENCH_CDC_ONLY") else [

@@ -157,6 +157,33 @@ def _seq_bound_py(v) -> str | None:
     return f"{v:%Y-%m-%d %H:%M:%S}.{v.microsecond:06d}"
 
 
+#: stored key zone-map bounds are truncated to this many characters —
+#: manifest entries stay small no matter how long the urls get
+_KEY_BOUND_LEN = 64
+
+
+def _key_bounds_py(lo, hi):
+    """Iceberg-style truncated string bounds for a per-file key zone map
+    (BinaryTruncator semantics): the lower bound is a plain prefix (a prefix
+    is ≤ the full string), the upper bound is the prefix with its last
+    codepoint incremented (making it ≥ every string sharing the prefix).
+    Returns ``(lo, hi)`` where either side may be ``None`` when no sound
+    bound is representable; non-string keys pass through untruncated."""
+    if not isinstance(lo, str) or not isinstance(hi, str):
+        return lo, hi
+    lo_b = lo[:_KEY_BOUND_LEN]
+    if len(hi) <= _KEY_BOUND_LEN:
+        return lo_b, hi
+    p = hi[:_KEY_BOUND_LEN]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i]) + 1
+        if 0xD800 <= c <= 0xDFFF:  # never emit a lone surrogate
+            c = 0xE000
+        if c <= 0x10FFFF:
+            return lo_b, p[:i] + chr(c)
+    return lo_b, None  # un-incrementable prefix: keep only the lower bound
+
+
 class LakeTable:
     """A keyed, snapshot-versioned Parquet table.
 
@@ -543,6 +570,7 @@ class LakeTable:
         include_tombstones: bool = False,
         columns: list[str] | None = None,
         min_seq_ts=None,
+        key_filter: list | None = None,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame. ``version``
         also takes a tag name (see :meth:`create_tag`).
@@ -567,6 +595,16 @@ class LakeTable:
         outranks everything below the bound). Skipping is disabled while
         un-compacted seq-bump files exist (a kept bump may need a payload row
         that lives below the bound); the row filter still applies.
+
+        ``key_filter`` is an I/O pruning HINT for point lookups: files whose
+        ``key_min``/``key_max`` zone map excludes every listed key are
+        skipped. It does NOT filter rows — the caller (:meth:`read_keys`)
+        applies the exact ``key IN (...)`` predicate after resolution. The
+        skip is sound for any value of the hint because every LWW/bump
+        resolution is per-key (one key's winner never depends on another
+        key's rows): a file containing none of the hinted keys cannot change
+        any hinted key's resolved row, and non-hinted keys in the output are
+        filtered by the caller. Files without key bounds are always read.
         """
         snap = self._snapshot(version)
         target = self.schema_from_snap(snap)
@@ -608,6 +646,10 @@ class LakeTable:
                     skip_files
                     and fe.get("ts_max") is not None
                     and fe["ts_max"] < bound
+                ):
+                    continue
+                if key_filter is not None and not self._key_range_hits(
+                    fe, key_filter
                 ):
                     continue
                 kind = fe.get("kind", "base")
@@ -669,6 +711,23 @@ class LakeTable:
             )
         return df
 
+    @staticmethod
+    def _key_range_hits(fe: dict, keys: list) -> bool:
+        """True when file entry ``fe`` may contain one of ``keys`` per its
+        key zone map (missing or partial bounds read conservatively; a
+        bound/key type mismatch — e.g. after a key-column type evolution —
+        also reads the file rather than risking a false skip)."""
+        lo, hi = fe.get("key_min"), fe.get("key_max")
+        if lo is None and hi is None:
+            return True
+        try:
+            return any(
+                (lo is None or lo <= k) and (hi is None or k <= hi)
+                for k in keys
+            )
+        except TypeError:
+            return True
+
     def read_keys(
         self,
         keys,
@@ -692,6 +751,15 @@ class LakeTable:
         O(|keys|/n_buckets of the table) I/O upper-bounded by the pruned
         buckets, independent of total table size — at 100 TB a k-key lookup
         touches at most k bucket directories.
+
+        Within the pruned buckets, files whose ``key_min``/``key_max`` zone
+        map (stamped at write time, Iceberg-style truncated string bounds)
+        excludes every requested key are skipped driver-side before the scan
+        is even planned. After a key-clustered compaction
+        (``compact(sort_by_key=True, target_file_rows=N)``) a bucket's base
+        files cover non-overlapping key ranges, so a k-key lookup opens
+        ~one base file per key instead of the bucket's whole base — at
+        100 TB that is the difference between touching GBs and touching MBs.
 
         ``keys`` is a bounded serving request (an explicit list, not a
         DataFrame); for joining against a large key set use
@@ -721,7 +789,7 @@ class LakeTable:
         )
         df = self.read(
             version=version, buckets=bks, columns=columns,
-            include_tombstones=include_tombstones,
+            include_tombstones=include_tombstones, key_filter=keys,
         )
         return df.where(F.col(self.key).isin(keys))
 
@@ -1092,8 +1160,10 @@ class LakeTable:
             op_idx = names.index("op") if "op" in names else None
             tie_idx = names.index(tie) if tie in names else None
             ts_idx = names.index(ts) if ts != tie and ts in names else None
+            key_idx = names.index(self.key) if self.key in names else None
             lo = hi = None
             ts_lo = ts_hi = None
+            k_lo = k_hi = None
             for rg in range(md.num_row_groups):
                 if tie_idx is not None:
                     st = md.row_group(rg).column(tie_idx).statistics
@@ -1105,12 +1175,23 @@ class LakeTable:
                     if st is not None and st.has_min_max:
                         ts_lo = st.min if ts_lo is None else min(ts_lo, st.min)
                         ts_hi = st.max if ts_hi is None else max(ts_hi, st.max)
+                if key_idx is not None:
+                    st = md.row_group(rg).column(key_idx).statistics
+                    if st is not None and st.has_min_max:
+                        k_lo = st.min if k_lo is None else min(k_lo, st.min)
+                        k_hi = st.max if k_hi is None else max(k_hi, st.max)
             # per-file zone map on the first seq column (timestamps are
             # written as TIMESTAMP_MICROS so footer stats exist) — lets
             # read(min_seq_ts=...) skip whole files, see _acct_written
             if ts_hi is not None and not isinstance(ts_hi, (int, float, str)):
                 fe["ts_min"] = _seq_bound_py(ts_lo)
                 fe["ts_max"] = _seq_bound_py(ts_hi)
+            # per-file KEY zone map (parquet-mr's own string statistics are
+            # already sound truncated bounds; ours re-truncate for the
+            # manifest) — read_keys skips delta files whose key range
+            # misses every looked-up key
+            if k_hi is not None and isinstance(k_hi, (str, int)):
+                fe["key_min"], fe["key_max"] = _key_bounds_py(k_lo, k_hi)
             dead = 0
             if op_idx is not None:
                 ops = f.read(columns=["op"]).column(0)
@@ -1412,6 +1493,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         batch_id: int | str = "compact",
         sort_by_seq: bool = False,
+        sort_by_key: bool = False,
         target_file_rows: int | None = None,
     ) -> MergeStats:
         """Rewrite base+delta files of ``buckets`` into fresh base files.
@@ -1431,10 +1513,24 @@ class LakeTable:
         physical layout change only: same rows, same LWW winners, sequences
         untouched — state-invisible to every logical surface, like
         :meth:`rebucket`.
+
+        ``sort_by_key=True`` clusters each bucket's rewrite by the KEY
+        instead — with ``target_file_rows`` each file covers a contiguous,
+        non-overlapping key range and the per-file ``key_min``/``key_max``
+        zone map lets :meth:`read_keys` open ~one file per looked-up key
+        (the serving-optimized layout; choose it for tables whose hot path
+        is point lookups, ``sort_by_seq`` for incremental consumers — the
+        two clusterings are mutually exclusive per rewrite).
         """
+        if sort_by_seq and sort_by_key:
+            raise ValueError(
+                "sort_by_seq and sort_by_key are mutually exclusive — one "
+                "rewrite produces one physical clustering"
+            )
         return self._rewrite_buckets(
             buckets, batch_id, "compact", None,
-            sort_by_seq=sort_by_seq, target_file_rows=target_file_rows,
+            sort_by_seq=sort_by_seq, sort_by_key=sort_by_key,
+            target_file_rows=target_file_rows,
         )
 
     def backfill(
@@ -1486,6 +1582,7 @@ class LakeTable:
         n_buckets: int,
         batch_id: int | str | None = None,
         sort_by_seq: bool = False,
+        sort_by_key: bool = False,
         target_file_rows: int | None = None,
     ) -> MergeStats:
         """Bucket-layout evolution: rewrite the whole table under a new
@@ -1505,12 +1602,17 @@ class LakeTable:
         rebucket, bucket ids passed to :meth:`read` for PRE-rebucket
         versions mean the OLD layout (the snapshot's own file keys).
 
-        ``sort_by_seq`` / ``target_file_rows``: same seq-clustered file
-        layout as :meth:`compact` — a full-table rewrite is exactly when a
-        re-cluster is cheapest.
+        ``sort_by_seq`` / ``sort_by_key`` / ``target_file_rows``: same
+        clustered file layouts as :meth:`compact` — a full-table rewrite is
+        exactly when a re-cluster is cheapest.
         """
         if n_buckets < 1:
             raise ValueError("n_buckets must be ≥ 1")
+        if sort_by_seq and sort_by_key:
+            raise ValueError(
+                "sort_by_seq and sort_by_key are mutually exclusive — one "
+                "rewrite produces one physical clustering"
+            )
         bid = f"rebucket-{n_buckets}" if batch_id is None else batch_id
         stats = MergeStats(batch_id=bid)
         base_version = self.current_version()
@@ -1532,7 +1634,8 @@ class LakeTable:
         commit_dir = self._new_commit_dir(base_version)
         self._write_partitioned(
             resolved, commit_dir, n_buckets,
-            sort_seq=sort_by_seq, max_file_rows=target_file_rows,
+            sort_seq=sort_by_seq, sort_key=sort_by_key,
+            max_file_rows=target_file_rows,
         )
         # the committed snapshot carries the new layout; bucket_stats start
         # fresh (old-layout keys must not linger)
@@ -1559,7 +1662,8 @@ class LakeTable:
 
     def _rewrite_buckets(
         self, buckets, batch_id, operation, transform,
-        sort_by_seq: bool = False, target_file_rows: int | None = None,
+        sort_by_seq: bool = False, sort_by_key: bool = False,
+        target_file_rows: int | None = None,
     ) -> MergeStats:
         """Shared CoW rewrite: LWW-resolve the buckets (tombstones kept),
         optionally transform, rewrite as fresh base files, ledger-commit."""
@@ -1583,7 +1687,8 @@ class LakeTable:
         commit_dir = self._new_commit_dir(base_version)
         self._write_partitioned(
             resolved, commit_dir, len(buckets),
-            sort_seq=sort_by_seq, max_file_rows=target_file_rows,
+            sort_seq=sort_by_seq, sort_key=sort_by_key,
+            max_file_rows=target_file_rows,
         )
         new_files = self._list_written(commit_dir, snap, table_schema, stats, kind="base")
         for b in buckets:
@@ -1606,10 +1711,18 @@ class LakeTable:
         commit_dir: str,
         n_buckets_hint: int,
         sort_seq: bool = False,
+        sort_key: bool = False,
         max_file_rows: int | None = None,
     ) -> None:
         out = df.repartition(max(1, min(n_buckets_hint, 64)), F.col(_BUCKET_COL))
-        if sort_seq:
+        if sort_key:
+            # Cluster each bucket by the KEY: with ``max_file_rows`` each
+            # rolled file covers a contiguous, non-overlapping key range, so
+            # the per-file key zone map (_acct_written) lets read_keys open
+            # ~one file per looked-up key. Same required-ordering trick as
+            # the seq clustering below.
+            out = out.sortWithinPartitions(F.col(_BUCKET_COL), F.col(self.key))
+        elif sort_seq:
             # Cluster each bucket by its sequence columns: with
             # ``max_file_rows`` the writer rolls a new file every N rows, so
             # each file covers a CONTIGUOUS, non-overlapping seq range — the
@@ -1664,7 +1777,11 @@ class LakeTable:
         per-FILE min/max of the first sequence column and attaches it to the
         manifest entries (``ts_min``/``ts_max`` zone maps) — ``read(
         min_seq_ts=...)`` uses these to skip files that cannot contain fresh
-        rows. One extra aggregate in an already-running job; no new job.
+        rows — plus a per-file min/max of the KEY column (``key_min``/
+        ``key_max``, string bounds truncated Iceberg-style by
+        ``_key_bounds_py``) that :meth:`read_keys` uses to skip files whose
+        key range misses every looked-up key. Extra aggregates in an
+        already-running job; no new job.
         """
         if not any(e.startswith(f"{_BUCKET_COL}=") for e in os.listdir(commit_dir)):
             return  # nothing written (e.g. vacuum emptied the table)
@@ -1685,12 +1802,26 @@ class LakeTable:
                 (T.TimestampType, T.TimestampNTZType),
             )
         )
-        file_key = F.input_file_name() if track_ts else F.lit("")
+        track_key = (
+            new_files is not None
+            and self.key in acct_df.columns
+            and isinstance(
+                acct_df.schema[self.key].dataType,
+                (T.StringType, T.LongType, T.IntegerType,
+                 T.ShortType, T.ByteType),
+            )
+        )
+        file_key = F.input_file_name() if (track_ts or track_key) else F.lit("")
         aggs = [F.count("*").alias("rows"), F.sum(dead).alias("dead")]
         if track_ts:
             aggs += [
                 _seq_bound(F.min(ts)).alias("ts_min"),
                 _seq_bound(F.max(ts)).alias("ts_max"),
+            ]
+        if track_key:
+            aggs += [
+                F.min(self.key).alias("_key_min"),
+                F.max(self.key).alias("_key_max"),
             ]
         acct = (
             acct_df.groupBy(F.col(_BUCKET_COL), file_key.alias("_file"))
@@ -1698,7 +1829,7 @@ class LakeTable:
             .collect()
         )
         by_path: dict[str, dict] = {}
-        if track_ts:
+        if track_ts or track_key:
             for files in new_files.values():
                 for fe in files:
                     by_path[os.path.normpath(fe["path"])] = fe
@@ -1707,13 +1838,18 @@ class LakeTable:
             p = per_b.setdefault(int(r[_BUCKET_COL]), {"rows": 0, "tombstones": 0})
             p["rows"] += r["rows"]
             p["tombstones"] += int(r["dead"] or 0)
-            if track_ts and r["ts_min"] is not None:
+            fe = None
+            if track_ts or track_key:
                 rel = os.path.normpath(
                     os.path.relpath(r["_file"].removeprefix("file:"), self.root)
                 )
                 fe = by_path.get(rel)
-                if fe is not None:
-                    fe["ts_min"], fe["ts_max"] = r["ts_min"], r["ts_max"]
+            if fe is not None and track_ts and r["ts_min"] is not None:
+                fe["ts_min"], fe["ts_max"] = r["ts_min"], r["ts_max"]
+            if fe is not None and track_key and r["_key_min"] is not None:
+                fe["key_min"], fe["key_max"] = _key_bounds_py(
+                    r["_key_min"], r["_key_max"]
+                )
         stats.per_bucket.update(per_b)
 
     def _next_schema_id(self, snap: dict, table_schema: T.StructType) -> int:

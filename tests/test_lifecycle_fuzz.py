@@ -112,11 +112,22 @@ def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
             table.compact(batch_id=f"c{bid}")
             actions.append("compact")
         elif choice == 1:
-            table.compact(
-                batch_id=f"cs{bid}", sort_by_seq=True,
-                target_file_rows=rng.choice([3, 7, 16]),
-            )
-            actions.append("compact_sorted")
+            # one of the two clustered layouts: seq-sorted (incremental
+            # consumers) or key-sorted (point-lookup serving) — the
+            # read_keys probe below then fuzzes key-zone-map pruning
+            # against the model over every mixed layout the program hits
+            if rng.random() < 0.5:
+                table.compact(
+                    batch_id=f"cs{bid}", sort_by_seq=True,
+                    target_file_rows=rng.choice([3, 7, 16]),
+                )
+                actions.append("compact_sorted")
+            else:
+                table.compact(
+                    batch_id=f"cs{bid}", sort_by_key=True,
+                    target_file_rows=rng.choice([3, 7, 16]),
+                )
+                actions.append("compact_keysorted")
         elif choice == 2:
             n_new = rng.choice([2, 3, 6, 8])
             table.rebucket(

@@ -140,3 +140,139 @@ def test_read_keys_time_travel_across_rebucket(spark, table):
         == b"<p3v2>"
     )
     assert bytes(table.read_keys(["u003"]).collect()[0].html) == b"<p3v3>"
+
+
+# --------------------------- key-sorted layout: zone-map file pruning ----
+
+
+def _base_files(table, bucket=None):
+    snap = table._snapshot()
+    out = []
+    for b, fes in table._resolve_files(snap).items():
+        if bucket is not None and int(b) != bucket:
+            continue
+        out += [fe for fe in fes if fe.get("kind", "base") == "base"]
+    return out
+
+
+def test_key_sorted_compact_prunes_files(spark, tmp_root):
+    """compact(sort_by_key=True, target_file_rows=N) gives each base file a
+    non-overlapping key range; read_keys then opens ~one file per key
+    instead of the bucket's whole base, and results are unchanged."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "plk"), key="url", n_buckets=2,
+        overwrite=True,
+    )
+    rows = [
+        ("I", f"u{i:03d}", ts(1 + i % 5), i, f"<p{i}>".encode(), "en")
+        for i in range(80)
+    ]
+    _merge(spark, table, rows, 1)
+    table.compact(batch_id="ck", sort_by_key=True, target_file_rows=8)
+    files = _base_files(table)
+    assert len(files) >= 8, "target_file_rows must split each bucket's base"
+    assert all(
+        fe.get("key_min") is not None and fe.get("key_max") is not None
+        for fe in files
+    ), "key-sorted rewrite must stamp key zone maps"
+    # distinct ranges: files within a bucket must not overlap
+    by_b: dict = {}
+    snap = table._snapshot()
+    for b, fes in table._resolve_files(snap).items():
+        spans = sorted((fe["key_min"], fe["key_max"]) for fe in fes)
+        for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"overlapping key ranges in bucket {b}: {spans}"
+    # the lookup equals the filtered read AND touches few files
+    keys = ["u003", "u042"]
+    got = {r.url: bytes(r.html) for r in table.read_keys(keys).collect()}
+    assert got == {"u003": b"<p3>", "u042": b"<p42>"}
+    touched = table.read_keys(keys).inputFiles()
+    assert 0 < len(touched) <= len(keys), (
+        f"zone maps should prune to ~one file per key, got {len(touched)} "
+        f"of {len(files)}"
+    )
+
+
+def test_key_pruning_sound_with_later_deltas(spark, tmp_root):
+    """Un-sorted delta files written after a key-sorted compaction carry
+    footer-derived key bounds; lookups see the newest value (no false
+    skip), including for keys absent from the sorted base."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "pld"), key="url", n_buckets=2,
+        overwrite=True,
+    )
+    _merge(
+        spark, table,
+        [("I", f"u{i:03d}", ts(1), i, f"<p{i}>".encode(), "en") for i in range(40)],
+        1,
+    )
+    table.compact(batch_id="ck", sort_by_key=True, target_file_rows=8)
+    _merge(
+        spark, table,
+        [
+            ("U", "u005", ts(10), 100, b"<v2>", "de"),
+            ("I", "zzz-new", ts(10), 101, b"<z>", "fr"),
+            ("D", "u011", ts(10), 102, None, None),
+        ],
+        2,
+    )
+    got = {
+        r.url: bytes(r.html)
+        for r in table.read_keys(["u005", "zzz-new", "u011", "u020"]).collect()
+    }
+    assert got == {"u005": b"<v2>", "zzz-new": b"<z>", "u020": b"<p20>"}
+    # delta files got key bounds from their parquet footers (no extra job)
+    snap = table._snapshot()
+    deltas = [
+        fe
+        for fes in table._resolve_files(snap).values()
+        for fe in fes
+        if fe.get("kind") == "delta"
+    ]
+    assert deltas and all(fe.get("key_max") is not None for fe in deltas)
+
+
+def test_key_bounds_truncation_long_keys(spark, tmp_root):
+    """Keys longer than the stored bound length: bounds are truncated
+    Iceberg-style (lower = prefix, upper = prefix with last codepoint
+    incremented) and lookups still find every key — no false skips."""
+    from data_pipelines_spark.lake.table import _KEY_BOUND_LEN, _key_bounds_py
+
+    # unit: the helper's bounds bracket the originals
+    lo, hi = _key_bounds_py("a" * 100, "b" * 100)
+    assert lo == "a" * _KEY_BOUND_LEN and lo <= "a" * 100
+    assert hi == "b" * (_KEY_BOUND_LEN - 1) + "c" and hi >= "b" * 100
+    assert _key_bounds_py(7, 9) == (7, 9)  # non-strings pass through
+    # un-incrementable prefix keeps only the lower bound
+    lo2, hi2 = _key_bounds_py("x", chr(0x10FFFF) * (_KEY_BOUND_LEN + 1))
+    assert lo2 == "x" and hi2 is None
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "plt"), key="url", n_buckets=1,
+        overwrite=True,
+    )
+    prefix = "https://example.com/very/long/path/segment/that/keeps/going/"
+    assert len(prefix) >= _KEY_BOUND_LEN - 4
+    rows = [
+        ("I", f"{prefix}{i:04d}", ts(1), i, b"<x>", "en") for i in range(40)
+    ]
+    _merge(spark, table, rows, 1)
+    table.compact(batch_id="ck", sort_by_key=True, target_file_rows=8)
+    for fe in _base_files(table):
+        assert len(fe["key_min"]) <= _KEY_BOUND_LEN
+        assert fe["key_max"] is None or len(fe["key_max"]) <= _KEY_BOUND_LEN
+    want = {f"{prefix}0007", f"{prefix}0033"}
+    got = {r.url for r in table.read_keys(sorted(want)).collect()}
+    assert got == want
+
+
+def test_sort_by_key_and_seq_mutually_exclusive(spark, tmp_root):
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "plx"), key="url", n_buckets=2,
+        overwrite=True,
+    )
+    _merge(spark, table, [("I", "u1", ts(1), 1, b"<x>", "en")], 1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        table.compact(batch_id="bad", sort_by_seq=True, sort_by_key=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        table.rebucket(4, sort_by_seq=True, sort_by_key=True)
