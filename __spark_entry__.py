@@ -913,7 +913,12 @@ def cdc_point_lookup_sorted(spark, sf):
         for b, fes in t._resolve_files(snap).items()
         if int(b) in want
     )
-    if not 0 < len(touched_files) < in_want:
+    # strict pruning is only observable when buckets hold >1 file (at a
+    # tiny SF each bucket's base fits target_file_rows, so touched ==
+    # in_want is correct, not a pruning failure)
+    if not (0 < len(touched_files) <= in_want) or (
+        in_want > 2 * len(want) and len(touched_files) >= in_want
+    ):
         raise AssertionError(
             f"key zone map did not prune: {len(touched_files)} files "
             f"touched of {in_want} in the keys' buckets"
