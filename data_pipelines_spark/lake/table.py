@@ -52,12 +52,14 @@ rather than guessing.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
+from hashlib import blake2b
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -184,6 +186,47 @@ def _key_bounds_py(lo, hi):
     return lo_b, None  # un-incrementable prefix: keep only the lower bound
 
 
+def _bloom_params(n: int) -> tuple[int, int]:
+    """Bloom sizing: ~10 bits/key with k=7 probes → ~1% false-positive
+    rate; m capped at 2^20 bits (128 KiB raw) so a single manifest entry
+    stays bounded no matter how many keys a file carries."""
+    m = 64
+    while m < n * 10 and m < (1 << 20):
+        m <<= 1
+    return m, 7
+
+
+def _bloom_positions(key: str, m: int, k: int) -> list[int]:
+    # double hashing over one blake2b digest: deterministic across
+    # processes/hosts (PYTHONHASHSEED-immune — replay determinism)
+    d = blake2b(key.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _key_bloom_build(keys) -> tuple[str, int, int]:
+    """Build a key Bloom filter → (base64 bits, m, k) for a manifest entry."""
+    m, k = _bloom_params(len(keys))
+    bits = bytearray(m >> 3)
+    for key in keys:
+        for p in _bloom_positions(key, m, k):
+            bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii"), m, k
+
+
+def _key_bloom_may_contain(b64: str, m: int, k: int, keys) -> bool:
+    """True when ANY of ``keys`` may be in the filter (no false negatives)."""
+    bits = base64.b64decode(b64)
+    return any(
+        all(
+            bits[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions(key, m, k)
+        )
+        for key in keys
+    )
+
+
 class LakeTable:
     """A keyed, snapshot-versioned Parquet table.
 
@@ -245,6 +288,15 @@ class LakeTable:
         #: mode is wasted files, not wrong answers. Trimmed entries raise the
         #: monotone ``ledger_floor`` snapshot field for observability.
         self.ledger_keep: int | None = None
+        #: per-file key Bloom filters for the point-lookup serving path:
+        #: delta files with ≤ this many rows (string keys only) get a bloom
+        #: stamped into their manifest entry at merge time, so ``read_keys``
+        #: can skip recent UN-sorted deltas whose key RANGE spans everything
+        #: (the zone map can't prune those; the bloom can). Built driver-side
+        #: from the file's own key column in the existing footer-stats
+        #: thread pool — bounded by the row cap, no extra Spark job; larger
+        #: files rely on zone maps + compaction. None disables.
+        self.key_bloom_rows: int | None = 8192
         #: optimistic concurrency (Iceberg commit-retry analog): when the
         #: version-slot CAS is lost to a concurrent writer, rebase the commit
         #: metadata onto the new current snapshot (data files are reused
@@ -714,19 +766,26 @@ class LakeTable:
     @staticmethod
     def _key_range_hits(fe: dict, keys: list) -> bool:
         """True when file entry ``fe`` may contain one of ``keys`` per its
-        key zone map (missing or partial bounds read conservatively; a
-        bound/key type mismatch — e.g. after a key-column type evolution —
-        also reads the file rather than risking a false skip)."""
+        key zone map and (when present) its key Bloom filter (missing or
+        partial bounds read conservatively; a bound/key type mismatch —
+        e.g. after a key-column type evolution — also reads the file rather
+        than risking a false skip)."""
         lo, hi = fe.get("key_min"), fe.get("key_max")
-        if lo is None and hi is None:
-            return True
-        try:
-            return any(
-                (lo is None or lo <= k) and (hi is None or k <= hi)
-                for k in keys
-            )
-        except TypeError:
-            return True
+        if lo is not None or hi is not None:
+            try:
+                if not any(
+                    (lo is None or lo <= k) and (hi is None or k <= hi)
+                    for k in keys
+                ):
+                    return False
+            except TypeError:
+                return True
+        # the range may hit — consult the bloom (no false negatives: every
+        # key actually in the file was inserted at write time)
+        b64 = fe.get("kbf")
+        if b64 is not None and all(isinstance(k, str) for k in keys):
+            return _key_bloom_may_contain(b64, fe["kbf_m"], fe["kbf_k"], keys)
+        return True
 
     def read_keys(
         self,
@@ -760,6 +819,13 @@ class LakeTable:
         files cover non-overlapping key ranges, so a k-key lookup opens
         ~one base file per key instead of the bucket's whole base — at
         100 TB that is the difference between touching GBs and touching MBs.
+
+        Recent UN-sorted delta files — whose key range spans everything, so
+        the zone map cannot prune them — are skipped via their per-file key
+        Bloom filter (stamped at merge time for files ≤ ``key_bloom_rows``
+        rows; no false negatives), so lookup cost stays ~k files even under
+        continuous ingest, not k files plus every delta since the last
+        compaction.
 
         ``keys`` is a bounded serving request (an explicit list, not a
         DataFrame); for joining against a large key set use
@@ -1192,6 +1258,22 @@ class LakeTable:
             # misses every looked-up key
             if k_hi is not None and isinstance(k_hi, (str, int)):
                 fe["key_min"], fe["key_max"] = _key_bounds_py(k_lo, k_hi)
+            # per-file key BLOOM (small files only): an un-sorted delta's
+            # key RANGE spans most of the key space, so the zone map above
+            # rarely prunes it — the bloom lets read_keys skip it anyway.
+            # One bounded column read in this already-threadpooled footer
+            # pass; no Spark job.
+            if (
+                self.key_bloom_rows is not None
+                and key_idx is not None
+                and 0 < md.num_rows <= self.key_bloom_rows
+            ):
+                ks = f.read(columns=[self.key]).column(0)
+                py = ks.to_pylist()
+                if all(isinstance(x, str) for x in py):
+                    fe["kbf"], fe["kbf_m"], fe["kbf_k"] = _key_bloom_build(
+                        set(py)
+                    )
             dead = 0
             if op_idx is not None:
                 ops = f.read(columns=["op"]).column(0)

@@ -276,3 +276,113 @@ def test_sort_by_key_and_seq_mutually_exclusive(spark, tmp_root):
         table.compact(batch_id="bad", sort_by_seq=True, sort_by_key=True)
     with pytest.raises(ValueError, match="mutually exclusive"):
         table.rebucket(4, sort_by_seq=True, sort_by_key=True)
+
+
+# ------------------------------- key Bloom filters: delta-file pruning ---
+
+
+def test_key_bloom_helpers_deterministic_no_false_negatives():
+    from data_pipelines_spark.lake.table import (
+        _key_bloom_build,
+        _key_bloom_may_contain,
+    )
+
+    keys = [f"https://example.com/u/{i * 7919 % 100003}" for i in range(4096)]
+    b64, m, k = _key_bloom_build(set(keys))
+    assert (b64, m, k) == _key_bloom_build(set(keys)), "must be replay-stable"
+    assert all(_key_bloom_may_contain(b64, m, k, [x]) for x in keys)
+    absent = [f"https://example.com/v/{i}" for i in range(5000)]
+    fp = sum(_key_bloom_may_contain(b64, m, k, [x]) for x in absent)
+    assert fp < 250, f"false-positive rate way off: {fp}/5000"
+    # ANY-semantics over a multi-key query
+    assert _key_bloom_may_contain(b64, m, k, [absent[0], keys[0]])
+    # empty filter never matches
+    b0, m0, k0 = _key_bloom_build([])
+    assert not _key_bloom_may_contain(b0, m0, k0, ["x"])
+
+
+def test_key_bloom_prunes_unsorted_deltas(spark, tmp_root):
+    """An un-sorted delta file's key RANGE spans most of the key space, so
+    the zone map alone cannot prune it — the per-file bloom skips it for
+    lookups of keys the delta does not carry, and never skips it for keys
+    it does (no false negatives; LWW still sees the newest value)."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "plb"), key="url", n_buckets=1,
+        overwrite=True,
+    )
+    rows = [
+        ("I", f"u{i:03d}", ts(1), i, f"<p{i}>".encode(), "en")
+        for i in range(80)
+    ]
+    _merge(spark, table, rows, 1)
+    table.compact(batch_id="ck", sort_by_key=True, target_file_rows=8)
+    # one small delta whose key range (u010..u070) straddles most files
+    _merge(
+        spark, table,
+        [
+            ("U", "u010", ts(9), 900, b"<v2>", "de"),
+            ("U", "u070", ts(9), 901, b"<v2>", "de"),
+        ],
+        2,
+    )
+    snap = table._snapshot()
+    deltas = [
+        fe
+        for fes in table._resolve_files(snap).values()
+        for fe in fes
+        if fe.get("kind") == "delta"
+    ]
+    assert deltas and all("kbf" in fe for fe in deltas), (
+        "small delta files must carry a key bloom"
+    )
+    delta_paths = {
+        os.path.normpath(os.path.join(table.root, fe["path"])) for fe in deltas
+    }
+    # u040 is inside the delta's key range but NOT in the delta → the bloom
+    # (not the zone map) must prune the delta file from the scan
+    df = table.read_keys(["u040"])
+    touched = {
+        os.path.normpath(p.removeprefix("file:")) for p in df.inputFiles()
+    }
+    assert not touched & delta_paths, "bloom failed to prune the delta file"
+    assert {r.url: bytes(r.html) for r in df.collect()} == {"u040": b"<p40>"}
+    # a key the delta DOES carry: delta is read, newest value wins
+    df2 = table.read_keys(["u010"])
+    touched2 = {
+        os.path.normpath(p.removeprefix("file:")) for p in df2.inputFiles()
+    }
+    assert touched2 & delta_paths, "bloom must not skip a file carrying the key"
+    assert {r.url: bytes(r.html) for r in df2.collect()} == {"u010": b"<v2>"}
+
+
+def test_key_bloom_opt_out_and_row_cap(spark, tmp_root):
+    """key_bloom_rows=None disables blooms; files above the cap skip the
+    bloom build (zone maps still stamped) — lookups stay correct."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "plc"), key="url", n_buckets=1,
+        overwrite=True,
+    )
+    table.key_bloom_rows = None
+    _merge(
+        spark, table,
+        [("I", f"u{i}", ts(1), i, b"<x>", "en") for i in range(10)],
+        1,
+    )
+    snap = table._snapshot()
+    fes = [fe for fes in table._resolve_files(snap).values() for fe in fes]
+    assert fes and all("kbf" not in fe for fe in fes)
+    table.key_bloom_rows = 4  # below the next batch's 10 rows
+    _merge(
+        spark, table,
+        [("U", f"u{i}", ts(2), 100 + i, b"<y>", "en") for i in range(10)],
+        2,
+    )
+    snap = table._snapshot()
+    new = [
+        fe
+        for fes in table._resolve_files(snap).values()
+        for fe in fes
+        if "kbf" in fe
+    ]
+    assert not new, "files above key_bloom_rows must not build blooms"
+    assert bytes(table.read_keys(["u3"]).collect()[0].html) == b"<y>"
