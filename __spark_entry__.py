@@ -881,7 +881,10 @@ def cdc_point_lookup_sorted(spark, sf):
     root = tempfile.mkdtemp(prefix="cdc_pls_")
     pipe = CdcPipeline(
         spark,
-        PipelineConfig(table_root=os.path.join(root, "t"), n_buckets=16, decode=False),
+        PipelineConfig(
+            table_root=os.path.join(root, "t"), n_buckets=16, decode=False,
+            key_bloom_rows=8192,  # the serving profile: delta blooms on
+        ),
     )
     pipe.run_batches(changes, n_batches=3)
     t = pipe.table

@@ -288,15 +288,18 @@ class LakeTable:
         #: mode is wasted files, not wrong answers. Trimmed entries raise the
         #: monotone ``ledger_floor`` snapshot field for observability.
         self.ledger_keep: int | None = None
-        #: per-file key Bloom filters for the point-lookup serving path:
-        #: delta files with ≤ this many rows (string keys only) get a bloom
-        #: stamped into their manifest entry at merge time, so ``read_keys``
-        #: can skip recent UN-sorted deltas whose key RANGE spans everything
-        #: (the zone map can't prune those; the bloom can). Built driver-side
-        #: from the file's own key column in the existing footer-stats
-        #: thread pool — bounded by the row cap, no extra Spark job; larger
-        #: files rely on zone maps + compaction. None disables.
-        self.key_bloom_rows: int | None = 8192
+        #: per-file key Bloom filters for the point-lookup serving path
+        #: (OPT-IN, the serving profile alongside ``sort_by_key`` compaction
+        #: — default off because stamping costs ~5% of merge wall at the
+        #: 1M-event bench shape, a tax an ingest-only table shouldn't pay):
+        #: when set, delta files with ≤ this many rows (string keys only)
+        #: get a bloom stamped into their manifest entry at merge time, so
+        #: ``read_keys`` can skip recent UN-sorted deltas whose key RANGE
+        #: spans everything (the zone map can't prune those; the bloom can).
+        #: Built driver-side from the file's own key column in the existing
+        #: footer-stats thread pool — bounded by the row cap, no extra Spark
+        #: job; larger files rely on zone maps + compaction.
+        self.key_bloom_rows: int | None = None
         #: optimistic concurrency (Iceberg commit-retry analog): when the
         #: version-slot CAS is lost to a concurrent writer, rebase the commit
         #: metadata onto the new current snapshot (data files are reused

@@ -56,6 +56,10 @@ class PipelineConfig:
     #: optimistic-concurrency commit retries when another writer shares the
     #: table (0 = strict single-writer refusal) — see LakeTable.commit_retries
     commit_retries: int = 4
+    #: serving profile: stamp per-file key Bloom filters on delta files with
+    #: ≤ this many rows so read_keys prunes un-compacted deltas (opt-in,
+    #: costs ~5% of merge wall) — see LakeTable.key_bloom_rows
+    key_bloom_rows: int | None = None
 
 
 class CdcPipeline:
@@ -80,6 +84,7 @@ class CdcPipeline:
         self.table.compact_target_file_rows = cfg.compact_target_file_rows
         self.table.ledger_keep = cfg.ledger_keep
         self.table.commit_retries = cfg.commit_retries
+        self.table.key_bloom_rows = cfg.key_bloom_rows
         self._lineage_dir = os.path.join(cfg.table_root, "_lineage")
         #: incrementally-maintained aggregate views (lake.aggview.AggView),
         #: folded forward after every commit — see :meth:`attach_view`

@@ -87,6 +87,46 @@ def main() -> None:
             "bytes_touched": hit_bytes,
             "bytes_in_buckets": tot_bytes,
         }
+
+    # continuous ingest on the serving layout: merge a fresh small batch
+    # (un-sorted deltas whose key range spans everything) with the bloom
+    # profile on — the same lookup must stay ~k files because the per-file
+    # key blooms skip deltas that lack the looked-up keys
+    t.key_bloom_rows = 8192
+    extra = change_stream(
+        spark, n_events=20000, n_keys=max(64, n_events // 8), seed=43
+    )
+    pipe.process_batch(extra, batch_id=1)
+    df = t.read_keys(keys)
+    t0 = time.time()
+    rows = df.count()
+    wall = time.time() - t0
+    touched = {os.path.normpath(p.removeprefix("file:")) for p in df.inputFiles()}
+    snap = t._snapshot()
+    deltas_in_buckets = bloomed = 0
+    for b, fes in t._resolve_files(snap).items():
+        if int(b) not in want:
+            continue
+        for fe in fes:
+            if fe.get("kind") == "delta":
+                deltas_in_buckets += 1
+                bloomed += 1 if "kbf" in fe else 0
+    deltas_touched = sum(
+        1
+        for b, fes in t._resolve_files(snap).items()
+        if int(b) in want
+        for fe in fes
+        if fe.get("kind") == "delta"
+        and os.path.normpath(os.path.join(t.root, fe["path"])) in touched
+    )
+    out["with_fresh_deltas_bloom"] = {
+        "rows": rows,
+        "lookup_sec": round(wall, 3),
+        "files_touched": len(touched),
+        "delta_files_in_buckets": deltas_in_buckets,
+        "delta_files_bloomed": bloomed,
+        "delta_files_touched": deltas_touched,
+    }
     print(json.dumps(out))
 
 

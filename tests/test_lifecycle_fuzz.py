@@ -97,6 +97,7 @@ def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
     table.compact_threshold = 3  # let auto-compaction interleave too
     table.compact_stagger = 2
     table.ledger_keep = 4  # exactly-once retention trims under the program too
+    table.key_bloom_rows = 64  # serving profile: fuzz delta-bloom pruning too
     model: dict = {}
     actions = []
     bid = 0

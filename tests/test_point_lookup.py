@@ -310,6 +310,7 @@ def test_key_bloom_prunes_unsorted_deltas(spark, tmp_root):
         spark, os.path.join(tmp_root, "plb"), key="url", n_buckets=1,
         overwrite=True,
     )
+    table.key_bloom_rows = 8192  # the serving profile (opt-in)
     rows = [
         ("I", f"u{i:03d}", ts(1), i, f"<p{i}>".encode(), "en")
         for i in range(80)
