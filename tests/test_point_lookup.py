@@ -387,3 +387,66 @@ def test_key_bloom_opt_out_and_row_cap(spark, tmp_root):
     ]
     assert not new, "files above key_bloom_rows must not build blooms"
     assert bytes(table.read_keys(["u3"]).collect()[0].html) == b"<y>"
+
+
+def test_key_bloom_sound_with_seq_bump_files(spark, tmp_root):
+    """change_filter bump deltas (op='B': key+seq+hash, no payload) compose
+    with bloom pruning: a lookup of the bumped key reads the bump file and
+    resolves to the bumped sequence (the hash-matched payload row is for the
+    SAME key, so per-key pruning can never split them apart); a lookup of an
+    unrelated key prunes the bump file entirely."""
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            table_root=os.path.join(tmp_root, "plbb"), n_buckets=1,
+            change_filter=True, key_bloom_rows=1024,
+        ),
+    )
+    schema = (
+        "offset long, op string, url string, warc_ts timestamp, "
+        "html binary, lang string"
+    )
+    u1, u2 = "https://a.example.com/1", "https://b.example.com/2"
+    html = b"<html>stable</html>"
+    pipe.process_batch(
+        spark.createDataFrame(
+            [(3, "U", u1, ts(1), html, "en"), (4, "U", u2, ts(1), b"<o>", "en")],
+            schema,
+        ),
+        0,
+    )
+    # identical re-scrape of u1 only -> reduced to a seq-bump delta file
+    pipe.process_batch(
+        spark.createDataFrame([(9, "U", u1, ts(2), html, "en")], schema), 1
+    )
+    t = pipe.table
+    snap = t._snapshot()
+    bump_fes = [
+        fe
+        for fes in t._resolve_files(snap).values()
+        for fe in fes
+        if fe.get("bumps")
+    ]
+    assert bump_fes and all("kbf" in fe for fe in bump_fes), (
+        "bump delta files must carry blooms too"
+    )
+    bump_paths = {
+        os.path.normpath(os.path.join(t.root, fe["path"])) for fe in bump_fes
+    }
+    # bumped key: bump file read, resolution lands on the bumped sequence
+    df1 = t.read_keys([u1])
+    touched1 = {
+        os.path.normpath(p.removeprefix("file:")) for p in df1.inputFiles()
+    }
+    assert touched1 & bump_paths
+    r = df1.collect()[0]
+    assert r.offset == 9 and bytes(r.html) == html
+    # unrelated key: the bump file is bloom-pruned from the scan
+    df2 = t.read_keys([u2])
+    touched2 = {
+        os.path.normpath(p.removeprefix("file:")) for p in df2.inputFiles()
+    }
+    assert not touched2 & bump_paths, "bloom should prune the bump delta"
+    assert bytes(df2.collect()[0].html) == b"<o>"
