@@ -935,6 +935,57 @@ def cdc_point_lookup_sorted(spark, sf):
     )
 
 
+def cdc_point_lookup_serving(spark, sf):
+    """Serving under CONTINUOUS ingest: the key-sorted layout alone cannot
+    keep lookups at ~one file per key once fresh batches land — a new
+    un-sorted delta's key range spans the key space, so its zone map never
+    excludes anything. The serving profile (`PipelineConfig(
+    key_bloom_rows=N)`) stamps a per-file key Bloom filter on every small
+    delta at merge time; `read_keys` consults it driver-side. This entry
+    replays the first ~2/3 of the log, key-clusters the base
+    (`compact(sort_by_key=True)`), merges the remaining tail as fresh
+    bloom-stamped deltas, and serves the same 25-url lookup; the DuckDB
+    oracle recomputes the lookups from ALL events, so equality proves the
+    bloom skip has no false negatives (a pruned delta never hid a newer
+    row). At 100 TB this is what keeps p99 lookup cost flat between
+    compactions."""
+    changes = _events_as_changes(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc_plsv_")
+    pipe = CdcPipeline(
+        spark,
+        PipelineConfig(
+            table_root=os.path.join(root, "t"), n_buckets=16, decode=False,
+            key_bloom_rows=8192,
+        ),
+    )
+    lo, hi = changes.agg(F.min("offset"), F.max("offset")).collect()[0]
+    cut = lo + (hi - lo + 1) * 2 // 3
+    pipe.run_batches(changes.where(F.col("offset") < cut), n_batches=2)
+    t = pipe.table
+    t.compact(batch_id="keysort", sort_by_key=True, target_file_rows=4)
+    pipe.process_batch(changes.where(F.col("offset") >= cut), batch_id=2)
+    snap = t._snapshot()
+    deltas = [
+        fe
+        for fes in t._resolve_files(snap).values()
+        for fe in fes
+        if fe.get("kind") == "delta"
+    ]
+    if not deltas or not all("kbf" in fe for fe in deltas):
+        raise AssertionError(
+            "expected bloom-stamped fresh delta files after the sorted "
+            f"compaction, got {len(deltas)} deltas"
+        )
+    keys = [f"https://example.com/u/{i}" for i in range(1, 26)]
+    return t.read_keys(keys).select(
+        "url",
+        "warc_ts",
+        F.col("offset").alias("log_offset"),
+        "value",
+        "props",
+    )
+
+
 def cdc_rebucket(spark, sf):
     """Bucket-layout evolution (`LakeTable.rebucket`): replay 5 batches at
     16 buckets, rewrite the table to 32, merge one more batch on the new
@@ -2686,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compact_sorted": cdc_compact_sorted,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_point_lookup_sorted": cdc_point_lookup_sorted,
+        "cdc_point_lookup_serving": cdc_point_lookup_serving,
         "cdc_ledger_retention": cdc_ledger_retention,
         "cdc_time_travel": cdc_time_travel,
         "cdc_concurrent_writers": cdc_concurrent_writers,
@@ -3520,6 +3572,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rebucket": _CDC_ORACLE,
         "cdc_point_lookup": _POINT_LOOKUP_ORACLE,
         "cdc_point_lookup_sorted": _POINT_LOOKUP_ORACLE,
+        "cdc_point_lookup_serving": _POINT_LOOKUP_ORACLE,
         "cdc_compact_sorted": _CDC_ORACLE
         + " AND warc_ts >= TIMESTAMP '2024-01-30 12:00:00'",
         # retention + re-deliveries are state-invisible: same LWW oracle
