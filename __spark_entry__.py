@@ -819,14 +819,7 @@ def cdc_point_lookup(spark, sf):
     keys = [f"https://example.com/u/{i}" for i in range(1, 26)]
     t = pipe.table
     out = t.read_keys(keys)
-    from data_pipelines_spark.functions.hashing import bucket_id
-
-    want = {
-        r[0]
-        for r in spark.createDataFrame([(k,) for k in keys], "url string")
-        .select(bucket_id(F.col("url"), t.n_buckets).alias("b"))
-        .collect()
-    }
+    want = _lookup_buckets(spark, keys, t.n_buckets)
     touched = {
         int(p.split("=")[1])
         for f in out.inputFiles()
@@ -842,6 +835,19 @@ def cdc_point_lookup(spark, sf):
         "value",
         "props",
     )
+
+
+def _lookup_buckets(spark, keys, n_buckets) -> set[int]:
+    """Buckets the engine's own derivation assigns to ``keys`` — shared by
+    the point-lookup entries' pruning assertions."""
+    from data_pipelines_spark.functions.hashing import bucket_id
+
+    return {
+        r[0]
+        for r in spark.createDataFrame([(k,) for k in keys], "url string")
+        .select(bucket_id(F.col("url"), n_buckets).alias("b"))
+        .collect()
+    }
 
 
 _POINT_LOOKUP_ORACLE = """
@@ -891,14 +897,7 @@ def cdc_point_lookup_sorted(spark, sf):
     t.compact(batch_id="keysort", sort_by_key=True, target_file_rows=4)
     keys = [f"https://example.com/u/{i}" for i in range(1, 26)]
     out = t.read_keys(keys)
-    from data_pipelines_spark.functions.hashing import bucket_id
-
-    want = {
-        r[0]
-        for r in spark.createDataFrame([(k,) for k in keys], "url string")
-        .select(bucket_id(F.col("url"), t.n_buckets).alias("b"))
-        .collect()
-    }
+    want = _lookup_buckets(spark, keys, t.n_buckets)
     touched_files = out.inputFiles()
     touched_buckets = {
         int(p.split("=")[1])
@@ -971,10 +970,25 @@ def cdc_point_lookup_serving(spark, sf):
         for fe in fes
         if fe.get("kind") == "delta"
     ]
-    if not deltas or not all("kbf" in fe for fe in deltas):
+    if not deltas:
+        raise AssertionError("expected fresh delta files after the compaction")
+    # only small files build blooms (rows ≤ key_bloom_rows) — at a large SF
+    # the per-bucket tail delta exceeds the cap, which is NOT a failure
+    # (zone maps + compaction carry those); assert the pin on the files the
+    # contract covers, from their own footers (bounded driver work)
+    import pyarrow.parquet as pq
+
+    small = [
+        fe
+        for fe in deltas
+        if pq.ParquetFile(
+            os.path.join(t.root, fe["path"])
+        ).metadata.num_rows <= 8192
+    ]
+    if small and not all("kbf" in fe for fe in small):
         raise AssertionError(
-            "expected bloom-stamped fresh delta files after the sorted "
-            f"compaction, got {len(deltas)} deltas"
+            f"small delta files missing blooms: {len(small)} small of "
+            f"{len(deltas)} deltas"
         )
     keys = [f"https://example.com/u/{i}" for i in range(1, 26)]
     return t.read_keys(keys).select(

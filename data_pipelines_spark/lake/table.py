@@ -186,6 +186,11 @@ def _key_bounds_py(lo, hi):
     return lo_b, None  # un-incrementable prefix: keep only the lower bound
 
 
+#: above this many keys the capped filter degrades below ~10 bits/key and
+#: stops pruning — builds are skipped instead of paying for a useless bloom
+_BLOOM_MAX_ROWS = (1 << 20) // 10
+
+
 def _bloom_params(n: int) -> tuple[int, int]:
     """Bloom sizing: ~10 bits/key with k=7 probes → ~1% false-positive
     rate; m capped at 2^20 bits (128 KiB raw) so a single manifest entry
@@ -1269,7 +1274,8 @@ class LakeTable:
             if (
                 self.key_bloom_rows is not None
                 and key_idx is not None
-                and 0 < md.num_rows <= self.key_bloom_rows
+                and 0 < md.num_rows
+                <= min(self.key_bloom_rows, _BLOOM_MAX_ROWS)
             ):
                 ks = f.read(columns=[self.key]).column(0)
                 py = ks.to_pylist()
