@@ -48,6 +48,16 @@ fail loud otherwise; rebucket / rollback never rebase. A writer that
 crashes between creating its snapshot file and moving CURRENT leaves the
 version slot taken — subsequent commits fail loud with a repair hint
 rather than guessing.
+
+Writable branches (Iceberg refs — the write-audit-publish primitive):
+``create_branch`` forks a movable head into the same snapshot DAG;
+``branch(name)`` returns a handle with the FULL table surface scoped to
+that head; ``fast_forward`` publishes by pointer swap (ancestry-checked,
+ledger rides with the snapshot so exactly-once crosses the publish).
+Branch-enabled tables allocate version slots globally (unique across
+lineages, monotone-not-consecutive per lineage; all chain walks follow
+``parent`` pointers), and a taken slot retries with a fresh number
+instead of the linear table's crashed-writer refusal.
 """
 
 from __future__ import annotations
@@ -321,6 +331,14 @@ class LakeTable:
         self._meta_dir = os.path.join(root, "metadata")
         self._data_dir = os.path.join(root, "data")
         self._manifest_cache: dict[int, dict] = {}
+        #: which head this handle reads and commits against: "CURRENT" (main)
+        #: or "BRANCH-<name>" for a handle returned by :meth:`branch`. Every
+        #: state read (`_snapshot()`), commit base, ledger check, and the
+        #: final pointer CAS flow through this one pointer file, so a branch
+        #: handle gets the FULL table surface (merge/read/compact/changes/
+        #: views) scoped to its branch with no other special-casing.
+        self._pointer = "CURRENT"
+        self._branch_name: str | None = None
 
     # ------------------------------------------------------------------ setup
 
@@ -381,7 +399,7 @@ class LakeTable:
     MANIFEST_SQUASH = 64
 
     def current_version(self) -> int:
-        with open(os.path.join(self._meta_dir, "CURRENT")) as f:
+        with open(os.path.join(self._meta_dir, self._pointer)) as f:
             return int(f.read().strip())
 
     # ------------------------------------------------------------- manifests
@@ -432,14 +450,18 @@ class LakeTable:
         return files
 
     def _resolve_version(self, version: int | str | None) -> int | None:
-        """Tag name → pinned version; ints and None pass through. Every
-        version-taking surface (read/read_keys/changes/change_log/rollback)
-        resolves through here, so refs work anywhere a version does."""
+        """Ref name → version (tags, then branch heads); ints and None pass
+        through. Every version-taking surface (read/read_keys/changes/
+        change_log/rollback) resolves through here, so refs work anywhere a
+        version does."""
         if isinstance(version, str):
             refs = self.tags()
-            if version not in refs:
-                raise KeyError(f"unknown tag {version!r}")
-            return refs[version]
+            if version in refs:
+                return refs[version]
+            heads = self.branches()
+            if version in heads:
+                return heads[version]
+            raise KeyError(f"unknown tag or branch {version!r}")
         return version
 
     def _snapshot(self, version: int | str | None = None) -> dict:
@@ -484,6 +506,8 @@ class LakeTable:
         version is an idempotent no-op. Returns the pinned version."""
         v = self.current_version() if version is None else int(version)
         self._snapshot(v)  # must exist (and not be expired)
+        if name in self.branches():
+            raise ValueError(f"{name!r} is already a branch (refs share a namespace)")
         refs = self.tags()
         if name in refs and refs[name] != v:
             raise ValueError(
@@ -502,6 +526,162 @@ class LakeTable:
         v = refs.pop(name)
         self._write_refs(refs)
         return v
+
+    # ------------------------------------------------------ writable branches
+    #
+    # Iceberg branch analog — the write-audit-publish (WAP) primitive: a
+    # branch is a named MOVABLE head into the same snapshot DAG (tags are the
+    # immutable pins). ``branch(name)`` returns a full LakeTable handle whose
+    # pointer file is the branch head, so EVERY table operation — merge,
+    # compact, delete_where, schema evolution, change_log, AggView
+    # maintenance, the exactly-once ledger — runs against the branch with
+    # identical semantics, while ``CURRENT`` (and its readers) never see the
+    # staged commits. ``fast_forward`` is the publish step: if this handle's
+    # head is an ancestor of the branch head, the pointer advances to it —
+    # no data or metadata is rewritten, and the branch commits' ledger
+    # entries arrive with the snapshot, so a re-delivered batch stays
+    # exactly-once across the publish boundary.
+    #
+    # Version slots: a linear table allocates slot base+1 (the classic CAS).
+    # Once ANY branch has ever existed (the ``BRANCHES`` sentinel, never
+    # removed), slots are allocated globally — the next integer above every
+    # slot on disk — so lineages never contend for a number except in a true
+    # write race, which the slot CAS + re-scan retry resolves. Version
+    # numbers on one lineage are then monotone but NOT consecutive; every
+    # chain walk in the engine (change_log, history, is_ancestor) follows
+    # ``parent`` pointers, never arithmetic.
+
+    _BRANCH_PREFIX = "BRANCH-"
+
+    def _branches_enabled(self) -> bool:
+        return os.path.exists(os.path.join(self._meta_dir, "BRANCHES"))
+
+    def _branch_file(self, name: str) -> str:
+        return os.path.join(self._meta_dir, self._BRANCH_PREFIX + name)
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name or ""):
+            raise ValueError(
+                f"invalid ref name {name!r} (allowed: letters, digits, . _ -)"
+            )
+
+    def branches(self) -> dict[str, int]:
+        """Writable branch refs: name → head snapshot version."""
+        out: dict[str, int] = {}
+        if not os.path.isdir(self._meta_dir):
+            return out
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith(self._BRANCH_PREFIX) and not fn.endswith(".tmp") \
+                    and ".tmp-" not in fn:
+                with open(os.path.join(self._meta_dir, fn)) as f:
+                    out[fn[len(self._BRANCH_PREFIX):]] = int(f.read().strip())
+        return out
+
+    def create_branch(self, name: str, version: int | str | None = None) -> int:
+        """Fork a writable branch at ``version`` (default: this handle's
+        head). Exclusive-create: re-creating an existing branch at the SAME
+        head is an idempotent no-op (pipeline restart); at a different
+        version it refuses. Returns the branch's head version."""
+        self._check_ref_name(name)
+        if name in self.tags():
+            raise ValueError(f"{name!r} is already a tag (refs share a namespace)")
+        v = (
+            self.current_version()
+            if version is None
+            else self._resolve_version(version)
+        )
+        self._snapshot(v)  # must exist (and not be expired)
+        # sentinel BEFORE the branch becomes visible: from here on every
+        # writer (this process or a concurrent one) allocates global slots
+        sent = os.path.join(self._meta_dir, "BRANCHES")
+        if not os.path.exists(sent):
+            with open(sent, "w") as f:
+                f.write("global version-slot allocation is on\n")
+        path = self._branch_file(name)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            with open(path) as f:
+                head = int(f.read().strip())
+            if head != v:
+                raise ValueError(
+                    f"branch {name!r} already exists at v{head} "
+                    f"(drop_branch first)"
+                ) from None
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def drop_branch(self, name: str) -> int:
+        """Remove a branch ref; its snapshots lose their pin (metadata and
+        files become expirable by :meth:`expire_snapshots` where no other
+        ref retains them). Returns the head version it pointed at."""
+        path = self._branch_file(name)
+        try:
+            with open(path) as f:
+                head = int(f.read().strip())
+        except FileNotFoundError:
+            raise KeyError(f"unknown branch {name!r}") from None
+        os.unlink(path)
+        return head
+
+    def branch(self, name: str) -> "LakeTable":
+        """A full table handle scoped to ``name``: reads resolve at the
+        branch head, commits CAS the branch pointer. Shares the manifest
+        cache with this handle (safe: slots are globally unique)."""
+        import copy as _copy
+
+        if name not in self.branches():
+            raise KeyError(f"unknown branch {name!r}")
+        h = _copy.copy(self)
+        h._pointer = self._BRANCH_PREFIX + name
+        h._branch_name = name
+        return h
+
+    def is_ancestor(self, ancestor: int, descendant: int) -> bool:
+        """True iff ``ancestor`` is on ``descendant``'s parent chain (or
+        equal). Walks ``parent`` pointers — correct across branch lineages
+        where version numbers interleave."""
+        v: int | None = descendant
+        while v is not None and v >= ancestor:
+            if v == ancestor:
+                return True
+            v = self._snapshot(v).get("parent")
+        return False
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: advance THIS handle's head to the branch head.
+
+        Refuses unless the current head is an ancestor of the branch head
+        (a true fast-forward — the staged commits already build on
+        everything published here). Pointer-swap only: no data or metadata
+        moves, and the branch's ledger entries ride in with its snapshot,
+        so exactly-once holds across the publish (a batch re-delivered to
+        the published head is detected as a duplicate). On divergence,
+        re-stage the work on a fresh branch from the current head."""
+        heads = self.branches()
+        if name not in heads:
+            raise KeyError(f"unknown branch {name!r}")
+        head = heads[name]
+        cur = self.current_version()
+        if head == cur:
+            return cur
+        if not self.is_ancestor(cur, head):
+            raise ConcurrentCommitError(
+                f"cannot fast-forward: v{cur} is not an ancestor of branch "
+                f"{name!r} head v{head} — the lineages diverged (fork a new "
+                "branch from the current head and re-stage)"
+            )
+        self._swap_pointer(expected=cur, new_version=head)
+        return head
 
     def _write_snapshot(self, snap: dict) -> None:
         """Exclusive-create of the version file — the commit CAS.
@@ -532,7 +712,7 @@ class LakeTable:
         ``expected`` guards the single-writer assumption — if another writer
         advanced the pointer since this merge read its base snapshot, refuse.
         """
-        cur_path = os.path.join(self._meta_dir, "CURRENT")
+        cur_path = os.path.join(self._meta_dir, self._pointer)
         if expected is not None:
             actual = self.current_version()
             if actual != expected:
@@ -545,6 +725,25 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, cur_path)
+
+    def _alloc_slot(self, base_version: int) -> int:
+        """Version slot for the next commit. Linear tables (no branch ever
+        created) use base+1 — the classic CAS slot, preserving the
+        crashed-writer fail-loud contract. Branch-enabled tables allocate
+        globally: the next integer above every slot on disk, so main and
+        branch commits never contend for a number except in a true write
+        race (resolved by the slot CAS + re-scan retry in ``_rebase``).
+        O(metadata-dir listing) driver-side, bounded by snapshot retention."""
+        if not self._branches_enabled():
+            return base_version + 1
+        mx = base_version
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    mx = max(mx, int(fn[1:-5]))
+                except ValueError:
+                    pass
+        return mx + 1
 
     # ---------------------------------------------------------------- schema
 
@@ -969,9 +1168,25 @@ class LakeTable:
             for fl in self._resolve_files(prev_snap).values()
             for fe in fl
         }
+        # walk the to→from parent chain: versions are monotone but NOT
+        # consecutive on a lineage once branches allocate global slots, and
+        # slot numbers in between may belong to other lineages entirely —
+        # the chain is defined by parent pointers, never arithmetic
+        chain: list[tuple[int, dict]] = []
+        v: int | None = to_v
+        while v != from_version:
+            snap_w = self._snapshot(v)
+            chain.append((v, snap_w))
+            v = snap_w.get("parent")
+            if v is None or v < from_version:
+                raise ValueError(
+                    f"v{from_version} is not an ancestor of v{to_v} — the "
+                    "range spans divergent lineages (use changes() between "
+                    "explicit snapshots instead)"
+                )
+        chain.reverse()
         added: list[tuple[int, dict]] = []
-        for v in range(from_version + 1, to_v + 1):
-            snap_v = self._snapshot(v)
+        for v, snap_v in chain:
             op = snap_v.get("operation")
             cur_list = [fe for fl in self._resolve_files(snap_v).values() for fe in fl]
             cur_paths = {os.path.normpath(fe["path"]) for fe in cur_list}
@@ -1980,7 +2195,9 @@ class LakeTable:
                 # the failed attempt may have cached its (never-committed)
                 # resolved file map under the attempted version — drop it or
                 # reads of the WINNER's snapshot through this handle lie
-                self._manifest_cache.pop(base_version + 1, None)
+                self._manifest_cache.pop(
+                    getattr(self, "_attempt_version", base_version + 1), None
+                )
                 if attempt >= retries:
                     raise
                 rebased = self._rebase(
@@ -2026,6 +2243,12 @@ class LakeTable:
           written schema's id under the NEW snapshot's registry.
         """
         new_base = self.current_version()
+        if new_base == base_version and self._branches_enabled():
+            # global slot allocation: the taken slot belongs to ANOTHER
+            # lineage (or a racing writer we can re-scan past) — this
+            # head hasn't moved, so the commit itself is still valid;
+            # retry as-is and _alloc_slot will pick the next free number
+            return snap, base_version, file_updates, table_schema
         if new_base == base_version:
             # the slot's owner is between its snapshot-file create and its
             # CURRENT swap (a microsecond window) — wait it out before
@@ -2089,7 +2312,8 @@ class LakeTable:
         operation: str = "merge",
     ) -> MergeStats:
         new_snap = json.loads(json.dumps(snap))  # deep copy
-        new_snap["version"] = base_version + 1
+        new_snap["version"] = self._alloc_slot(base_version)
+        self._attempt_version = new_snap["version"]
         new_snap["parent"] = base_version
         # commit kind (Iceberg snapshot `operation` analog): lets readers
         # distinguish logical changes (merge / merge-cow) from physical
@@ -2229,9 +2453,12 @@ class LakeTable:
         cutoff = None if orphan_grace_s is None else time.time() - orphan_grace_s
         current = self.current_version()
         keep_from = max(0, current - keep_last + 1)
-        # tagged versions are pinned: their metadata, manifests, and data
-        # files survive GC until drop_tag (Iceberg ref-retention semantics)
-        tagged = set(self.tags().values())
+        # ref-pinned versions survive GC (Iceberg ref-retention semantics):
+        # tags pin until drop_tag; branch HEADS pin until drop_branch —
+        # the head snapshot is self-contained (cumulative manifests), so
+        # pinning it alone keeps the branch readable and committable, while
+        # branch ancestry follows the same age policy as main's history
+        tagged = set(self.tags().values()) | set(self.branches().values())
         referenced: set[str] = set()
         live_manifests: set[str] = set()
         retained = 0

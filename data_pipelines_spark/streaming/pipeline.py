@@ -60,6 +60,12 @@ class PipelineConfig:
     #: ≤ this many rows so read_keys prunes un-compacted deltas (opt-in,
     #: costs ~5% of merge wall) — see LakeTable.key_bloom_rows
     key_bloom_rows: int | None = None
+    #: write-audit-publish: commit every batch to this branch instead of
+    #: main (created at the current head on first use; re-attaching after a
+    #: restart reuses the existing branch and its exactly-once ledger).
+    #: Readers of the table's CURRENT see nothing until
+    #: ``table.fast_forward(branch)`` publishes — see LakeTable.branch
+    branch: str | None = None
 
 
 class CdcPipeline:
@@ -80,6 +86,10 @@ class CdcPipeline:
             seq_cols=cfg.seq_cols,
             n_buckets=cfg.n_buckets,
         )
+        if cfg.branch is not None:
+            if cfg.branch not in self.table.branches():
+                self.table.create_branch(cfg.branch)
+            self.table = self.table.branch(cfg.branch)
         self.table.compact_sort_by_seq = cfg.compact_sort_by_seq
         self.table.compact_target_file_rows = cfg.compact_target_file_rows
         self.table.ledger_keep = cfg.ledger_keep

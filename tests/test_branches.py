@@ -1,0 +1,269 @@
+"""Writable branches (Iceberg ref analog) — the write-audit-publish primitive.
+
+A branch is a movable head into the same snapshot DAG; ``table.branch(name)``
+returns a handle with the full table surface scoped to it, and
+``fast_forward`` publishes by ancestry-checked pointer swap. These tests pin
+the ref lifecycle, lineage isolation, global slot allocation, exactly-once
+across the publish boundary, parent-walk change_log, GC pinning, and the
+pipeline-level ``PipelineConfig(branch=...)`` WAP flow.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_spark.lake.table import ConcurrentCommitError, LakeTable
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(u, o, op, t) for (u, o, op, t) in rows],
+        "url string, offset long, op string, text string",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+
+def _mk(spark, tmp_root, **kw):
+    t = LakeTable.create(spark, os.path.join(tmp_root, "t"), n_buckets=4, **kw)
+    t.merge(_batch(spark, [("u1", 1, "I", "a"), ("u2", 2, "I", "b")]), "b0")
+    return t
+
+
+def test_branch_lifecycle_and_isolation(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    assert t.branches() == {"audit": 1}
+    b = t.branch("audit")
+    b.merge(_batch(spark, [("u3", 3, "I", "c")]), "b1")
+    # staged commit is invisible on main, visible on the branch (by handle
+    # and by ref name from the main handle)
+    assert t.current_version() == 1
+    assert t.read().count() == 2
+    assert b.read().count() == 3
+    assert t.read(version="audit").count() == 3
+    # branch handle's history parent-walks its own lineage
+    assert [h["version"] for h in b.history()][:2] == [0, 1]
+    bhead = b.current_version()
+    assert t.drop_branch("audit") == bhead
+    assert t.branches() == {}
+    with pytest.raises(KeyError):
+        t.branch("audit")
+    with pytest.raises(KeyError):
+        t.drop_branch("audit")
+
+
+def test_create_branch_idempotent_and_collisions(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    assert t.create_branch("audit") == 1  # same head: restart no-op
+    t.branch("audit").merge(_batch(spark, [("u3", 3, "I", "c")]), "b1")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("audit")  # head moved: refuse
+    t.create_tag("rel")
+    with pytest.raises(ValueError, match="already a tag"):
+        t.create_branch("rel")
+    with pytest.raises(ValueError, match="already a branch"):
+        t.create_tag("audit")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.create_branch("bad/name")
+
+
+def test_global_slots_interleave_without_collision(spark, tmp_root):
+    """Main and branch commits alternating: every snapshot gets a unique
+    slot, each lineage stays monotone, and neither head observes the other's
+    commits."""
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    b = t.branch("audit")
+    for i in range(3):
+        b.merge(_batch(spark, [(f"bu{i}", 10 + i, "I", "x")]), f"bb{i}")
+        t.merge(_batch(spark, [(f"mu{i}", 20 + i, "I", "y")]), f"mb{i}")
+    main_chain = [h["version"] for h in t.history()]
+    branch_chain = [h["version"] for h in b.history()]
+    assert len(set(main_chain) & set(branch_chain)) == 2  # shared prefix v0,v1
+    assert sorted(set(main_chain) | set(branch_chain)) == sorted(
+        set(main_chain) | set(branch_chain)
+    )
+    assert main_chain == sorted(main_chain)
+    assert branch_chain == sorted(branch_chain)
+    assert t.read().count() == 2 + 3
+    assert b.read().count() == 2 + 3
+    # per-lineage change_log parent-walks past the other lineage's slots
+    main_ops = t.change_log(1).select("url").collect()
+    assert sorted(r.url for r in main_ops) == ["mu0", "mu1", "mu2"]
+    branch_ops = b.change_log(1).select("url").collect()
+    assert sorted(r.url for r in branch_ops) == ["bu0", "bu1", "bu2"]
+
+
+def test_fast_forward_publish_and_exactly_once(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.merge(_batch(spark, [("u3", 3, "I", "c"), ("u2", 4, "U", "b2")]), "b1")
+    head = t.fast_forward("audit")
+    assert t.current_version() == head == b.current_version()
+    got = {r.url: r.text for r in t.read().collect()}
+    assert got == {"u1": "a", "u2": "b2", "u3": "c"}
+    # the branch ledger crossed the publish: re-delivery to main is skipped
+    st = t.merge(_batch(spark, [("u3", 3, "I", "c")]), "b1")
+    assert st.skipped_duplicate_batch
+    # publishing an unmoved branch is a no-op; main change_log spans the
+    # published range through the branch's own commits
+    assert t.fast_forward("audit") == head
+    assert t.change_log(1).count() == 2
+
+
+def test_fast_forward_refuses_divergence(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.create_branch("stale")
+    s = t.branch("stale")
+    s.merge(_batch(spark, [("u3", 3, "I", "c")]), "b1")
+    t.merge(_batch(spark, [("u4", 4, "I", "d")]), "b2")
+    with pytest.raises(ConcurrentCommitError, match="not an ancestor"):
+        t.fast_forward("stale")
+    # main unaffected; the branch stays readable for re-staging
+    assert t.read().count() == 3
+    assert s.read().count() == 3
+
+
+def test_branch_full_surface_compact_delete_schema(spark, tmp_root):
+    """The branch handle is a complete LakeTable: compaction, predicate
+    DML, and schema evolution all commit to the branch only."""
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    b = t.branch("audit")
+    evolved = _batch(
+        spark, [("u3", 3, "I", "c"), ("u1", 4, "U", "a2")]
+    ).withColumn("lang", F.lit("en"))
+    b.merge(evolved, "b1")
+    b.delete_where(
+        F.col("url") == "u2",
+        "b2",
+        {"warc_ts": F.to_timestamp(F.lit("2024-01-02 00:00:00")), "offset": 99},
+    )
+    b.compact()
+    got = {r.url: (r.text, r.lang) for r in b.read().collect()}
+    assert got == {"u1": ("a2", "en"), "u3": ("c", "en")}
+    # main: old schema, old rows
+    assert "lang" not in [f.name for f in t.read().schema.fields]
+    assert t.read().count() == 2
+    t.fast_forward("audit")
+    assert {r.url for r in t.read().collect()} == {"u1", "u3"}
+    assert "lang" in [f.name for f in t.read().schema.fields]
+
+
+def test_changes_between_fork_and_branch_head(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.merge(_batch(spark, [("u2", 9, "D", None), ("u3", 3, "I", "c")]), "b1")
+    ch = {r.url: r._change_type for r in t.changes(1, "audit").collect()}
+    assert ch == {"u2": "D", "u3": "I"}
+
+
+def test_expire_pins_branch_head_until_drop(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.merge(_batch(spark, [("u3", 3, "I", "c")]), "b1")
+    bhead = b.current_version()
+    for i in range(12):
+        t.merge(_batch(spark, [(f"m{i}", 100 + i, "I", "z")]), f"mb{i}")
+    t.expire_snapshots(keep_last=3)
+    # branch head metadata + data survived: still readable and committable
+    assert b.read().count() == 3
+    b.merge(_batch(spark, [("u4", 4, "I", "d")]), "b2")
+    assert b.read().count() == 4
+    # after drop, the branch lineage's exclusive snapshots expire
+    t.drop_branch("audit")
+    t.expire_snapshots(keep_last=3)
+    assert not os.path.exists(
+        os.path.join(t._meta_dir, f"v{bhead}.json")
+    )
+
+
+def test_crashed_writer_semantics_unchanged_without_branches(spark, tmp_root):
+    """The linear-table crashed-writer refusal (pinned in test_concurrency)
+    must be untouched by branch support: no sentinel → slot is base+1 and a
+    taken slot with an unmoved pointer fails loud."""
+    t = _mk(spark, tmp_root)
+    t.commit_grace_s = 0.1
+    v = t.current_version()
+    orphan = os.path.join(t._meta_dir, f"v{v + 1}.json")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    with pytest.raises(ConcurrentCommitError, match="crashed"):
+        t.merge(_batch(spark, [("u9", 9, "I", "x")]), "bx")
+    os.unlink(orphan)
+
+
+def test_branch_enabled_table_skips_foreign_slot(spark, tmp_root):
+    """Once branches exist, a taken slot that is NOT a head advance retries
+    with a re-scanned number instead of refusing (the slot belongs to
+    another lineage — exactly what interleaved commits produce)."""
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    v = t.current_version()
+    # simulate another lineage owning the next global slot
+    with open(os.path.join(t._meta_dir, f"v{v + 1}.json"), "w") as f:
+        f.write('{"version": %d, "parent": 0}' % (v + 1))
+    st = t.merge(_batch(spark, [("u9", 9, "I", "x")]), "bx")
+    assert st.committed_version == v + 2
+    assert t.read().count() == 3
+
+
+def test_branch_slot_race_retries_with_rescan(spark, tmp_root, monkeypatch):
+    """A true slot race on a branch-enabled table (two writers computing the
+    same global slot): the CAS loser re-scans and lands on the next free
+    number — metadata-only retry, no refusal, no grace wait."""
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    v = t.current_version()
+    with open(os.path.join(t._meta_dir, f"v{v + 1}.json"), "w") as f:
+        f.write('{"version": %d, "parent": 0}' % (v + 1))
+    real = LakeTable._alloc_slot
+    calls = {"n": 0}
+
+    def collide_once(self, base):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return v + 1  # pretend we scanned before the other writer won
+        return real(self, base)
+
+    monkeypatch.setattr(LakeTable, "_alloc_slot", collide_once)
+    st = t.merge(_batch(spark, [("u9", 9, "I", "x")]), "bx")
+    assert st.committed_version == v + 2
+    assert calls["n"] == 2
+    assert t.read().count() == 3
+
+
+def test_pipeline_branch_wap_flow(spark, tmp_root):
+    """PipelineConfig(branch=...): batches stage on the branch; a validation
+    gate reads the staged state; fast_forward publishes; a re-attached
+    pipeline (restart) reuses the branch and its ledger."""
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    root = os.path.join(tmp_root, "wap")
+    cfg = PipelineConfig(root, n_buckets=4, decode=False, branch="staging")
+    pipe = CdcPipeline(spark, cfg)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "url string, offset long, op string, html binary"
+        ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+    pipe.process_batch(ev([("u1", 1, "I", b"x"), ("u2", 2, "I", b"y")]), 0)
+    main = LakeTable.load(spark, root)
+    assert main.schema() is None  # nothing published: main is still empty
+    assert pipe.table.read().count() == 2
+    # restart: same config reattaches to the existing branch + ledger
+    pipe2 = CdcPipeline(spark, cfg)
+    st = pipe2.process_batch(ev([("u1", 1, "I", b"x"), ("u2", 2, "I", b"y")]), 0)
+    assert st.skipped_duplicate_batch
+    pipe2.process_batch(ev([("u3", 3, "I", b"z")]), 1)
+    # audit gate passes → publish
+    assert pipe2.table.read().count() == 3
+    main = LakeTable.load(spark, root)
+    head = main.fast_forward("staging")
+    assert main.current_version() == head
+    assert main.read().count() == 3
