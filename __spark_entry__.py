@@ -540,6 +540,99 @@ def cdc_update_where(spark, sf):
     return t.read().select("url", "lang", "doc_id")
 
 
+def cdc_wap_publish(spark, sf):
+    """Write-audit-publish on writable branches (`LakeTable.create_branch` /
+    `branch` / `fast_forward` — the Iceberg-ref WAP flow; the reference
+    deploys through exactly this preview-validate-promote gate,
+    `deploy/preview.py:172-224`): main is seeded with the doc_id%3==0 docs;
+    a `staging` branch stages two commits (the %3==1 inserts at T1, then a
+    T2 batch that updates %6==0 to lang='pub' and deletes the %3==1 ∧ %5==0
+    keys) while main's readers see none of it; the branch passes a
+    validation suite (unique keys, no null urls, zero 'spam' langs) and is
+    published by ancestry-checked pointer swap. A second `bad` branch stages
+    the %3==2 docs with lang='spam', FAILS the same suite, and is dropped —
+    its rows must never surface. Main then keeps ingesting (the %3==2 docs
+    with their true lang at T4). The oracle states the final published
+    state in one SQL pass; a wrongly-published bad branch would surface as
+    lang='spam' mismatches."""
+    from data_pipelines_spark.lake import LakeTable
+    from data_pipelines_spark.operators.validation import (
+        duplicate_keys,
+        not_null,
+        run_suite,
+        suite_passed,
+    )
+
+    base = _docs_as_inserts(spark, sf)
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="wap_"),
+        key="url",
+        seq_cols=("warc_ts", "offset"),
+        n_buckets=8,
+    )
+    t.merge(base.where(F.col("doc_id") % 3 == 0), batch_id="m0")
+
+    def _at(df, ts, off_shift):
+        return df.select(
+            "op",
+            "url",
+            F.to_timestamp(F.lit(ts)).alias("warc_ts"),
+            (F.col("offset") + off_shift).alias("offset"),
+            "text",
+            "lang",
+            "doc_id",
+        )
+
+    checks = [
+        duplicate_keys(["url"]),
+        not_null("url"),
+        ("no_spam_lang", lambda d: d.where(F.col("lang") == "spam")),
+    ]
+
+    t.create_branch("staging")
+    b = t.branch("staging")
+    b.merge(
+        _at(base.where(F.col("doc_id") % 3 == 1), "2024-01-02 00:00:00", 1_000_000),
+        batch_id="s1",
+    )
+    upd = _at(
+        base.where(F.col("doc_id") % 6 == 0), "2024-01-03 00:00:00", 2_000_000
+    ).withColumn("op", F.lit("U")).withColumn("lang", F.lit("pub"))
+    dels = _at(
+        base.where((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 0)),
+        "2024-01-03 00:00:00",
+        2_000_000,
+    ).select(
+        F.lit("D").alias("op"), "url", "warc_ts", "offset",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        "doc_id",
+    )
+    b.merge(upd.unionByName(dels), batch_id="s2")
+    assert t.current_version() < b.current_version()  # staged, not visible
+    if not suite_passed(run_suite(b.read(), checks)):  # the audit gate
+        raise AssertionError("staging branch failed validation")
+    t.fast_forward("staging")
+
+    t.create_branch("bad")
+    bad = t.branch("bad")
+    bad.merge(
+        _at(base.where(F.col("doc_id") % 3 == 2), "2024-01-04 00:00:00", 3_000_000)
+        .withColumn("lang", F.lit("spam")),
+        batch_id="x1",
+    )
+    if suite_passed(run_suite(bad.read(), checks)):
+        raise AssertionError("bad branch must fail the gate")
+    t.drop_branch("bad")  # rejected: never published
+
+    t.merge(
+        _at(base.where(F.col("doc_id") % 3 == 2), "2024-01-05 00:00:00", 4_000_000),
+        batch_id="m1",
+    )
+    return t.read().select("url", "lang", "doc_id")
+
+
 def a9_throughput_report(spark, sf):
     """A9 run-rate counters: the per-batch lineage/throughput report of a
     3-batch CDC replay (rows in, upserts, deletes, offset span per commit).
@@ -2758,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cascade": cdc_cascade,
         "cdc_overwrite": cdc_overwrite,
         "cdc_maintenance_lifecycle": cdc_maintenance_lifecycle,
+        "cdc_wap_publish": cdc_wap_publish,
         "cdc_delete_where": cdc_delete_where,
         "cdc_update_where": cdc_update_where,
         "cdc_incr_agg_distinct": cdc_incr_agg_distinct,
@@ -3679,6 +3773,18 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM base
             WHERE NOT (lang = 'de' OR doc_id % 7 = 0) OR doc_id % 14 = 0
+        """,
+        "cdc_wap_publish": """
+            WITH base AS (
+              SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS url,
+                     lang, doc_id
+              FROM documents
+            )
+            SELECT url,
+                   CASE WHEN doc_id % 6 = 0 THEN 'pub' ELSE lang END AS lang,
+                   doc_id
+            FROM base
+            WHERE NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)
         """,
         "cdc_update_where": """
             WITH base AS (
