@@ -677,11 +677,91 @@ class LakeTable:
         if not self.is_ancestor(cur, head):
             raise ConcurrentCommitError(
                 f"cannot fast-forward: v{cur} is not an ancestor of branch "
-                f"{name!r} head v{head} — the lineages diverged (fork a new "
+                f"{name!r} head v{head} — the lineages diverged (publish("
+                "mode='rebase') replays the staged batches, or fork a new "
                 "branch from the current head and re-stage)"
             )
         self._swap_pointer(expected=cur, new_version=head)
         return head
+
+    def _common_ancestor(self, a: int, b: int) -> int:
+        seen = set()
+        v: int | None = a
+        while v is not None:
+            seen.add(v)
+            v = self._snapshot(v).get("parent")
+        v = b
+        while v is not None:
+            if v in seen:
+                return v
+            v = self._snapshot(v).get("parent")
+        raise ValueError(f"v{a} and v{b} share no ancestor")  # unreachable: v0
+
+    def publish(self, name: str, mode: str = "ff") -> int:
+        """Publish branch ``name`` into this handle's head.
+
+        ``mode='ff'`` is :meth:`fast_forward` (atomic pointer swap; refuses
+        on divergence). ``mode='rebase'`` also handles divergence — the
+        Iceberg WAP cherry-pick analog: the branch's staged MERGE commits
+        since the fork point are replayed onto the current head as fresh
+        commits, **reusing their original batch ids**, so each replay is
+        exactly-once against this head's ledger (a batch that already
+        landed here — a previous partial publish, or a commit shared via an
+        earlier fast-forward — skips). Sound because LWW delta merges
+        commute: the final state is the per-key sequence maximum over all
+        events regardless of arrival order, and seq-bump batches carry the
+        same guarantee through the bump-resolution read path. Reorg commits
+        (compact/vacuum) carry no logical change and are skipped; explicit
+        schema-update commits re-apply; fold-into-base commits on the
+        branch (CoW merge / overwrite / rollback / backfill) cannot be
+        replayed row-wise and refuse loud. Rebase publish is batch-atomic,
+        not all-or-nothing: a crash mid-way leaves a prefix published —
+        rerun to complete (the ledger skips what landed). Cost: O(changes
+        on the branch), never O(table) — each commit's rows come from its
+        own delta files via :meth:`change_log`. The branch ref itself is
+        left in place (drop it, or keep staging on it and publish again —
+        already-published batches keep skipping)."""
+        if mode == "ff":
+            return self.fast_forward(name)
+        if mode != "rebase":
+            raise ValueError(f"unknown publish mode {mode!r}")
+        heads = self.branches()
+        if name not in heads:
+            raise KeyError(f"unknown branch {name!r}")
+        head = heads[name]
+        cur = self.current_version()
+        if head == cur or self.is_ancestor(cur, head):
+            return self.fast_forward(name)
+        b = self.branch(name)
+        fork = self._common_ancestor(cur, head)
+        chain: list[dict] = []
+        v: int | None = head
+        while v != fork:
+            s = self._snapshot(v)
+            chain.append(s)
+            v = s.get("parent")
+        for s in reversed(chain):
+            op = s.get("operation")
+            sv = s["version"]
+            batches = [bi for bi, ver in s["ledger"].items() if ver == sv]
+            if op in ("compact", "vacuum", "rebucket"):
+                continue  # physical reorganizations: no logical change
+            if op == "schema-update":
+                sch = self.schema_from_snap(s)
+                if sch is not None and batches:
+                    self.update_schema(sch, batch_id=batches[0])
+                continue
+            if op != "merge":
+                raise ConcurrentCommitError(
+                    f"branch commit v{sv} is a {op!r} — its changes were "
+                    "folded into rewritten files and cannot be replayed "
+                    "row-wise; re-stage on a fresh branch"
+                )
+            if not batches:
+                continue
+            rows = b.change_log(s["parent"], sv).drop("_commit_version")
+            self.merge(rows, batch_id=batches[0])
+        return self.current_version()
 
     def _write_snapshot(self, snap: dict) -> None:
         """Exclusive-create of the version file — the commit CAS.

@@ -237,6 +237,68 @@ def test_branch_slot_race_retries_with_rescan(spark, tmp_root, monkeypatch):
     assert t.read().count() == 3
 
 
+def test_publish_rebase_on_divergence(spark, tmp_root):
+    """publish(mode='rebase'): a diverged branch's staged MERGE commits
+    replay onto the current head with their original batch ids — the final
+    state equals merging every batch linearly (LWW commutes), and a repeat
+    publish is a full exactly-once skip."""
+    t = _mk(spark, tmp_root)
+    t.create_branch("staging")
+    b = t.branch("staging")
+    b.merge(_batch(spark, [("u3", 3, "I", "c"), ("u1", 4, "U", "a2")]), "s1")
+    b.merge(_batch(spark, [("u2", 9, "D", None), ("u4", 5, "I", "d")]), "s2")
+    t.merge(_batch(spark, [("u5", 6, "I", "e"), ("u1", 7, "U", "a3")]), "m1")
+    with pytest.raises(ConcurrentCommitError, match="not an ancestor"):
+        t.publish("staging")  # ff mode still refuses divergence
+    v = t.publish("staging", mode="rebase")
+    assert v == t.current_version()
+    got = {r.url: r.text for r in t.read().collect()}
+    # u1: branch seq 4 loses to main seq 7; u2 deleted; u3/u4/u5 inserted
+    assert got == {"u1": "a3", "u3": "c", "u4": "d", "u5": "e"}
+    # replayed batches are on main's ledger under their original ids
+    st = t.merge(_batch(spark, [("u3", 3, "I", "c")]), "s1")
+    assert st.skipped_duplicate_batch
+    # idempotent: publishing again skips everything and changes nothing
+    v2 = t.publish("staging", mode="rebase")
+    assert {r.url: r.text for r in t.read().collect()} == got
+
+
+def test_publish_rebase_skips_reorgs_and_evolves_schema(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.create_branch("staging")
+    b = t.branch("staging")
+    evolved = _batch(spark, [("u3", 3, "I", "c")]).withColumn("lang", F.lit("en"))
+    b.merge(evolved, "s1")
+    b.compact()  # reorg on the branch: no logical change to replay
+    b.merge(_batch(spark, [("u4", 4, "I", "d")]).withColumn("lang", F.lit("fr")), "s2")
+    t.merge(_batch(spark, [("u5", 5, "I", "e")]), "m1")  # diverge
+    t.publish("staging", mode="rebase")
+    got = {r.url: r.lang for r in t.read().collect()}
+    assert got == {"u1": None, "u2": None, "u3": "en", "u4": "fr", "u5": None}
+
+
+def test_publish_rebase_refuses_folded_commits(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.create_branch("staging")
+    b = t.branch("staging")
+    b.overwrite(_batch(spark, [("u9", 9, "I", "z")]), "ow1")
+    t.merge(_batch(spark, [("u5", 5, "I", "e")]), "m1")  # diverge
+    with pytest.raises(ConcurrentCommitError, match="cannot be replayed"):
+        t.publish("staging", mode="rebase")
+    # still fast-forwards fine when NOT diverged: fresh branch, ow stays put
+    assert {r.url for r in b.read().collect()} == {"u9"}
+
+
+def test_publish_ff_mode_is_fast_forward(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    t.create_branch("staging")
+    b = t.branch("staging")
+    b.merge(_batch(spark, [("u3", 3, "I", "c")]), "s1")
+    v = t.publish("staging")
+    assert v == t.current_version() == b.current_version()
+    assert t.read().count() == 3
+
+
 def test_pipeline_branch_wap_flow(spark, tmp_root):
     """PipelineConfig(branch=...): batches stage on the branch; a validation
     gate reads the staged state; fast_forward publishes; a re-attached
