@@ -551,10 +551,13 @@ def cdc_wap_publish(spark, sf):
     validation suite (unique keys, no null urls, zero 'spam' langs) and is
     published by ancestry-checked pointer swap. A second `bad` branch stages
     the %3==2 docs with lang='spam', FAILS the same suite, and is dropped —
-    its rows must never surface. Main then keeps ingesting (the %3==2 docs
-    with their true lang at T4). The oracle states the final published
-    state in one SQL pass; a wrongly-published bad branch would surface as
-    lang='spam' mismatches."""
+    its rows must never surface. Meanwhile main has kept ingesting (the
+    %3==2 docs with their true lang at T4) BEFORE the staging publish, so
+    the lineages diverge and the publish goes through `publish(
+    mode='rebase')` — the staged batches replay onto main with their
+    original batch ids (exactly-once; LWW commutes, so the oracle is the
+    same single SQL pass over all good batches). A wrongly-published bad
+    branch would surface as lang='spam' mismatches."""
     from data_pipelines_spark.lake import LakeTable
     from data_pipelines_spark.operators.validation import (
         duplicate_keys,
@@ -613,7 +616,6 @@ def cdc_wap_publish(spark, sf):
     assert t.current_version() < b.current_version()  # staged, not visible
     if not suite_passed(run_suite(b.read(), checks)):  # the audit gate
         raise AssertionError("staging branch failed validation")
-    t.fast_forward("staging")
 
     t.create_branch("bad")
     bad = t.branch("bad")
@@ -626,10 +628,11 @@ def cdc_wap_publish(spark, sf):
         raise AssertionError("bad branch must fail the gate")
     t.drop_branch("bad")  # rejected: never published
 
-    t.merge(
+    t.merge(  # main keeps ingesting while staging awaits publish → divergence
         _at(base.where(F.col("doc_id") % 3 == 2), "2024-01-05 00:00:00", 4_000_000),
         batch_id="m1",
     )
+    t.publish("staging", mode="rebase")  # ff refuses now; replay converges
     return t.read().select("url", "lang", "doc_id")
 
 
