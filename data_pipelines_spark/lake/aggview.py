@@ -394,7 +394,12 @@ class AggView:
             return False
         if bid in self._absorbed():
             return False
-        pre_v = post_v - 1
+        # the pre-image version is the commit's PARENT snapshot — on a
+        # branch-enabled table version slots are global, so arithmetic
+        # (post_v - 1) could name another lineage's snapshot entirely
+        pre_v = table._snapshot(post_v).get("parent")
+        if pre_v is None:
+            pre_v = post_v - 1  # legacy snapshot without a parent field
 
         key = table.key
         log = None

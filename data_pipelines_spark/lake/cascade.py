@@ -120,16 +120,40 @@ class Cascade:
             raise ValueError(
                 f"downstream is at upstream v{start}, beyond requested v{to_v}"
             )
-        out: list[MergeStats] = []
-        for v in range(start + 1, to_v + 1):
+        # walk the upstream parent chain (NOT version arithmetic: on a
+        # branch-enabled upstream version slots are global, so numbers in
+        # (start, to_v] may belong to other lineages and v-1 is not the
+        # commit's pre-image)
+        chain: list[tuple[int, dict]] = []
+        v = to_v
+        while v != start:
             try:
-                op = self.upstream._snapshot(v).get("operation")
-                if op in ("compact", "vacuum", "schema-update", "rebucket"):
-                    # physical/metadata reorganizations carry no logical
-                    # change — advance the marker with zero downstream jobs
-                    self._write_marker(v)
-                    continue
-                batch = self.upstream.change_log(v - 1, v)
+                s = self.upstream._snapshot(v)
+            except FileNotFoundError as e:
+                raise CascadeLagError(
+                    f"upstream v{v} metadata/files expired before this "
+                    "cascade caught up — rebuild() the downstream table "
+                    "(size upstream expire_snapshots retention beyond the "
+                    "sync cadence)"
+                ) from e
+            chain.append((v, s))
+            p = s.get("parent")
+            if p is None or p < start:
+                raise ValueError(
+                    f"upstream v{start} is not an ancestor of v{to_v} — "
+                    "the sync range spans divergent lineages"
+                )
+            v = p
+        out: list[MergeStats] = []
+        for v, snap_v in reversed(chain):
+            op = snap_v.get("operation")
+            if op in ("compact", "vacuum", "schema-update", "rebucket"):
+                # physical/metadata reorganizations carry no logical
+                # change — advance the marker with zero downstream jobs
+                self._write_marker(v)
+                continue
+            try:
+                batch = self.upstream.change_log(snap_v["parent"], v)
             except FileNotFoundError as e:
                 raise CascadeLagError(
                     f"upstream v{v} metadata/files expired before this "

@@ -299,6 +299,88 @@ def test_publish_ff_mode_is_fast_forward(spark, tmp_root):
     assert t.read().count() == 3
 
 
+def test_aggview_catches_up_across_fast_forward(spark, tmp_root):
+    """A view maintained on main catches up through a published branch's
+    commits: versions jump (global slots), so the view's pre-image version
+    must come from each commit's parent pointer, not post_v - 1."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_pipelines_spark.lake.aggview import AggView
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def rows(data):
+        return spark.createDataFrame(
+            [(op, u, dt.datetime(2025, 1, d), o, lg, n) for op, u, d, o, lg, n in data],
+            schema,
+        )
+
+    t = LakeTable.create(spark, os.path.join(tmp_root, "t"), key="url", n_buckets=4)
+    view = AggView.create(
+        spark,
+        os.path.join(tmp_root, "v"),
+        {"lang": "lang"},
+        {"tokens": "n_tokens"},
+        ["lang", "n_tokens"],
+    )
+    t.merge(rows([("I", "u1", 1, 1, "en", 10), ("I", "u2", 1, 2, "de", 20)]), "b0")
+    view.update_all(t)
+    t.create_branch("staging")
+    b = t.branch("staging")
+    b.merge(rows([("I", "u3", 2, 3, "en", 5)]), "s1")
+    b.merge(rows([("U", "u2", 2, 4, "de", 25), ("D", "u1", 2, 5, None, None)]), "s2")
+    t.fast_forward("staging")
+    assert view.update_all(t) == 2  # the two staged batches
+    got = {r.lang: (r.cnt, r.tokens) for r in view.read().collect()}
+    assert got == {"en": (1, 5), "de": (1, 25)}
+    # and across a REBASE publish (replayed commits, fresh versions)
+    t.create_branch("s2b")
+    b2 = t.branch("s2b")
+    b2.merge(rows([("I", "u4", 3, 6, "fr", 7)]), "r1")
+    t.merge(rows([("I", "u5", 3, 7, "en", 9)]), "m1")  # diverge
+    t.publish("s2b", mode="rebase")
+    view.update_all(t)
+    got = {r.lang: (r.cnt, r.tokens) for r in view.read().collect()}
+    assert got == {"en": (2, 14), "de": (1, 25), "fr": (1, 7)}
+
+
+def test_cascade_syncs_through_published_branch(spark, tmp_root):
+    """Bronze→silver cascade over an upstream that publishes via branches:
+    the sync walk follows parent pointers past foreign slot numbers."""
+    from data_pipelines_spark.lake.cascade import Cascade
+
+    up = _mk(spark, tmp_root)
+    down = LakeTable.create(
+        spark, os.path.join(tmp_root, "down"), key="url", n_buckets=4
+    )
+    c = Cascade(up, down)
+    c.sync()
+    assert down.read().count() == 2
+    up.create_branch("staging")
+    b = up.branch("staging")
+    b.merge(_batch(spark, [("u3", 3, "I", "c")]), "s1")
+    b.compact()  # reorg inside the branch lineage
+    b.merge(_batch(spark, [("u2", 9, "D", None)]), "s2")
+    up.fast_forward("staging")
+    c.sync()
+    assert {r.url for r in down.read().collect()} == {"u1", "u3"}
+    # marker is at the branch head; a further main commit keeps syncing
+    up.merge(_batch(spark, [("u6", 6, "I", "f")]), "m2")
+    c.sync()
+    assert {r.url for r in down.read().collect()} == {"u1", "u3", "u6"}
+
+
 def test_pipeline_branch_wap_flow(spark, tmp_root):
     """PipelineConfig(branch=...): batches stage on the branch; a validation
     gate reads the staged state; fast_forward publishes; a re-attached
