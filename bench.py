@@ -232,6 +232,7 @@ def main() -> None:
         "cdc_neardup_retract",
         "cdc_compact_sorted",
         "cdc_delete_where",
+        "cdc_wap_publish",
         "warc_round_trip",
         "frontier_schedule",
         "quality_ntile",

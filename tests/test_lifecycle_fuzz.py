@@ -1,7 +1,8 @@
 """Seeded lifecycle fuzz: random interleavings of merge / compact /
 sorted-compact / rebucket / vacuum / predicate DML (delete_where,
-update_where at random sequences — the LWW roulette) against a pure-python
-LWW model.
+update_where at random sequences — the LWW roulette) / branch
+write-audit-publish (stage→publish-or-reject, fast-forward or rebase)
+against a pure-python LWW model.
 
 The per-surface tests pin each operation alone; bugs hide in COMPOSITION
 (a rebucket between a delta merge and a sorted compact, a vacuum over a
@@ -107,7 +108,7 @@ def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
         actions.append(f"merge[{len(batch)}]")
 
         # one random maintenance action between merges
-        choice = rng.randrange(8)
+        choice = rng.randrange(9)
         bid += 1
         if choice == 0:
             table.compact(batch_id=f"c{bid}")
@@ -196,6 +197,54 @@ def test_random_lifecycle_program_matches_model(spark, tmp_root, seed):
             model.clear()
             _model_apply(model, rows)
             actions.append(f"overwrite[{len(rows)}]")
+        elif choice == 8:
+            # write-audit-publish roulette: stage 1-2 extra batches on a
+            # branch (sometimes compacting mid-branch), sometimes advance
+            # main first (forcing a REBASE publish over diverged lineages),
+            # then publish or reject. A published branch's events all land
+            # (model applies them); a rejected branch leaves no trace; the
+            # rest of the program (zone maps, lookups, vacuum, rebucket)
+            # then runs over whatever lineage the publish produced.
+            # Timestamps stay inside the current arrival window so the
+            # vacuum watermark contract holds for published events too.
+            bname = f"br{bid}"
+            table.create_branch(bname)
+            bh = table.branch(bname)
+            staged = []
+            for j in range(rng.choice([1, 2])):
+                ev = [
+                    (
+                        rng.choices(["I", "U", "D"], weights=[4, 3, 2])[0],
+                        f"k{rng.randrange(24)}",
+                        BASE + dt.timedelta(minutes=i * step + rng.randrange(-5, 6)),
+                        30_000 + 100 * bid + 10 * j + x,
+                        rng.choice(["en", "de", "fr", None]),
+                    )
+                    for x in range(rng.choice([2, 4]))
+                ]
+                bh.merge(spark.createDataFrame(ev, SCHEMA), batch_id=f"{bname}s{j}")
+                staged.extend(ev)
+                if rng.random() < 0.3:
+                    bh.compact(batch_id=f"{bname}c{j}")
+            if rng.random() < 0.5:  # main keeps moving: publish must rebase
+                ev_m = [
+                    (
+                        "I",
+                        f"k{rng.randrange(24)}",
+                        BASE + dt.timedelta(minutes=i * step + rng.randrange(-5, 6)),
+                        40_000 + 100 * bid,
+                        rng.choice(["en", "de"]),
+                    )
+                ]
+                table.merge(spark.createDataFrame(ev_m, SCHEMA), batch_id=f"bm{bid}")
+                _model_apply(model, ev_m)
+            if rng.random() < 0.7:
+                table.publish(bname, mode="rebase")
+                _model_apply(model, staged)
+                actions.append(f"wap_publish[{len(staged)}]")
+            else:
+                actions.append("wap_reject")
+            table.drop_branch(bname)
 
         assert _table_live(table) == _model_live(model), actions
         # zone-map-exercising freshness read over whatever mixed layout
