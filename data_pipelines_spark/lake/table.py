@@ -2537,8 +2537,14 @@ class LakeTable:
         # tags pin until drop_tag; branch HEADS pin until drop_branch —
         # the head snapshot is self-contained (cumulative manifests), so
         # pinning it alone keeps the branch readable and committable, while
-        # branch ancestry follows the same age policy as main's history
+        # branch ancestry follows the same age policy as main's history.
+        # EVERY live pointer is pinned — including main's CURRENT when this
+        # runs on a branch handle whose head is far ahead of it (the age
+        # window is relative to THIS handle's head; without the pin, GC from
+        # the branch could expire the very snapshot main points at)
         tagged = set(self.tags().values()) | set(self.branches().values())
+        with open(os.path.join(self._meta_dir, "CURRENT")) as f:
+            tagged.add(int(f.read().strip()))
         referenced: set[str] = set()
         live_manifests: set[str] = set()
         retained = 0

@@ -182,6 +182,21 @@ def test_expire_pins_branch_head_until_drop(spark, tmp_root):
     )
 
 
+def test_expire_from_branch_handle_pins_main_head(spark, tmp_root):
+    """GC run through a branch handle whose head is far ahead of main must
+    never expire the snapshot main's CURRENT points at."""
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    b = t.branch("audit")
+    for i in range(12):
+        b.merge(_batch(spark, [(f"b{i}", 100 + i, "I", "z")]), f"bb{i}")
+    b.expire_snapshots(keep_last=3)
+    # main's head (v1, far below the branch's keep window) survives
+    assert t.read().count() == 2
+    t.merge(_batch(spark, [("u9", 9, "I", "x")]), "mx")
+    assert t.read().count() == 3
+
+
 def test_crashed_writer_semantics_unchanged_without_branches(spark, tmp_root):
     """The linear-table crashed-writer refusal (pinned in test_concurrency)
     must be untouched by branch support: no sentinel → slot is base+1 and a
