@@ -314,6 +314,48 @@ def test_publish_ff_mode_is_fast_forward(spark, tmp_root):
     assert t.read().count() == 3
 
 
+def test_streaming_checkpoint_resume_into_branch(spark, tmp_root):
+    """Structured Streaming (checkpointed availableNow foreachBatch) into a
+    branch: drain half the log, resume from the same checkpoint after more
+    segments land (no double-apply on the branch ledger), publish, and the
+    main state equals the full-stream LWW oracle."""
+    from data_pipelines_spark.gen.changegen import (
+        change_stream,
+        expected_final_state,
+        write_change_log,
+    )
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    changes = change_stream(spark, n_events=400, n_keys=60, seed=7)
+    log_dir = os.path.join(tmp_root, "log")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    write_change_log(changes.where(F.col("offset") < 200), log_dir, n_segments=2)
+    schema = spark.read.parquet(log_dir).schema
+    root = os.path.join(tmp_root, "t")
+    pipe = CdcPipeline(
+        spark, PipelineConfig(root, n_buckets=8, decode=False, branch="staging")
+    )
+    pipe.run_stream(log_dir, ckpt, schema).awaitTermination()
+    main = LakeTable.load(spark, root)
+    assert main.schema() is None  # still staged
+    # more segments arrive; a fresh pipeline resumes from the checkpoint
+    write_change_log(changes.where(F.col("offset") >= 200), log_dir, n_segments=2)
+    pipe2 = CdcPipeline(
+        spark, PipelineConfig(root, n_buckets=8, decode=False, branch="staging")
+    )
+    pipe2.run_stream(log_dir, ckpt, schema).awaitTermination()
+    main.fast_forward("staging")
+    want = {
+        (r.url, r.warc_ts, r.offset)
+        for r in expected_final_state(changes).select("url", "warc_ts", "offset").collect()
+    }
+    got = {
+        (r.url, r.warc_ts, r.offset)
+        for r in main.read().select("url", "warc_ts", "offset").collect()
+    }
+    assert got == want
+
+
 def test_aggview_catches_up_across_fast_forward(spark, tmp_root):
     """A view maintained on main catches up through a published branch's
     commits: versions jump (global slots), so the view's pre-image version
