@@ -107,6 +107,27 @@ class _BatchStore:
         b = str(batch_id)
         return os.path.exists(self._marker(b)) or b in self._absorbed()
 
+    def _partition_dir(self, sub: str, batch_id: str) -> str | None:
+        """On-disk directory of one batch's partition under ``sub`` — or
+        None if the batch wrote nothing there. Spark percent-escapes
+        special characters in partition VALUES (``a:b`` → ``a%3Ab``), so a
+        raw ``batch_id={b}`` path silently misses such batches — which
+        turned a retraction with a ``reject:<branch>:<v>`` id into a no-op
+        hide until this resolver; the same miss leaked data dirs at
+        compact/expire cleanup."""
+        from urllib.parse import unquote
+
+        base = os.path.join(self.root, sub)
+        raw = os.path.join(base, f"batch_id={batch_id}")
+        if os.path.isdir(raw):
+            return raw
+        if os.path.isdir(base):
+            want = str(batch_id)
+            for fn in os.listdir(base):
+                if fn.startswith("batch_id=") and unquote(fn[9:]) == want:
+                    return os.path.join(base, fn)
+        return None
+
     # ------------------------------------------------------------- epochs
 
     def _marker_meta(self, batch_id: str) -> dict:
@@ -189,7 +210,7 @@ class _BatchStore:
             # an EMPTY retraction (e.g. an all-insert pipeline batch) wrote
             # no partition files at all — skip it driver-side so it costs
             # no hide-set join, not even an empty one
-            and os.path.isdir(os.path.join(self.root, "retracted", f"batch_id={b}"))
+            and self._partition_dir("retracted", b) is not None
         ]
         if not retr:
             return None
@@ -321,8 +342,8 @@ class _BatchStore:
         removed = 0
         for b in ids:
             for sub in ("kept", "dups"):
-                d = os.path.join(self.root, sub, f"batch_id={b}")
-                if os.path.exists(d):
+                d = self._partition_dir(sub, b)
+                if d is not None:
                     shutil.rmtree(d)
                     removed += 1
         return {"expired": sorted(ids), "partitions_removed": removed}
@@ -396,8 +417,8 @@ class _BatchStore:
             if os.path.exists(self._marker(b)):
                 os.remove(self._marker(b))
             for sub in (*self._bulk_subs, "retracted"):
-                d = os.path.join(self.root, sub, f"batch_id={b}")
-                if os.path.exists(d):
+                d = self._partition_dir(sub, b)
+                if d is not None:
                     shutil.rmtree(d)
 
         live = self.committed_batches()
@@ -463,8 +484,8 @@ class _BatchStore:
         for b in live:
             os.remove(self._marker(b))
             for sub in (*self._bulk_subs, "retracted"):
-                d = os.path.join(self.root, sub, f"batch_id={b}")
-                if os.path.exists(d):
+                d = self._partition_dir(sub, b)
+                if d is not None:
                     shutil.rmtree(d)
         return {"compacted": True, "batch_id": cid, "absorbed": len(absorbs)}
 

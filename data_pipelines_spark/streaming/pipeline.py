@@ -86,6 +86,9 @@ class CdcPipeline:
             seq_cols=cfg.seq_cols,
             n_buckets=cfg.n_buckets,
         )
+        #: the un-branched (main-head) handle — publish/reject target when
+        #: ``cfg.branch`` routes the pipeline's commits through a branch
+        self.main_table = self.table
         if cfg.branch is not None:
             if cfg.branch not in self.table.branches():
                 self.table.create_branch(cfg.branch)
@@ -317,6 +320,104 @@ class CdcPipeline:
         for view in self.views:
             view.update(self.table, batch_id)
         return stats
+
+    def publish_branch(self, mode: str = "ff") -> int:
+        """Publish this pipeline's staging branch into main (see
+        ``LakeTable.publish``): ``'ff'`` pointer-swaps, ``'rebase'`` also
+        handles a main that advanced since the fork (replays the staged
+        batches exactly-once under their original ids). The pipeline keeps
+        committing on the same branch afterwards — a later publish picks up
+        only what's new (already-published batch ids skip)."""
+        if self.cfg.branch is None:
+            raise ValueError("pipeline has no staging branch (cfg.branch)")
+        return self.main_table.publish(self.cfg.branch, mode=mode)
+
+    def reject_branch(self) -> dict:
+        """Reject this pipeline's staging branch: nothing staged reaches
+        main, AND the near-dup index (when configured) stops treating the
+        staged content as seen — without it, a rejected batch's pages would
+        keep suppressing future near-dups they themselves never shipped
+        (the audit gate would silently censor the corpus).
+
+        Index repair is the standard retract-then-reingest: every key the
+        staged commits inserted/rewrote is retracted (epoch-ordered hide +
+        purge at the next index compact), then the keys' CURRENT published
+        winners — content that was legitimately seen before the branch —
+        re-join the seen set at a later epoch. Both steps carry
+        deterministic ``reject:<branch>:<head>`` batch ids, so a crash
+        mid-reject resumes idempotently. Cost: O(staged changes) for the
+        retraction + one broadcast-semi-joined read of main for the
+        re-sign (the reject path is rare; staged key sets are batch-sized).
+
+        Ends by dropping the branch and re-forking it at the current main
+        head, so the pipeline immediately re-stages on a clean lineage.
+        Returns a small stats dict."""
+        if self.cfg.branch is None:
+            raise ValueError("pipeline has no staging branch (cfg.branch)")
+        name = self.cfg.branch
+        heads = self.main_table.branches()
+        if name not in heads:  # crash after a completed reject: re-fork only
+            self.main_table.create_branch(name)
+            self.table = self._branch_handle(name)
+            return {"branch": name, "staged_commits": 0, "retracted": False}
+        head = heads[name]
+        cur = self.main_table.current_version()
+        fork = self.main_table._common_ancestor(cur, head)
+        staged_commits = 0
+        v = head
+        while v != fork:
+            staged_commits += 1
+            v = self.main_table._snapshot(v)["parent"]
+        retracted = False
+        if self.near_dup is not None and head != fork:
+            key = self.cfg.key
+            staged_keys = (
+                self.table.change_log(fork, head)
+                .where(F.col("op").isin("I", "U"))
+                .select(F.col(key).alias("id"))
+                .distinct()
+            )
+            self.near_dup.retract(staged_keys, f"reject:{name}:{head}")
+            if self.main_table.schema() is not None:
+                live = self.main_table.read().join(
+                    F.broadcast(staged_keys.withColumnRenamed("id", key)),
+                    key,
+                    "semi",
+                )
+                sign_col = "text"  # mirror _near_dup_filter's signer input
+                if "text" not in live.columns and "html" in live.columns:
+                    live = live.withColumn(
+                        "_sign_text", html_to_text(F.col("html"))
+                    )
+                    sign_col = "_sign_text"
+                if sign_col in live.columns:
+                    self.near_dup.process_batch(
+                        live.where(F.col(sign_col).isNotNull()),
+                        f"reject-resign:{name}:{head}",
+                        text_col=sign_col,
+                        id_col=key,
+                    )
+            retracted = True
+        self.main_table.drop_branch(name)
+        self.main_table.create_branch(name)
+        self.table = self._branch_handle(name)
+        return {
+            "branch": name,
+            "head": head,
+            "fork": fork,
+            "staged_commits": staged_commits,
+            "retracted": retracted,
+        }
+
+    def _branch_handle(self, name: str):
+        """Branch handle carrying the pipeline's table tuning."""
+        t = self.main_table.branch(name)
+        t.compact_sort_by_seq = self.cfg.compact_sort_by_seq
+        t.compact_target_file_rows = self.cfg.compact_target_file_rows
+        t.ledger_keep = self.cfg.ledger_keep
+        t.commit_retries = self.cfg.commit_retries
+        t.key_bloom_rows = self.cfg.key_bloom_rows
+        return t
 
     def attach_view(self, view) -> None:
         """Attach an :class:`~data_pipelines_spark.lake.aggview.AggView` to be

@@ -314,6 +314,52 @@ def test_publish_ff_mode_is_fast_forward(spark, tmp_root):
     assert t.read().count() == 3
 
 
+def test_reject_branch_retracts_staged_index_content(spark, tmp_root):
+    """WAP × near-dup-on-ingest: a REJECTED branch's pages must stop
+    suppressing future near-dups (they never shipped), while content
+    published before the branch keeps suppressing — reject_branch retracts
+    the staged keys and re-signs their current published winners."""
+    from data_pipelines_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+
+    t_pub = "the quick brown fox jumps over the lazy dog again and again " * 5
+    t_bad = "completely different staged content about ships and harbors " * 5
+
+    def ev(rows, off0):
+        return spark.createDataFrame(
+            [
+                (u, off0 + i, op, txt.encode() if txt else None)
+                for i, (u, op, txt) in enumerate(rows)
+            ],
+            "url string, offset long, op string, html binary",
+        ).withColumn(
+            "warc_ts", F.to_timestamp(F.lit(f"2024-01-0{1 + off0 // 100} 00:00:00"))
+        )
+
+    root = os.path.join(tmp_root, "t")
+    cfg = PipelineConfig(
+        root, n_buckets=4, decode=False, branch="staging", near_dup_threshold=0.9
+    )
+    pipe = CdcPipeline(spark, cfg)
+    # batch 0: published baseline (u1 carries t_pub)
+    pipe.process_batch(ev([("u1", "I", t_pub), ("u2", "I", "unrelated words " * 9)], 0), 0)
+    pipe.publish_branch()
+    # batch 1: staged only — u3 carries t_bad
+    pipe.process_batch(ev([("u3", "I", t_bad)], 100), 1)
+    st = pipe.reject_branch()
+    assert st["retracted"] and st["staged_commits"] >= 1
+    assert pipe.main_table.read().count() == 2  # nothing staged shipped
+    # batch 2 on the re-forked branch: a near-dup of the REJECTED content
+    # is kept (u4), a near-dup of PUBLISHED content still drops (u5)
+    pipe.process_batch(ev([("u4", "I", t_bad), ("u5", "I", t_pub)], 200), 2)
+    pipe.publish_branch()
+    urls = {r.url for r in pipe.main_table.read().collect()}
+    assert "u4" in urls and "u5" not in urls
+    # crash-after-reject resumability: rejecting the fresh empty branch is
+    # a no-op re-fork
+    st2 = pipe.reject_branch()
+    assert st2["staged_commits"] == 0 and not st2["retracted"]
+
+
 def test_streaming_checkpoint_resume_into_branch(spark, tmp_root):
     """Structured Streaming (checkpointed availableNow foreachBatch) into a
     branch: drain half the log, resume from the same checkpoint after more
