@@ -36,6 +36,13 @@ def main() -> None:
     ap.add_argument("--extract-fields", action="store_true")
     ap.add_argument("--no-decode", action="store_true")
     ap.add_argument("--watermark", default="30 minutes")
+    ap.add_argument("--branch", default=None, metavar="NAME",
+                    help="write-audit-publish: stage every batch on this "
+                         "branch; main is untouched until --publish")
+    ap.add_argument("--publish", choices=["ff", "rebase"], default=None,
+                    help="publish the --branch after the stream drains "
+                         "(ff = fast-forward, rebase = replay if diverged); "
+                         "omit to leave the branch staged for a later audit")
     ap.add_argument("--generate", type=int, default=0, metavar="N",
                     help="first generate an N-event synthetic log (seed 42)")
     args = ap.parse_args()
@@ -78,6 +85,7 @@ def main() -> None:
             decode=not args.no_decode,
             extract_fields=args.extract_fields,
             change_filter=args.change_filter,
+            branch=args.branch,
         ),
     )
     t0 = time.time()
@@ -94,6 +102,9 @@ def main() -> None:
         print(f"stream failed: {q.exception()}", file=sys.stderr)
         sys.exit(1)
     elapsed = time.time() - t0
+    published = None
+    if args.branch and args.publish:
+        published = pipe.publish_branch(mode=args.publish)
     rows = pipe.table.read().count()
     report = [r.asDict() for r in pipe.throughput_report().collect()]
     events = sum(r["rows_in"] for r in report)
@@ -106,6 +117,8 @@ def main() -> None:
                 "rows_merged": events,
                 "rows_per_sec": round(events / elapsed, 1) if elapsed else None,
                 "table_version": pipe.table.current_version(),
+                "branch": args.branch,
+                "published_version": published,
             }
         )
     )
