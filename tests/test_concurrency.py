@@ -280,3 +280,68 @@ def test_threaded_writers_converge_to_lww(spark, tmp_root):
                     model[key] = (seq, f"w{w}b{i}")
     got = {r.url: r.lang for r in t.read().collect()}
     assert got == {k: v for k, (_, v) in model.items()}
+
+
+def test_threaded_main_and_branch_writers_stay_isolated(spark, tmp_root):
+    """Real slot races across lineages: one thread commits to main while
+    another commits to a branch of the same table. Global slot allocation
+    means both regularly compute the same next slot; the CAS loser must
+    re-scan and land on a fresh number (never the linear-table
+    crashed-writer refusal), each lineage stays monotone and isolated, and
+    a fast-forward publish at the end folds the branch in exactly-once."""
+    root = os.path.join(tmp_root, "t")
+    t0 = LakeTable.create(spark, root, key="url", n_buckets=4, overwrite=True)
+    t0.merge(_df(spark, [("I", "seed", ts(1), 0, "x")]), batch_id="seed")
+    t0.create_branch("audit")
+
+    n_batches = 4
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def run(which):
+        try:
+            h = LakeTable.load(spark, root)
+            h.commit_retries = 50
+            if which == "branch":
+                h = h.branch("audit")
+                h.commit_retries = 50
+            barrier.wait()
+            for i in range(n_batches):
+                rows = [("U", f"{which}{i}", ts(2 + i), i, which)]
+                h.merge(_df(spark, rows), batch_id=f"{which}-{i}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(w,)) for w in ("main", "branch")
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    t = LakeTable.load(spark, root)
+    b = t.branch("audit")
+    main_chain = [h["version"] for h in t.history()]
+    branch_chain = [h["version"] for h in b.history()]
+    assert main_chain == sorted(main_chain)
+    assert branch_chain == sorted(branch_chain)
+    # lineages share only the pre-fork prefix and never a slot after it
+    shared = set(main_chain) & set(branch_chain)
+    assert shared == set(main_chain[:2]) == set(branch_chain[:2])
+    assert {r.url for r in t.read().collect()} == {"seed"} | {
+        f"main{i}" for i in range(n_batches)
+    }
+    assert {r.url for r in b.read().collect()} == {"seed"} | {
+        f"branch{i}" for i in range(n_batches)
+    }
+    # rebase publish folds the branch into main; every batch exactly once
+    t.publish("audit", mode="rebase")
+    assert {r.url for r in t.read().collect()} == {"seed"} | {
+        f"main{i}" for i in range(n_batches)
+    } | {f"branch{i}" for i in range(n_batches)}
+    ledger = t.ledger()
+    for w in ("main", "branch"):
+        for i in range(n_batches):
+            assert f"{w}-{i}" in ledger
