@@ -567,6 +567,11 @@ class LakeTable:
             raise ValueError(
                 f"invalid ref name {name!r} (allowed: letters, digits, . _ -)"
             )
+        # names matching the pointer-file tmp pattern would be written but
+        # then filtered out by branches() — visible on disk, invisible to
+        # every reader and to GC pinning
+        if name.endswith(".tmp") or ".tmp-" in name:
+            raise ValueError(f"invalid ref name {name!r} (reserved tmp pattern)")
 
     def branches(self) -> dict[str, int]:
         """Writable branch refs: name → head snapshot version."""
@@ -576,8 +581,13 @@ class LakeTable:
         for fn in os.listdir(self._meta_dir):
             if fn.startswith(self._BRANCH_PREFIX) and not fn.endswith(".tmp") \
                     and ".tmp-" not in fn:
-                with open(os.path.join(self._meta_dir, fn)) as f:
-                    out[fn[len(self._BRANCH_PREFIX):]] = int(f.read().strip())
+                try:
+                    with open(os.path.join(self._meta_dir, fn)) as f:
+                        out[fn[len(self._BRANCH_PREFIX):]] = int(f.read().strip())
+                except FileNotFoundError:
+                    # dropped between listdir and open (concurrent
+                    # drop_branch / reject) — a consistent after-view
+                    continue
         return out
 
     def create_branch(self, name: str, version: int | str | None = None) -> int:
@@ -628,9 +638,9 @@ class LakeTable:
         try:
             with open(path) as f:
                 head = int(f.read().strip())
-        except FileNotFoundError:
+            os.unlink(path)
+        except FileNotFoundError:  # also covers a concurrent drop's unlink
             raise KeyError(f"unknown branch {name!r}") from None
-        os.unlink(path)
         return head
 
     def branch(self, name: str) -> "LakeTable":
@@ -685,17 +695,26 @@ class LakeTable:
         return head
 
     def _common_ancestor(self, a: int, b: int) -> int:
-        seen = set()
-        v: int | None = a
-        while v is not None:
-            seen.add(v)
-            v = self._snapshot(v).get("parent")
-        v = b
-        while v is not None:
-            if v in seen:
-                return v
-            v = self._snapshot(v).get("parent")
-        raise ValueError(f"v{a} and v{b} share no ancestor")  # unreachable: v0
+        """Fork point of two lineages. Lockstep walk — always step the
+        HIGHER version down (parents are strictly smaller), so only
+        snapshots at or above the fork are ever opened: O(divergence), and
+        immune to ``expire_snapshots`` having trimmed history below the
+        fork (walking to v0 would crash on any long-lived table)."""
+        try:
+            while a != b:
+                if a > b:
+                    a = self._snapshot(a).get("parent")
+                else:
+                    b = self._snapshot(b).get("parent")
+                if a is None or b is None:
+                    raise ValueError("lineages share no ancestor")
+        except FileNotFoundError as e:
+            raise ValueError(
+                "cannot locate the fork point: snapshot metadata on the "
+                "divergence path was expired (expire_snapshots ran while "
+                "the branch was staged) — re-stage on a fresh branch"
+            ) from e
+        return a
 
     def publish(self, name: str, mode: str = "ff") -> int:
         """Publish branch ``name`` into this handle's head.
@@ -737,7 +756,15 @@ class LakeTable:
         chain: list[dict] = []
         v: int | None = head
         while v != fork:
-            s = self._snapshot(v)
+            try:
+                s = self._snapshot(v)
+            except FileNotFoundError as e:
+                raise ConcurrentCommitError(
+                    f"staged snapshot v{v} was expired while branch "
+                    f"{name!r} awaited publish — re-stage on a fresh "
+                    "branch (expire_snapshots retains staged segments "
+                    "of LIVE branches; this one was trimmed earlier)"
+                ) from e
             chain.append(s)
             v = s.get("parent")
         for s in reversed(chain):
@@ -2271,12 +2298,14 @@ class LakeTable:
                     snap, base_version, file_updates, stats, table_schema,
                     append, operation,
                 )
-            except ConcurrentCommitError:
+            except ConcurrentCommitError as e:
                 # the failed attempt may have cached its (never-committed)
                 # resolved file map under the attempted version — drop it or
                 # reads of the WINNER's snapshot through this handle lie
+                # (the attempt version rides on the exception: local to this
+                # commit, never racing another thread's attempt)
                 self._manifest_cache.pop(
-                    getattr(self, "_attempt_version", base_version + 1), None
+                    getattr(e, "attempt_version", base_version + 1), None
                 )
                 if attempt >= retries:
                     raise
@@ -2393,7 +2422,6 @@ class LakeTable:
     ) -> MergeStats:
         new_snap = json.loads(json.dumps(snap))  # deep copy
         new_snap["version"] = self._alloc_slot(base_version)
-        self._attempt_version = new_snap["version"]
         new_snap["parent"] = base_version
         # commit kind (Iceberg snapshot `operation` analog): lets readers
         # distinguish logical changes (merge / merge-cow) from physical
@@ -2435,8 +2463,25 @@ class LakeTable:
             }
         new_snap["ledger"][str(stats.batch_id)] = new_snap["version"]
         if self.ledger_keep is not None:
-            floor = new_snap["version"] - self.ledger_keep
-            dropped = [b for b, v in new_snap["ledger"].items() if v <= floor]
+            # the retention window is "the last N commits ON THIS LINEAGE" —
+            # with branches allocating global slots, version arithmetic
+            # (version - N) would count the OTHER lineages' commit rate
+            # against this lineage's window, silently shrinking the
+            # exactly-once horizon. A bounded per-snapshot list of this
+            # lineage's recent commit versions gives the true floor; until
+            # the window has tracked N commits the Nth-back version is
+            # unknowable, so nothing is trimmed (strictly conservative —
+            # a table enabling retention late just trims N commits later).
+            recent = list(new_snap.get("lineage_recent", []))
+            recent.append(new_snap["version"])
+            recent = recent[-self.ledger_keep:]
+            new_snap["lineage_recent"] = recent
+            floor = recent[0] - 1 if len(recent) >= self.ledger_keep else None
+            dropped = (
+                []
+                if floor is None
+                else [b for b, v in new_snap["ledger"].items() if v <= floor]
+            )
             if dropped:
                 for b in dropped:
                     del new_snap["ledger"][b]
@@ -2445,7 +2490,7 @@ class LakeTable:
                 )
         try:
             self._write_snapshot(new_snap)
-        except ConcurrentCommitError:
+        except ConcurrentCommitError as e:
             # lost the CAS: this attempt's manifest files will never be
             # referenced — unlink them so metadata doesn't accrete orphans
             for name in attempt_manifests:
@@ -2453,8 +2498,13 @@ class LakeTable:
                     os.unlink(os.path.join(self._meta_dir, name))
                 except OSError:
                     pass
+            e.attempt_version = new_snap["version"]
             raise
-        self._swap_pointer(expected=base_version, new_version=new_snap["version"])
+        try:
+            self._swap_pointer(expected=base_version, new_version=new_snap["version"])
+        except ConcurrentCommitError as e:
+            e.attempt_version = new_snap["version"]
+            raise
         stats.committed_version = new_snap["version"]
         return stats
 
@@ -2532,23 +2582,41 @@ class LakeTable:
         """
         cutoff = None if orphan_grace_s is None else time.time() - orphan_grace_s
         current = self.current_version()
-        keep_from = max(0, current - keep_last + 1)
-        # ref-pinned versions survive GC (Iceberg ref-retention semantics):
-        # tags pin until drop_tag; branch HEADS pin until drop_branch —
-        # the head snapshot is self-contained (cumulative manifests), so
-        # pinning it alone keeps the branch readable and committable, while
-        # branch ancestry follows the same age policy as main's history.
-        # EVERY live pointer is pinned — including main's CURRENT when this
-        # runs on a branch handle whose head is far ahead of it (the age
-        # window is relative to THIS handle's head; without the pin, GC from
-        # the branch could expire the very snapshot main points at)
-        tagged = set(self.tags().values()) | set(self.branches().values())
         with open(os.path.join(self._meta_dir, "CURRENT")) as f:
-            tagged.add(int(f.read().strip()))
+            main_cur = int(f.read().strip())
+        branch_heads = set(self.branches().values())
+        # EVERY live pointer is pinned, and EVERY head keeps its own
+        # keep_last window (Iceberg ref-retention semantics): with global
+        # slot allocation the lineages' version numbers interleave and
+        # diverge, so a single range scan off one head would miss — and GC —
+        # data files that only the OTHER lineage's recent snapshots
+        # reference (e.g. running GC from a branch handle whose head is far
+        # below main's). Tags pin until drop_tag; branch heads until
+        # drop_branch.
+        heads = {current, main_cur} | branch_heads
+        tagged = set(self.tags().values()) | heads
+        retain = set(tagged)
+        for h in heads:
+            retain |= set(range(max(0, h - keep_last + 1), h + 1))
+        # staged segments: each branch head's chain down to its fork with
+        # main — publish(mode='rebase') and reject walk exactly these
+        # snapshots, so their metadata (and files) must survive however
+        # long the branch stages; bounded by staging depth, gone with
+        # drop_branch
+        for h in branch_heads:
+            try:
+                fork = self._common_ancestor(main_cur, h)
+                v: int | None = h
+                while v is not None and v > fork:
+                    retain.add(v)
+                    v = self._snapshot(v).get("parent")
+            except (ValueError, FileNotFoundError):
+                pass  # staging history already damaged: publish fails loud
+        keep_from = min(max(0, h - keep_last + 1) for h in heads)
         referenced: set[str] = set()
         live_manifests: set[str] = set()
         retained = 0
-        for v in sorted(set(range(keep_from, current + 1)) | tagged):
+        for v in sorted(retain):
             try:
                 snap = self._snapshot(v)
             except FileNotFoundError:
@@ -2573,9 +2641,10 @@ class LakeTable:
             if not os.listdir(dirpath) and os.path.normpath(dirpath) != os.path.normpath(self._data_dir):
                 os.rmdir(dirpath)
                 stats["dirs_removed"] += 1
-        # expired snapshot metadata (tag-pinned versions stay readable)
+        # expired snapshot metadata (ref-pinned / staged versions stay
+        # readable; keep_from is the MINIMUM of every head's window)
         for v in range(0, keep_from):
-            if v in tagged:
+            if v in retain:
                 continue
             p = os.path.join(self._meta_dir, f"v{v}.json")
             if os.path.exists(p):

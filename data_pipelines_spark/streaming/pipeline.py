@@ -86,6 +86,16 @@ class CdcPipeline:
             seq_cols=cfg.seq_cols,
             n_buckets=cfg.n_buckets,
         )
+        # tune MAIN first: branch handles are copies and inherit, and a
+        # rebase publish merges onto main — which must carry the same
+        # serving blooms / ledger retention / retry budget as the staged
+        # commits did (tuning only the branch copy silently ran publishes
+        # at class defaults)
+        self.table.compact_sort_by_seq = cfg.compact_sort_by_seq
+        self.table.compact_target_file_rows = cfg.compact_target_file_rows
+        self.table.ledger_keep = cfg.ledger_keep
+        self.table.commit_retries = cfg.commit_retries
+        self.table.key_bloom_rows = cfg.key_bloom_rows
         #: the un-branched (main-head) handle — publish/reject target when
         #: ``cfg.branch`` routes the pipeline's commits through a branch
         self.main_table = self.table
@@ -93,11 +103,6 @@ class CdcPipeline:
             if cfg.branch not in self.table.branches():
                 self.table.create_branch(cfg.branch)
             self.table = self.table.branch(cfg.branch)
-        self.table.compact_sort_by_seq = cfg.compact_sort_by_seq
-        self.table.compact_target_file_rows = cfg.compact_target_file_rows
-        self.table.ledger_keep = cfg.ledger_keep
-        self.table.commit_retries = cfg.commit_retries
-        self.table.key_bloom_rows = cfg.key_bloom_rows
         self._lineage_dir = os.path.join(cfg.table_root, "_lineage")
         #: incrementally-maintained aggregate views (lake.aggview.AggView),
         #: folded forward after every commit — see :meth:`attach_view`
@@ -365,9 +370,14 @@ class CdcPipeline:
         fork = self.main_table._common_ancestor(cur, head)
         staged_commits = 0
         v = head
-        while v != fork:
-            staged_commits += 1
-            v = self.main_table._snapshot(v)["parent"]
+        try:
+            while v != fork:
+                staged_commits += 1
+                v = self.main_table._snapshot(v)["parent"]
+        except FileNotFoundError:
+            staged_commits = -1  # partially expired staging metadata;
+            # the retraction below (change_log) will fail loud if it
+            # actually needs the missing snapshots
         retracted = False
         if self.near_dup is not None and head != fork:
             key = self.cfg.key
@@ -410,14 +420,9 @@ class CdcPipeline:
         }
 
     def _branch_handle(self, name: str):
-        """Branch handle carrying the pipeline's table tuning."""
-        t = self.main_table.branch(name)
-        t.compact_sort_by_seq = self.cfg.compact_sort_by_seq
-        t.compact_target_file_rows = self.cfg.compact_target_file_rows
-        t.ledger_keep = self.cfg.ledger_keep
-        t.commit_retries = self.cfg.commit_retries
-        t.key_bloom_rows = self.cfg.key_bloom_rows
-        return t
+        """Branch handle — inherits the pipeline's table tuning from the
+        (already-tuned) main handle it copies."""
+        return self.main_table.branch(name)
 
     def attach_view(self, view) -> None:
         """Attach an :class:`~data_pipelines_spark.lake.aggview.AggView` to be

@@ -197,6 +197,71 @@ def test_expire_from_branch_handle_pins_main_head(spark, tmp_root):
     assert t.read().count() == 3
 
 
+def test_expire_retains_every_heads_recent_window(spark, tmp_root):
+    """GC from a branch handle whose head is far BELOW main must keep the
+    files of main's recent snapshots (per-head keep windows): after main
+    compacts, old deltas are only referenced by its pre-compaction history,
+    which a single branch-head-based range scan would miss entirely."""
+    t = _mk(spark, tmp_root)
+    t.create_branch("audit")
+    b = t.branch("audit")
+    for i in range(10):
+        t.merge(_batch(spark, [(f"m{i}", 100 + i, "I", "z")]), f"mb{i}")
+    t.compact()  # strands the pre-compaction deltas of main's history
+    pre = t.current_version() - 1
+    b.expire_snapshots(keep_last=3)
+    # main's recent pre-compaction snapshot is still fully readable
+    assert t.read(version=pre).count() == 12
+    assert t.read().count() == 12
+
+
+def test_staged_segment_survives_gc_and_publishes(spark, tmp_root):
+    """A branch that stages, then waits while main churns past keep_last
+    commits + GC, must still rebase-publish: the staged segment's metadata
+    is retained until drop_branch."""
+    t = _mk(spark, tmp_root)
+    t.create_branch("staging")
+    b = t.branch("staging")
+    b.merge(_batch(spark, [("s1", 201, "I", "a")]), "s1")
+    b.merge(_batch(spark, [("s2", 202, "I", "b")]), "s2")
+    for i in range(12):
+        t.merge(_batch(spark, [(f"m{i}", 100 + i, "I", "z")]), f"mb{i}")
+    t.expire_snapshots(keep_last=3)
+    v = t.publish("staging", mode="rebase")
+    assert v == t.current_version()
+    urls = {r.url for r in t.read().collect()}
+    assert {"s1", "s2"} <= urls and len(urls) == 2 + 12 + 2
+
+
+def test_ledger_window_counts_lineage_commits_not_slots(spark, tmp_root):
+    """ledger_keep counts commits on THIS lineage: interleaved branch
+    commits burn global slot numbers but must not shrink main's
+    exactly-once window."""
+    t = _mk(spark, tmp_root)
+    t.ledger_keep = 4
+    t.create_branch("noise")
+    nb = t.branch("noise")
+    for i in range(3):
+        t.merge(_batch(spark, [(f"m{i}", 100 + i, "I", "z")]), f"mb{i}")
+        for j in range(3):  # 3 branch commits per main commit eat slots
+            nb.merge(_batch(spark, [(f"n{i}{j}", 200 + 10 * i + j, "I", "y")]), f"nb{i}{j}")
+    # main committed 4 times total (b0 + mb0..mb2) — ALL inside its window
+    # of 4 even though slot numbers advanced by 12+ meanwhile
+    ledger = t.ledger()
+    for bid in ("b0", "mb0", "mb1", "mb2"):
+        assert bid in ledger, (bid, ledger)
+    st = t.merge(_batch(spark, [("u1", 1, "I", "a")]), "b0")  # re-delivery
+    assert st.skipped_duplicate_batch
+
+
+def test_tmp_pattern_ref_names_rejected(spark, tmp_root):
+    t = _mk(spark, tmp_root)
+    with pytest.raises(ValueError, match="reserved tmp pattern"):
+        t.create_branch("rel.tmp")
+    with pytest.raises(ValueError, match="reserved tmp pattern"):
+        t.create_branch("v1.tmp-rc")
+
+
 def test_crashed_writer_semantics_unchanged_without_branches(spark, tmp_root):
     """The linear-table crashed-writer refusal (pinned in test_concurrency)
     must be untouched by branch support: no sentinel → slot is base+1 and a
