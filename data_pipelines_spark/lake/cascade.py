@@ -201,8 +201,21 @@ class Cascade:
     # ------------------------------------------------------------- status
 
     def lag(self) -> int:
-        """Upstream commits not yet applied downstream."""
-        return self.upstream.current_version() - self.applied_upstream_version()
+        """Upstream commits not yet applied downstream — counted along the
+        upstream parent chain (slot subtraction would overcount on a
+        branch-enabled upstream, where other lineages burn slot numbers).
+        If the chain's metadata was partially expired, returns the commits
+        counted before the gap (a lower bound; sync fails loud there)."""
+        start = self.applied_upstream_version()
+        n = 0
+        v: int | None = self.upstream.current_version()
+        try:
+            while v is not None and v > start:
+                n += 1
+                v = self.upstream._snapshot(v).get("parent")
+        except FileNotFoundError:
+            pass
+        return n
 
 
 def chain(tables: list[LakeTable], transforms: list | None = None) -> list[Cascade]:

@@ -467,6 +467,27 @@ def test_streaming_checkpoint_resume_into_branch(spark, tmp_root):
     assert got == want
 
 
+def test_cascade_lag_counts_lineage_not_slots(spark, tmp_root):
+    """lag() follows the upstream parent chain: a branch burning global
+    slot numbers must not inflate the reported backlog."""
+    from data_pipelines_spark.lake.cascade import Cascade
+
+    up = _mk(spark, tmp_root)
+    down = LakeTable.create(
+        spark, os.path.join(tmp_root, "down"), key="url", n_buckets=4
+    )
+    c = Cascade(up, down)
+    c.sync()
+    up.create_branch("noise")
+    nb = up.branch("noise")
+    for j in range(4):  # 4 branch commits eat slot numbers
+        nb.merge(_batch(spark, [(f"n{j}", 200 + j, "I", "y")]), f"nb{j}")
+    up.merge(_batch(spark, [("m1", 100, "I", "z")]), "m1")
+    assert c.lag() == 1  # one upstream commit, not five slots
+    c.sync()
+    assert c.lag() == 0
+
+
 def test_aggview_catches_up_across_fast_forward(spark, tmp_root):
     """A view maintained on main catches up through a published branch's
     commits: versions jump (global slots), so the view's pre-image version
